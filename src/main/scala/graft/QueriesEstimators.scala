@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fanouts, JoinSample}
+import graft.query.{CardBenchmark, Engine, Predicate, PredicateSql, PseudoSql}
+
+/** Query surface + estimators (SURVEY.md §2 rows 9-14).
+  *
+  * Every oracle SQL string here is *generated* from the same specs the
+  * Spark plans execute (CardBenchmark.specs / the predicate suite), so the
+  * two sides cannot drift. Floating-point expressions are built with
+  * identical operation order on both sides — IEEE doubles then match
+  * bit-for-bit.
+  */
+object QueriesEstimators {
+
+  // ---- row 9: predicate op suite (estimators.py:94-116 OPS) ----
+
+  /** (pred_id, table, predicate) covering every supported operator. */
+  val predSuite: Seq[(String, String, Predicate)] = Seq(
+    ("p01_eq", "lineitem", Predicate("l_returnflag", "=", "R")),
+    ("p02_ne", "orders", Predicate("o_orderstatus", "!=", "O")),
+    ("p03_lt", "lineitem", Predicate("l_quantity", "<", 10L)),
+    ("p04_le", "lineitem", Predicate("l_quantity", "<=", 10L)),
+    ("p05_gt", "orders", Predicate("o_totalprice", ">", 300000L)),
+    ("p06_ge", "lineitem", Predicate("l_quantity", ">=", 45L)),
+    ("p07_between", "lineitem", Predicate("l_discount", "BETWEEN", Seq(0.02, 0.06))),
+    ("p08_in", "orders", Predicate("o_orderpriority", "IN", Seq("1-URGENT", "5-LOW"))),
+    ("p09_like", "orders", Predicate("o_orderpriority", "LIKE", "%HIGH%")),
+    ("p10_notlike", "part", Predicate("p_type", "NOT LIKE", "PROMO%")),
+    ("p11_isnull", "lineitem", Predicate("l_shipdate", "IS", null)),
+    ("p12_isnotnull", "customer", Predicate("c_mktsegment", "IS NOT", null))
+  )
+
+  def predEvalQ(spark: SparkSession, dir: String): DataFrame =
+    predSuite
+      .map { case (id, table, p) =>
+        Tables(spark, dir, table)
+          .filter(p.toColumn)
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit(id).as("pred_id"), col("cnt"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("pred_id"))
+
+  val predEvalSql: String =
+    predSuite
+      .map { case (id, table, p) =>
+        s"SELECT '$id' AS pred_id, COUNT(*) AS cnt FROM $table WHERE ${PredicateSql.render(p)}"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pred_id")
+
+  // ---- rows 10/11/13: true cardinalities, naive estimates, q-error ----
+
+  def trueCardQ(spark: SparkSession, dir: String): DataFrame =
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        Engine
+          .count(PseudoSql.parse(sql), Fanouts.loader(spark, dir))
+          .select(lit(id).as("query_id"), col("card"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("query_id"))
+
+  val trueCardSql: String =
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        s"SELECT '$id' AS query_id, CAST(($sql) AS BIGINT) AS card"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Join-only SQL (predicates stripped) for a parsed spec. */
+  private def joinOnlySql(id: String): String = {
+    val q = PseudoSql.parse(CardBenchmark.specs.toMap.apply(id))
+    val from = q.tables.mkString(", ")
+    if (q.joins.isEmpty) s"SELECT COUNT(*) FROM $from"
+    else {
+      val conds = q.joins.map { case (a, b) => s"$a = $b" }.mkString(" AND ")
+      s"SELECT COUNT(*) FROM $from WHERE $conds"
+    }
+  }
+
+  /** Independence-assumption estimator: |J⋈-only| × Π per-table pred
+    * selectivities (the classic baseline the reference's learned models
+    * are measured against; selectivities from exact per-table counts).
+    * Built as one declarative plan: scalar aggregates cross-joined, the
+    * product folded left-to-right — no collect.
+    */
+  def naiveEstQ(spark: SparkSession, dir: String): DataFrame =
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        val q = PseudoSql.parse(sql)
+        val load = Fanouts.loader(spark, dir)
+        val joinOnly = Engine
+          .count(q.copy(predicates = Seq.empty), load)
+          .select(col("card").cast("double").as("__j"))
+        var df = joinOnly
+        q.predicates.zipWithIndex.foreach { case (p, i) =>
+          val t = CardBenchmark.tableOf(p.col)
+          val m = Tables(spark, dir, t).filter(p.toColumn)
+            .agg(count(lit(1)).cast("double").as(s"__m$i"))
+          val n = Tables(spark, dir, t)
+            .agg(count(lit(1)).cast("double").as(s"__n$i"))
+          df = df.crossJoin(m).crossJoin(n)
+        }
+        val est = q.predicates.indices.foldLeft(col("__j")) { (acc, i) =>
+          acc * (col(s"__m$i") / col(s"__n$i"))
+        }
+        df.select(lit(id).as("query_id"), est.as("est"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("query_id"))
+
+  val naiveEstSql: String =
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        val q = PseudoSql.parse(sql)
+        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+        val factors = q.predicates.map { p =>
+          val t = CardBenchmark.tableOf(p.col)
+          s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE)" +
+            s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
+        }
+        val est = (j +: factors).mkString(" * ")
+        s"SELECT '$id' AS query_id, $est AS est"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** q-error of the naive estimator vs truth: max(est/true, true/est)
+    * (reference: scardina/run.py:60-67).
+    */
+  def qErrorQ(spark: SparkSession, dir: String): DataFrame = {
+    val est = naiveEstQ(spark, dir)
+    val tru = trueCardQ(spark, dir)
+    est
+      .join(tru, "query_id")
+      .select(
+        col("query_id"),
+        greatest(
+          col("est") / col("card").cast("double"),
+          col("card").cast("double") / col("est")
+        ).as("q_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val qErrorSql: String =
+    s"""WITH est AS (
+       |$naiveEstSql
+       |), tru AS (
+       |$trueCardSql
+       |)
+       |SELECT est.query_id,
+       |  GREATEST(est.est / CAST(tru.card AS DOUBLE),
+       |           CAST(tru.card AS DOUBLE) / est.est) AS q_err
+       |FROM est JOIN tru ON est.query_id = tru.query_id
+       |ORDER BY est.query_id""".stripMargin
+
+  // ---- rows 12/14: weighted join sample + sample-based estimator ----
+
+  /** customer ← orders ← lineitem chain, rooted at customer. */
+  private val chain = Subschema(
+    "chain", "customer",
+    Seq(
+      FkEdge("customer", "c_custkey", "orders", "o_custkey"),
+      FkEdge("orders", "o_orderkey", "lineitem", "l_orderkey")))
+
+  val sampleN = 2000L
+  val sampleSeed = 42L
+
+  def joinSampleQ(spark: SparkSession, dir: String): DataFrame =
+    JoinSample
+      .sample(chain, "customer", "c_custkey", Fanouts.loader(spark, dir), sampleN, sampleSeed)
+      .select(
+        col("__slot__").as("slot"),
+        col("c_custkey"), col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+        col("__in__:orders").as("in_orders"),
+        col("__in__:lineitem").as("in_lineitem"))
+      .orderBy(col("slot"))
+
+  /** Sample-based estimator (progressive-sampling analogue): for each
+    * benchmark query whose tables lie inside the sampled subschema,
+    * est = W × (sample rows satisfying preds ∧ required __in__ flags)
+    *         / (total sample rows).
+    */
+  def sampleEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val covered = Set("customer", "orders", "lineitem")
+    val sample = JoinSample
+      .sample(chain, "customer", "c_custkey", load, sampleN, sampleSeed)
+      .cache()
+    val w = JoinSample.totalWeight(chain, "customer", load)
+      .select(col("total_weight").cast("double"))
+    val specs = CardBenchmark.specs.filter { case (_, sql) =>
+      PseudoSql.parse(sql).tables.forall(covered)
+    }
+    specs
+      .map { case (id, sql) =>
+        val q = PseudoSql.parse(sql)
+        val need = q.tables.filterNot(_ == "customer")
+        val flags = need.map(t => col(s"__in__:$t"))
+        val sat = (Predicate.conjunction(
+          q.predicates.map(p => p.copy(col = p.col.split('.').last))) +: flags)
+          .reduce(_ && _)
+        sample
+          .agg(
+            count(lit(1)).cast("double").as("__n"),
+            sum(when(sat, 1L).otherwise(0L)).cast("double").as("__k"))
+          .crossJoin(broadcast(w))
+          .select(
+            lit(id).as("query_id"),
+            (col("total_weight") * (col("__k") / col("__n"))).as("est"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("query_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pred_eval" -> (predEvalQ _),
+    "true_card" -> (trueCardQ _),
+    "naive_est" -> (naiveEstQ _),
+    "q_error" -> (qErrorQ _),
+    "join_sample" -> (joinSampleQ _),
+    "sample_est" -> (sampleEstQ _)
+  )
+
+  /** join_sample / sample_est are rows-only (seeded sampling). */
+  val oracleSql: Map[String, String] = Map(
+    "pred_eval" -> predEvalSql,
+    "true_card" -> trueCardSql,
+    "naive_est" -> naiveEstSql,
+    "q_error" -> qErrorSql
+  )
+}

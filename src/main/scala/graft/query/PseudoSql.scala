@@ -1,0 +1,105 @@
+package graft.query
+
+/** Parser for the reference's restricted conjunctive benchmark SQL
+  * (reference: scardina/parse.py:72 parse_to_conds, run.py:796-917):
+  * `SELECT count(*) FROM t1,t2,... WHERE a.x = b.y AND a.c <op> <lit> ...`
+  *
+  * Produces the same decomposition the reference feeds its estimators:
+  * filter predicates, the table set, and join equi-edges.
+  */
+final case class ParsedQuery(
+    tables: Seq[String],
+    joins: Seq[(String, String)], // qualified col = qualified col
+    predicates: Seq[Predicate]
+)
+
+object PseudoSql {
+
+  private val opPattern =
+    // longest-first so '<=' wins over '<', 'NOT LIKE' over 'LIKE'
+    Seq("<=", ">=", "!=", "<>", "=", "<", ">", "(?i)NOT LIKE", "(?i)LIKE",
+      "(?i)IS NOT", "(?i)IS", "(?i)IN", "(?i)BETWEEN")
+
+  def parse(sql: String): ParsedQuery = {
+    val lower = sql.trim.replaceAll("\\s+", " ")
+    val fromIdx = indexOfWord(lower, "from")
+    require(fromIdx >= 0, s"no FROM clause: $sql")
+    val whereIdx = indexOfWord(lower, "where")
+    val fromPart =
+      if (whereIdx >= 0) lower.substring(fromIdx + 4, whereIdx)
+      else lower.substring(fromIdx + 4)
+    val tables = fromPart.split(",").map(_.trim.split("\\s+")(0)).toSeq
+
+    if (whereIdx < 0) return ParsedQuery(tables, Seq.empty, Seq.empty)
+    val wherePart = lower.substring(whereIdx + 5).trim
+    val conds = wherePart.split("(?i)\\sAND\\s").toSeq
+
+    val joins = scala.collection.mutable.ListBuffer[(String, String)]()
+    val preds = scala.collection.mutable.ListBuffer[Predicate]()
+
+    // Re-stitch BETWEEN x AND y (split by the AND splitter above).
+    val stitched = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < conds.length) {
+      if (conds(i).matches("(?i).*\\sBETWEEN\\s.*") && i + 1 < conds.length) {
+        stitched += s"${conds(i)} AND ${conds(i + 1)}"; i += 2
+      } else { stitched += conds(i); i += 1 }
+    }
+
+    for (cond <- stitched) {
+      parseCond(cond.trim) match {
+        case Left(join)  => joins += join
+        case Right(pred) => preds += pred
+      }
+    }
+    ParsedQuery(tables, joins.toSeq, preds.toSeq)
+  }
+
+  private def indexOfWord(s: String, w: String): Int = {
+    val m = ("(?i)\\b" + w + "\\b").r.findFirstMatchIn(s)
+    m.map(_.start).getOrElse(-1)
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) || (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def parseValue(raw: String): Any = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("null")) null
+    else if (t.matches("-?\\d+")) t.toLong
+    else if (t.matches("-?\\d*\\.\\d+")) t.toDouble
+    else stripQuotes(t)
+  }
+
+  private val qualifiedCol = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"
+
+  private def parseCond(cond: String): Either[(String, String), Predicate] = {
+    val betweenRe = s"(?i)($qualifiedCol)\\s+BETWEEN\\s+(.+)\\s+AND\\s+(.+)".r
+    val inRe = s"(?i)($qualifiedCol)\\s+IN\\s*\\((.+)\\)".r
+    val isRe = s"(?i)($qualifiedCol)\\s+IS(\\s+NOT)?\\s+(.+)".r
+    val likeRe = s"(?i)($qualifiedCol)\\s+(NOT\\s+)?LIKE\\s+(.+)".r
+    val cmpRe = s"($qualifiedCol)\\s*(<=|>=|!=|<>|=|<|>)\\s*(.+)".r
+
+    cond match {
+      case betweenRe(c, _, lo, hi) =>
+        Right(Predicate(c, "BETWEEN", Seq(parseValue(lo), parseValue(hi))))
+      case inRe(c, _, items) =>
+        Right(Predicate(c, "IN", items.split(",").map(parseValue(_)).toSeq))
+      case isRe(c, _, notPart, v) =>
+        Right(Predicate(c, if (notPart != null) "IS NOT" else "IS", parseValue(v)))
+      case likeRe(c, _, notPart, v) =>
+        Right(Predicate(c, if (notPart != null) "NOT LIKE" else "LIKE", parseValue(v)))
+      case cmpRe(c, _, op, rhs, _*) =>
+        val r = rhs.trim
+        if (op == "=" && r.matches(qualifiedCol) && r.contains(".") && c.contains("."))
+          Left((c, r)) // join edge: qualified col = qualified col
+        else Right(Predicate(c, op, parseValue(r)))
+      case other =>
+        throw new IllegalArgumentException(s"cannot parse condition: $other")
+    }
+  }
+}
