@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Stats / sketch queries (SURVEY.md §2 rows 15-18). Oracle SQL is
+  * generated from the same column specs the Spark side iterates.
+  */
+object QueriesStats {
+
+  /** (table, column, isNumeric) */
+  val statCols: Seq[(String, String, Boolean)] = Seq(
+    ("lineitem", "l_quantity", true),
+    ("lineitem", "l_returnflag", false),
+    ("orders", "o_totalprice", true),
+    ("orders", "o_custkey", true),
+    ("customer", "c_mktsegment", false),
+    ("part", "p_size", true),
+    ("events", "value", true),
+    ("documents", "lang", false))
+
+  def colStatsQ(spark: SparkSession, dir: String): DataFrame =
+    statCols
+      .map { case (t, c, num) =>
+        Stats.colStats(Tables(spark, dir, t), c, num, s"$t.$c")
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+
+  val colStatsSql: String =
+    statCols
+      .map { case (t, c, num) =>
+        val (minNum, maxNum, minStr, maxStr) =
+          if (num) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+        s"""SELECT '$t.$c' AS col_name, COUNT(*) AS cnt,
+           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nulls,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  $minNum AS min_num, $maxNum AS max_num,
+           |  $minStr AS min_str, $maxStr AS max_str
+           |FROM $t""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  val histCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"))
+  val histBins = 10
+
+  def histogramQ(spark: SparkSession, dir: String): DataFrame =
+    histCols
+      .map { case (t, c) =>
+        Stats.histogram(Tables(spark, dir, t), c, histBins, s"$t.$c")
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"), col("bucket"))
+
+  val histogramSql: String =
+    histCols
+      .map { case (t, c) =>
+        s"""SELECT '$t.$c' AS col_name,
+           |  LEAST(CAST(FLOOR((CAST($c AS DOUBLE) - mn) * $histBins.0 / (mx - mn)) AS BIGINT),
+           |        ${histBins - 1}) AS bucket,
+           |  COUNT(*) AS cnt
+           |FROM $t, (SELECT CAST(MIN($c) AS DOUBLE) AS mn, CAST(MAX($c) AS DOUBLE) AS mx FROM $t)
+           |GROUP BY 1, 2""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket")
+
+  val mcvCols: Seq[(String, String, Int)] = Seq(
+    ("orders", "o_orderpriority", 5),
+    ("customer", "c_mktsegment", 5),
+    ("part", "p_brand", 8))
+
+  def mcvQ(spark: SparkSession, dir: String): DataFrame =
+    mcvCols
+      .map { case (t, c, k) =>
+        Stats.mcv(Tables(spark, dir, t), c, k, s"$t.$c")
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"), col("rnk"))
+
+  val mcvSql: String =
+    mcvCols
+      .map { case (t, c, k) =>
+        s"""SELECT * FROM (
+           |  SELECT '$t.$c' AS col_name, CAST($c AS VARCHAR) AS val, COUNT(*) AS cnt,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, CAST($c AS VARCHAR)) AS INTEGER) AS rnk
+           |  FROM $t WHERE $c IS NOT NULL GROUP BY $c
+           |) WHERE rnk <= $k""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, rnk")
+
+  val hllCols: Seq[(String, String)] = Seq(
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("customer", "c_custkey"),
+    ("events", "user_id"))
+
+  def hllNdvQ(spark: SparkSession, dir: String): DataFrame =
+    hllCols
+      .map { case (t, c) => Stats.hllNdv(Tables(spark, dir, t), c, s"$t.$c") }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "col_stats" -> (colStatsQ _),
+    "histogram" -> (histogramQ _),
+    "mcv" -> (mcvQ _),
+    "hll_ndv" -> (hllNdvQ _)
+  )
+
+  /** hll_ndv is rows-only (impl-specific sketch). */
+  val oracleSql: Map[String, String] = Map(
+    "col_stats" -> colStatsSql,
+    "histogram" -> histogramSql,
+    "mcv" -> mcvSql
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Event-stream queries (SURVEY.md §2 rows 31-33), batch form — the
+  * streaming variants run the same transforms (see StreamOps + specs).
+  */
+object QueriesStreaming {
+
+  def windowAggQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .windowAgg(Tables(spark, dir, "events"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val windowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def sessionizeQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .sessionize(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM e
+      |)
+      |SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val topK = 3
+
+  def topkEventsQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .topkEvents(Tables(spark, dir, "events"), topK)
+      .orderBy(col("day"), col("rnk"))
+
+  val topkEventsSql: String =
+    s"""SELECT day, rnk, user_id, total FROM (
+       |  SELECT day, user_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY tot DESC, user_id) AS INT) AS rnk,
+       |    CAST(tot AS DOUBLE) AS total
+       |  FROM (SELECT date_trunc('day', ts) AS day, user_id,
+       |          SUM(CAST(value AS DECIMAL(38,6))) AS tot
+       |        FROM events GROUP BY 1, 2)
+       |) WHERE rnk <= $topK
+       |ORDER BY day, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_agg" -> (windowAggQ _),
+    "sessionize" -> (sessionizeQ _),
+    "topk_events" -> (topkEventsQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_agg" -> windowAggSql,
+    "sessionize" -> sessionizeSql,
+    "topk_events" -> topkEventsSql
+  )
+}

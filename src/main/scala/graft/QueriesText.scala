@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextOps}
+
+/** LLM-training-data pipeline queries (SURVEY.md §2 rows 19-30):
+  * dedup, similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle-parity strategy: every hash is md5 (identical hex in DuckDB),
+  * every float comparison goes through integer quantization or fixed-order
+  * double expressions, and SQL fragments are generated from the same
+  * constants the Spark operators use.
+  */
+object QueriesText {
+
+  // Shared DuckDB SQL fragments (mirror TextOps exactly).
+  private val wordsCte =
+    """w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+      |       FROM documents)""".stripMargin
+
+  private def shinglesCte(k: Int, name: String): String = {
+    val expr = (0 until k).map(j => s"ws[i${if (j == 0) "" else s"+$j"}]").mkString(" || ' ' || ")
+    s"""$name AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, $expr AS shingle
+       |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - ${k - 2}, 1))) AS i FROM w)))""".stripMargin
+  }
+
+  private val sigsCte: String = {
+    val mins = (0 until TextOps.numPerms)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS m$i")
+      .mkString(", ")
+    s"sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  // ---- row 19: exact dedup ----
+
+  def exactDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val groups = d
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_n"))
+    d.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(groups, "__h")
+      .select(col("doc_id"), col("keep_id"), col("group_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql: String =
+    """SELECT d.doc_id, g.keep_id, g.group_n
+      |FROM documents d
+      |JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS group_n
+      |      FROM documents GROUP BY 1) g
+      |  ON md5(d.text) = g.h
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- row 20: minhash signatures ----
+
+  def minhashSigQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .minhashLong(TextOps.docShingles(Tables(spark, dir, "documents"), 3))
+      .orderBy(col("doc_id"), col("seed"))
+
+  val minhashSigSql: String = {
+    val arms = (0 until TextOps.numPerms)
+      .map(i => s"SELECT doc_id, $i AS seed, m$i AS minhash FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")},
+       |$sigsCte
+       |$arms
+       |ORDER BY doc_id, seed""".stripMargin
+  }
+
+  // ---- row 21: MinHash-LSH near-dup pairs ----
+
+  val lshTau = 0.6
+
+  def minhashLshDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
+    val cands = TextOps.lshCandidates(TextOps.lshBands(TextOps.minhashWide(shingles)))
+    TextOps
+      .jaccard(cands, shingles)
+      .filter(col("jaccard") >= lshTau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshDupSql: String = {
+    val bandArms = (0 until TextOps.numBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS band_key FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")},
+       |$sigsCte,
+       |bands AS (
+       |$bandArms
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a
+       |          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $lshTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- row 22: SimHash near-dup pairs ----
+
+  val simhashMaxHamming = 3
+
+  def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .simhashDups(TextOps.simhashBands(Tables(spark, dir, "documents")), simhashMaxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val simhashDupSql: String = {
+    val wide = (0 until 4)
+      .map(b => s"SUM(CASE WHEN band = $b THEN bv ELSE 0 END) AS b$b")
+      .mkString(", ")
+    val candArms = (0 until 4)
+      .map(b =>
+        s"SELECT l.doc_id AS doc_a, r.doc_id AS doc_b FROM wide l JOIN wide r ON l.b$b = r.b$b AND l.doc_id < r.doc_id")
+      .mkString("\nUNION ALL\n")
+    val ham = (0 until 4)
+      .map(b => s"bit_count(xor(la.b$b, lb.b$b))")
+      .mkString(" + ")
+    s"""WITH $wordsCte,
+       |tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(ws) AS word FROM w)),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    ((strpos('0123456789abcdef', substr(md5(word), CAST(i // 4 AS INT) + 1, 1)) - 1)
+       |      >> (3 - CAST(i % 4 AS INT))) & 1 AS bit
+       |  FROM tok, (SELECT unnest(range(0, 64)) AS i)),
+       |sums AS (SELECT doc_id, i, SUM(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, i, CASE WHEN s >= 0 THEN 1 ELSE 0 END AS sb FROM sums),
+       |bnd AS (SELECT doc_id, CAST(i // 16 AS INT) AS band,
+       |               CAST(SUM(sb * CAST(pow(2.0, 15 - CAST(i % 16 AS INT)) AS BIGINT)) AS BIGINT) AS bv
+       |        FROM sig GROUP BY 1, 2),
+       |wide AS (SELECT doc_id, $wide FROM bnd GROUP BY doc_id),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |$candArms
+       |))
+       |SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN wide la ON la.doc_id = c.doc_a
+       |JOIN wide lb ON lb.doc_id = c.doc_b
+       |WHERE $ham <= $simhashMaxHamming
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  // ---- row 23: n-gram Jaccard over (lang, source) candidate pairs ----
+
+  def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"))
+    val pairs = a
+      .join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    TextOps
+      .jaccard(pairs, TextOps.docShingles(d, 2))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $wordsCte,
+       |${shinglesCte(2, "sh")},
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM documents a JOIN documents b
+       |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a
+       |          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- rows 24/25: embedding similarity ----
+
+  val topK = 5
+  val probeMax = 8L // probes = vec_id < 8
+
+  def embedCosineTopkQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineTopK(Tables(spark, dir, "embeddings"), col("vec_id") < probeMax, topK)
+      .orderBy(col("probe_id"), col("rnk"))
+
+  val embedCosineTopkSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.qv AS pv, c.qv AS cv
+       |          FROM q p JOIN q c ON c.vec_id != p.vec_id WHERE p.vec_id < $probeMax),
+       |pex AS (SELECT probe_id, cand_id, pv, cv, unnest(range(1, len(pv) + 1)) AS i FROM pairs),
+       |dots AS (SELECT probe_id, cand_id, CAST(SUM(pv[i] * cv[i]) AS BIGINT) AS dot
+       |         FROM pex GROUP BY 1, 2),
+       |cs AS (SELECT probe_id, cand_id,
+       |         CAST(dot AS DOUBLE) / sqrt(CAST(np.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos
+       |       FROM dots
+       |       JOIN norms np ON np.vec_id = probe_id
+       |       JOIN norms nc ON nc.vec_id = cand_id)
+       |SELECT * FROM (
+       |  SELECT probe_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rnk,
+       |    cand_id, cos
+       |  FROM cs
+       |) WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** Rows-only: Scala-side md5-derived hyperplanes. */
+  def embedLshAnnQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val planes = Similarity.hyperplanes(spark, 64)
+    Similarity
+      .lshAnn(emb, Similarity.lshBuckets(emb, planes), col("vec_id") < probeMax, topK)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ---- rows 26-29: text analysis ----
+
+  def langIdQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val langIdSql: String = {
+    val arms = TextAnalysis.langProfiles
+      .map { case (lang, ws) =>
+        val in = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"SELECT doc_id, '$lang' AS lang_pred, CAST(len(list_filter(ws, x -> x IN $in)) AS INT) AS score FROM w"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wordsCte,
+       |scores AS (
+       |$arms
+       |)
+       |SELECT doc_id, lang_pred, score FROM (
+       |  SELECT doc_id, lang_pred, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_pred) AS rn
+       |  FROM scores
+       |) WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val qualityScoreSql: String = {
+    val in = TextAnalysis.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH $wordsCte
+       |SELECT doc_id,
+       |  CAST(len(ws) AS INT) AS n_words,
+       |  CAST(len(list_filter(ws, x -> x IN $in)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+       |  0.4 * LEAST(CAST(len(ws) AS DOUBLE) / 200.0, 1.0)
+       |    + 0.3 * (CAST(len(list_filter(ws, x -> x IN $in)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+       |    + 0.3 * (CASE WHEN (CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+       |                       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS score
+       |FROM w
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCountQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCount(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    s"""WITH $wordsCte
+       |SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(ws)) AS INT) AS n_unique
+       |FROM w ORDER BY doc_id""".stripMargin
+
+  def docFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- row 30: multimodal metadata ----
+
+  def mmMetaQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.meta(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val mmMetaSql: String =
+    """SELECT doc_id,
+      |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |  16 + n_chars % 64 AS width,
+      |  16 + CAST(FLOOR(n_chars / 64.0) AS BIGINT) % 64 AS height,
+      |  CAST(octet_length(unhex(md5(text))) AS INT) AS n_bytes,
+      |  CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INT) AS byte0,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup" -> (exactDedupQ _),
+    "minhash_sig" -> (minhashSigQ _),
+    "minhash_lsh_dup" -> (minhashLshDupQ _),
+    "simhash_dup" -> (simhashDupQ _),
+    "ngram_jaccard" -> (ngramJaccardQ _),
+    "embed_cosine_topk" -> (embedCosineTopkQ _),
+    "embed_lsh_ann" -> (embedLshAnnQ _),
+    "lang_id" -> (langIdQ _),
+    "quality_score" -> (qualityScoreQ _),
+    "token_count" -> (tokenCountQ _),
+    "doc_fingerprint" -> (docFingerprintQ _),
+    "mm_meta" -> (mmMetaQ _)
+  )
+
+  /** embed_lsh_ann is rows-only (Scala-side hyperplane derivation). */
+  val oracleSql: Map[String, String] = Map(
+    "exact_dedup" -> exactDedupSql,
+    "minhash_sig" -> minhashSigSql,
+    "minhash_lsh_dup" -> minhashLshDupSql,
+    "simhash_dup" -> simhashDupSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "embed_cosine_topk" -> embedCosineTopkSql,
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualityScoreSql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "mm_meta" -> mmMetaSql
+  )
+}

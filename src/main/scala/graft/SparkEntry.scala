@@ -7,9 +7,11 @@ object SparkEntry {
     QueriesCore.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesEstimators.queries
+    QueriesCore.queries ++ QueriesEstimators.queries ++
+      QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql ++ QueriesEstimators.oracleSql
+    QueriesCore.oracleSql ++ QueriesEstimators.oracleSql ++
+      QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql
 }

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns.
+  *
+  * Exactness strategy: float components are quantized once to integers
+  * (⌊v·10⁶ + 0.5⌋ — floor is the same in every engine, unlike round());
+  * dot products and norms are then exact BIGINT sums (order-independent),
+  * and the final cosine is a fixed-order double expression — so Spark and
+  * the DuckDB oracle agree bit-for-bit, and rankings are deterministic
+  * with doc-id tie-breaks.
+  *
+  * Scale: brute-force top-k broadcasts the (tiny) probe set and streams
+  * the corpus once — no shuffle until the per-probe top-k window over
+  * probes×k rows. The LSH variant buckets by random-hyperplane signature
+  * so each probe only scans its bucket.
+  */
+object Similarity {
+
+  /** Quantized embedding: array<long> of ⌊v·10⁶ + 0.5⌋. */
+  val quantExpr: Column =
+    expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k of every corpus vector for each probe.
+    * `probePred` selects the probe rows (must be small — it is broadcast).
+    */
+  def cosineTopK(embeddings: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id"), quantExpr.as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("nn").as("np"))
+    val cands = q.select(col("vec_id").as("cand_id"), col("qv").as("cv"), col("nn").as("nc"))
+    val win = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes)
+      .join(cands, col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pv"), col("cv")).cast("double") /
+          sqrt(col("np").cast("double")) / sqrt(col("nc").cast("double")))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
+  val numPlanes = 6 // 2^6 buckets — sized so test-scale buckets are non-trivial; raise with corpus size
+
+  /** Deterministic md5-derived random hyperplanes: component (p, d) is
+    * (hexval(md5("p:d")[0]) - 7.5), i.e. a fixed pseudo-random value in
+    * [-7.5, 7.5]. Materialized as a tiny (numPlanes × dim) broadcast table.
+    */
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(numPlanes.toLong).toDF("plane")
+      .crossJoin(spark.range(dim.toLong).toDF("d"))
+      .withColumn("w",
+        expr("CAST(conv(substring(md5(concat(plane, ':', d)), 1, 1), 16, 10) AS DOUBLE) - 7.5"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: bit p = (v · h_p > 0),
+    * bucket = Σ bit_p · 2^p. One explode + one aggregation — linear scan.
+    */
+  def lshBuckets(embeddings: DataFrame, planes: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("v").cast("double") * col("w")).as("proj"))
+      .withColumn("bit", (col("proj") > 0d).cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("bit * CAST(pow(2.0, plane) AS BIGINT)")).as("bucket"))
+
+  /** Bucketed approximate NN: probes only compare against same-bucket
+    * vectors — the 100 TB scale path (bucket join instead of full scan).
+    */
+  def lshAnn(embeddings: DataFrame, buckets: DataFrame, probePred: Column, k: Int): DataFrame = {
+    val q = embeddings
+      .select(col("vec_id"), quantExpr.as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+      .join(buckets, "vec_id")
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("nn").as("np"), col("bucket"))
+    val cands = q.select(col("vec_id").as("cand_id"), col("qv").as("cv"), col("nn").as("nc"), col("bucket"))
+    val win = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes)
+      .join(cands, Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pv"), col("cv")).cast("double") /
+          sqrt(col("np").cast("double")) / sqrt(col("nc").cast("double")))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos"), col("bucket"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-column statistics — the DataFrame-stats substitute for the
+  * reference's learned density models (BASELINE "spark_approach": MLlib +
+  * DataFrame stats; reference per-column metadata lives in
+  * scardina/common.py:85 set_dist / datasets.py:223-253).
+  *
+  * All of these are single-pass `groupBy`-free or one-shuffle aggregations
+  * with map-side partial agg; stats outputs are tiny (O(columns) or
+  * O(ndv)) and are meant to be broadcast to estimators at scale.
+  */
+object Stats {
+
+  /** count / nulls / exact ndv / min / max for one column. Numeric min/max
+    * surface as doubles, string min/max as strings — never cross-cast
+    * (engine-specific float formatting would break oracle parity).
+    */
+  def colStats(df: DataFrame, colName: String, isNumeric: Boolean, label: String): DataFrame = {
+    val c = col(colName)
+    val base = df.agg(
+      count(lit(1)).as("cnt"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as("nulls"),
+      count_distinct(c).as("ndv"),
+      min(c).as("__min"),
+      max(c).as("__max"))
+    val (minNum, maxNum, minStr, maxStr) =
+      if (isNumeric)
+        (col("__min").cast("double"), col("__max").cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+      else
+        (lit(null).cast("double"), lit(null).cast("double"),
+          col("__min").cast("string"), col("__max").cast("string"))
+    base.select(
+      lit(label).as("col_name"), col("cnt"), col("nulls"), col("ndv"),
+      minNum.as("min_num"), maxNum.as("max_num"),
+      minStr.as("min_str"), maxStr.as("max_str"))
+  }
+
+  /** Equi-width histogram with `bins` buckets; the top edge closes into
+    * the last bucket (LEAST(..., bins-1)), mirroring the SQL oracle
+    * expression exactly so double arithmetic matches bit-for-bit.
+    */
+  def histogram(df: DataFrame, colName: String, bins: Int, label: String): DataFrame = {
+    val c = col(colName).cast("double")
+    val stats = df.agg(
+      min(c).cast("double").as("__mn"),
+      max(c).cast("double").as("__mx"))
+    df.select(c.as("__v"))
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "bucket",
+        least(
+          floor((col("__v") - col("__mn")) * lit(bins.toDouble) / (col("__mx") - col("__mn"))),
+          lit((bins - 1).toLong)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(label).as("col_name"), col("bucket"), col("cnt"))
+  }
+
+  /** Top-k most common values with a deterministic tie-break on the value
+    * itself (cnt desc, value asc) — ties otherwise make MCV lists
+    * engine-dependent.
+    */
+  def mcv(df: DataFrame, colName: String, k: Int, label: String): DataFrame = {
+    val counted = df
+      .filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast("string").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(label).as("col_name"), col("val"), col("cnt"))
+    val win = Window.partitionBy(col("col_name")).orderBy(col("cnt").desc, col("val"))
+    counted
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+  }
+
+  /** HLL++ approximate ndv next to the exact count (impl-specific sketch →
+    * rows-only oracle).
+    */
+  def hllNdv(df: DataFrame, colName: String, label: String): DataFrame =
+    df.agg(
+        approx_count_distinct(col(colName)).as("approx_ndv"),
+        count_distinct(col(colName)).as("exact_ndv"))
+      .select(
+        lit(label).as("col_name"), col("approx_ndv"), col("exact_ndv"),
+        (abs(col("approx_ndv") - col("exact_ndv")).cast("double") /
+          col("exact_ndv").cast("double")).as("rel_err"))
+}

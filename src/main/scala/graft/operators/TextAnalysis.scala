@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-level text analysis: language ID, quality scoring, token
+  * counting, fingerprinting. Pure codegen'd expressions over the
+  * `documents` table — embarrassingly parallel, no shuffle except the
+  * tiny per-language score pick.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "of", "and", "to", "a", "in"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "ni"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Per-language stopword-hit score; winner by (score desc, lang asc). */
+  def langId(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    val scored = langProfiles
+      .map { case (lang, words) =>
+        base.select(
+          col("doc_id"),
+          lit(lang).as("lang_pred"),
+          expr(s"size(filter(__ws, w -> w IN ${inList(words)}))").as("score"))
+      }
+      .reduce(_.unionAll(_))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lang_pred"))
+    scored
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang_pred"), col("score"))
+  }
+
+  val enStopwords: Seq[String] = langProfiles.toMap.apply("en")
+
+  /** Length / stopword-ratio / word-shape quality score in [0, 1].
+    * Fixed-order double arithmetic (matches the oracle bit-for-bit).
+    */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+      .withColumn("n_words", expr("size(__ws)"))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(__ws, w -> w IN ${inList(enStopwords)})) AS DOUBLE)") /
+          col("n_words").cast("double"))
+      .withColumn("avg_word_len",
+        expr("CAST(aggregate(__ws, 0L, (acc, w) -> acc + length(w)) AS DOUBLE)") /
+          col("n_words").cast("double"))
+      .withColumn("score",
+        lit(0.4) * least(col("n_words").cast("double") / lit(200.0), lit(1.0)) +
+          lit(0.3) * col("stop_ratio") +
+          lit(0.3) * when(col("avg_word_len").between(3.0, 8.0), 1.0).otherwise(0.0))
+      .select(col("doc_id"), col("n_words"), col("stop_ratio"), col("avg_word_len"), col("score"))
+
+  /** Whitespace+punct regex token counts: total and unique. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+      .select(
+        col("doc_id"),
+        expr("size(__ws)").as("n_tokens"),
+        expr("size(array_distinct(__ws))").as("n_unique"))
+
+  /** Canonical-form fingerprint: lowercase, collapse non-alnum runs to a
+    * single space, trim, md5.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, shingling, MinHash + banded LSH, SimHash, exact n-gram
+  * Jaccard. Everything is built from codegen'd `functions._` expressions —
+  * no UDFs — and every hash is md5-derived so the DuckDB oracle can
+  * reproduce values exactly.
+  *
+  * Scale notes: signatures are per-doc aggregations (one shuffle on
+  * doc_id); LSH candidate generation is a self-join on (band, band_key) —
+  * co-partitioned by construction; exact verification only touches
+  * candidate pairs, never the full N² cross product.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens, empties dropped. */
+  val tokensExpr: Column =
+    expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')")
+
+  /** Word k-shingles (k=3) joined by single spaces. */
+  val shingles3Expr: Column =
+    expr(
+      """CASE WHEN size(__ws) >= 3
+        |  THEN transform(sequence(1, size(__ws) - 2),
+        |                 i -> concat_ws(' ', __ws[i-1], __ws[i], __ws[i+1]))
+        |  ELSE array() END""".stripMargin)
+
+  /** Word bigrams. */
+  val shingles2Expr: Column =
+    expr(
+      """CASE WHEN size(__ws) >= 2
+        |  THEN transform(sequence(1, size(__ws) - 1),
+        |                 i -> concat_ws(' ', __ws[i-1], __ws[i]))
+        |  ELSE array() END""".stripMargin)
+
+  /** Distinct (doc_id, shingle) pairs for word k-shingles, k ∈ {2,3}. */
+  def docShingles(documents: DataFrame, k: Int): DataFrame = {
+    val sh = k match {
+      case 2 => shingles2Expr
+      case 3 => shingles3Expr
+      case other => throw new IllegalArgumentException(s"k=$other")
+    }
+    documents
+      .select(col("doc_id"), tokensExpr.as("__ws"))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  val numPerms = 16
+
+  /** Portable MinHash: perm i's hash of a shingle is md5("i:" ++ shingle)
+    * (lowercase hex); the signature entry is the lexicographic minimum.
+    * Computed as one aggregation with numPerms min() columns — the shuffle
+    * carries docs × numPerms strings, not docs × shingles × numPerms rows.
+    * Wide layout (doc_id, m0..m15).
+    */
+  def minhashWide(shingles: DataFrame): DataFrame = {
+    val aggs = (0 until numPerms).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i")
+    }
+    shingles.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-format signature (doc_id, seed, minhash). */
+  def minhashLong(shingles: DataFrame): DataFrame =
+    minhashWide(shingles)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until numPerms).map(i => col(s"m$i")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "minhash")
+
+  val numBands = 8 // 16 perms → 8 bands × 2 rows
+
+  /** (doc_id, band, band_key): band b hashes perms (2b, 2b+1) together. */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")))
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band. The
+    * self-join key (band, band_key) co-partitions both sides; bucket
+    * sizes stay tiny because a 2-perm band only collides for
+    * high-similarity docs (P = J²).
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs:
+    * inter via shingle-equality join restricted to candidates, sizes via
+    * per-doc distinct counts. Only candidate pairs are ever materialized.
+    */
+  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"), "leftsemi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash held as 4 × 16-bit band integers (b0..b3) so both
+    * Spark and the oracle stay inside exact signed-64 arithmetic. Token
+    * bits come from the first 16 hex digits of md5(token); per-bit votes
+    * are +1/-1 over the doc's distinct tokens; a tie votes 1.
+    */
+  def simhashBands(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokensExpr).as("word"))
+      .distinct()
+      .withColumn("__h", md5(col("word")))
+      .withColumn("i", explode(sequence(lit(0), lit(63))))
+      .withColumn("__d", expr("CAST(conv(substring(__h, CAST(i / 4 AS INT) + 1, 1), 16, 10) AS INT)"))
+      .withColumn("__bit", expr("shiftright(__d, 3 - CAST(i % 4 AS INT)) % 2"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("__bit") * 2 - 1).as("__s"))
+      .withColumn("__sig", (col("__s") >= 0).cast("long"))
+      .withColumn("__band", floor(col("i") / 16))
+      .withColumn("__w", expr("CAST(pow(2.0, 15 - CAST(i % 16 AS INT)) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("__band") === 0, col("__sig") * col("__w")).otherwise(0L)).as("b0"),
+        sum(when(col("__band") === 1, col("__sig") * col("__w")).otherwise(0L)).as("b1"),
+        sum(when(col("__band") === 2, col("__sig") * col("__w")).otherwise(0L)).as("b2"),
+        sum(when(col("__band") === 3, col("__sig") * col("__w")).otherwise(0L)).as("b3"))
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming (< 4): any pair
+    * within that distance must share at least one of the 4 bands
+    * (pigeonhole), so candidates come from 4 equi-joins, never N².
+    */
+  def simhashDups(bands: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "band pigeonhole only covers hamming < #bands")
+    val cands = (0 until 4)
+      .map { b =>
+        val l = bands.select(col("doc_id").as("doc_a"), col(s"b$b").as("__k"))
+        val r = bands.select(col("doc_id").as("doc_b"), col(s"b$b").as("__k"))
+        l.join(r, "__k").filter(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
+      }
+      .reduce(_.unionAll(_))
+      .distinct()
+    val la = bands.select(col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val lb = bands.select(col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cands
+      .join(la, "doc_a")
+      .join(lb, "doc_b")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators. Batch and streaming share the same transform
+  * bodies, so the DuckDB oracle (batch) verifies the semantics of the
+  * Structured Streaming variants too.
+  *
+  * Scale notes: tumbling windows + watermarks keep state bounded per
+  * (window, key); sessionization state is one small record per active
+  * user, evicted by event-time timeout.
+  */
+object StreamOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+
+  val sessionGapMicros: Long = 30L * 60 * 1000000 // 30 min
+
+  // ---- tumbling window agg (row 31) ----
+
+  /** Hour-tumbling count/sum per event_type. Works on batch AND streaming
+    * inputs (the groupBy is identical; streaming adds a watermark first).
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming variant: 2h watermark bounds state; append-mode safe. */
+  def windowAggStream(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "2 hours"))
+
+  // ---- sessionization (row 32) ----
+
+  /** Batch sessionization: a session breaks after a >30 min silence.
+    * Window-function formulation — one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "__new",
+        when(
+          col("__prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("__prev")) > sessionGapMicros),
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** One emitted session. */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  private final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: state is one
+    * (start, end, count) record per live user, closed by event-time
+    * timeout once the watermark passes end + gap.
+    *
+    * Within a micro-batch, events are sorted by event time (batches are
+    * small slices of the stream); sessions that close inside the batch
+    * are emitted immediately, the trailing open session stays in state.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState): Session =
+            Session(userId, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000), s.n)
+
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toIterator
+            state.remove()
+            out
+          } else {
+            val ts = rows.map(r => micros(r._2)).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            for (t <- ts) {
+              cur match {
+                case Some(s) if t - s.endUs <= sessionGapMicros =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= toSession(s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + sessionGapMicros) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ---- per-window top-k (row 33) ----
+
+  /** Per-day top-k users by summed value; decimal-exact ranking with a
+    * user_id tie-break so the result is engine-independent.
+    */
+  def topkEvents(events: DataFrame, k: Int): DataFrame = {
+    val byDay = Window.partitionBy(col("day")).orderBy(col("__tot").desc, col("user_id"))
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(sum(dec(col("value"))).as("__tot"))
+      .withColumn("rnk", row_number().over(byDay))
+      .filter(col("rnk") <= k)
+      .select(col("day"), col("rnk"), col("user_id"), col("__tot").cast("double").as("total"))
+  }
+}
