@@ -7,6 +7,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** One emitted session (sessionizeStream output row). */
+final case class Session(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long)
+
+/** Open-session state for one user (top-level so state-encoder codegen
+  * resolves the constructor).
+  */
+final case class SessionState(startUs: Long, endUs: Long, n: Long)
+
 /** Event-stream operators. Batch and streaming share the same transform
   * bodies, so the DuckDB oracle (batch) verifies the semantics of the
   * Structured Streaming variants too.
@@ -60,15 +72,6 @@ object StreamOps {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
   }
-
-  /** One emitted session. */
-  final case class Session(
-      user_id: Long,
-      session_start: Timestamp,
-      session_end: Timestamp,
-      n_events: Long)
-
-  private final case class SessionState(startUs: Long, endUs: Long, n: Long)
 
   /** Streaming sessionization via flatMapGroupsWithState: state is one
     * (start, end, count) record per live user, closed by event-time

@@ -1,0 +1,26 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("SURVEY §2 inventory is fully declared") {
+    val expected = Set(
+      "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes",
+      "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
+      "naive_est", "sample_est", "q_error", "join_sample",
+      "col_stats", "histogram", "mcv", "hll_ndv",
+      "exact_dedup", "minhash_sig", "minhash_lsh_dup", "simhash_dup",
+      "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "lang_id",
+      "quality_score", "token_count", "doc_fingerprint", "mm_meta",
+      "window_agg", "sessionize", "topk_events")
+    assert(SparkEntry.queries.keySet == expected)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.{Predicate, PseudoSql}
+
+class PseudoSqlSpec extends AnyFunSuite {
+
+  test("parses tables, join edges, and typed predicates") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM lineitem, orders WHERE lineitem.l_orderkey = orders.o_orderkey" +
+        " AND l_quantity > 30 AND o_orderpriority = '1-URGENT'")
+    assert(q.tables == Seq("lineitem", "orders"))
+    assert(q.joins == Seq(("lineitem.l_orderkey", "orders.o_orderkey")))
+    assert(q.predicates == Seq(
+      Predicate("l_quantity", ">", 30L),
+      Predicate("o_orderpriority", "=", "1-URGENT")))
+  }
+
+  test("BETWEEN is restitched across the AND split") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM lineitem WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 5")
+    assert(q.predicates == Seq(
+      Predicate("l_discount", "BETWEEN", Seq(0.02, 0.08)),
+      Predicate("l_quantity", "<", 5L)))
+  }
+
+  test("IN, LIKE, NOT LIKE, IS NULL, IS NOT NULL") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM orders WHERE o_orderstatus IN ('F', 'O')" +
+        " AND o_orderpriority LIKE '1%' AND o_orderpriority NOT LIKE '%LOW'" +
+        " AND o_custkey IS NOT NULL AND o_totalprice IS NULL")
+    assert(q.predicates == Seq(
+      Predicate("o_orderstatus", "IN", Seq("F", "O")),
+      Predicate("o_orderpriority", "LIKE", "1%"),
+      Predicate("o_orderpriority", "NOT LIKE", "%LOW"),
+      Predicate("o_custkey", "IS NOT", null),
+      Predicate("o_totalprice", "IS", null)))
+  }
+
+  test("round-trips through PredicateSql.render") {
+    import graft.query.PredicateSql
+    assert(PredicateSql.render(Predicate("a", "BETWEEN", Seq(1L, 2L))) == "a BETWEEN 1 AND 2")
+    assert(PredicateSql.render(Predicate("a", "IN", Seq("x", "y'z"))) == "a IN ('x', 'y''z')")
+    assert(PredicateSql.render(Predicate("a", "IS", null)) == "a IS NULL")
+    assert(PredicateSql.render(Predicate("a", "NOT LIKE", "p%")) == "a NOT LIKE 'p%'")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineTopK ranks exact neighbors with id tie-breaks") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f)), // nearly parallel to probe
+      (2L, Array(0.0f, 1.0f)), // orthogonal
+      (3L, Array(-1.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(vecs, col("vec_id") === 0, 3)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got.map(_._3) == Seq(1L, 2L, 3L))
+    assert(got.head._4 > 0.99 && got(1)._4 == 0.0 && got(2)._4 == -1.0)
+  }
+
+  test("lshAnn only pairs vectors within a bucket; parallel vectors share buckets") {
+    val vecs = (0L until 8L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.2f, -0.3f, 0.5f) else Array(-0.7f, 0.9f, 0.1f, -0.4f)
+      (i, base.map(_ * (1.0f + 0.001f * i)))
+    }.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(spark, 4)
+    val buckets = Similarity.lshBuckets(vecs, planes).cache()
+    // scaling a vector never changes its hyperplane signs → 2 buckets exactly
+    assert(buckets.select("bucket").distinct().count() == 2)
+    val ann = Similarity.lshAnn(vecs, buckets, col("vec_id") < 2, 5)
+    // probe 0 (even family) must only see even ids, probe 1 only odd
+    val got = ann.select("probe_id", "cand_id")
+      .as[(Long, Long)].collect()
+    assert(got.forall { case (p, c) => (p % 2) == (c % 2) })
+  }
+
+  test("multimodal decodeBatched preserves schema and determinism") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val out = Multimodal.decodeBatched(spark, docs).collect().sortBy(_.doc_id)
+    assert(out.length == 50)
+    assert(out.forall(_.n_bytes == 16))
+    assert(out.forall(m => m.byte0 >= 0 && m.byte0 <= 255))
+    // byte0 equals the expression-derived byte0 in Multimodal.meta
+    val metaByte0 = Multimodal.meta(docs).select("doc_id", "byte0")
+      .as[(Long, Int)].collect().toMap
+    assert(out.forall(m => metaByte0(m.doc_id) == m.byte0))
+  }
+}

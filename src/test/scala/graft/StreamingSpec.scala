@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset a day past the epoch: epoch-0 events sit exactly at Spark's
+  // initial watermark and would be dropped as late in the streaming tests
+  private def ts(min: Long): Timestamp = new Timestamp((1440 + min) * 60000)
+
+  private val sample: Seq[(Long, Timestamp, Long, String, Double)] = Seq(
+    (1L, ts(0), 100L, "click", 1.0),
+    (2L, ts(10), 100L, "click", 2.0),
+    (3L, ts(70), 100L, "view", 3.0), // >30min gap → new session, new hour window
+    (4L, ts(75), 200L, "click", 4.0),
+    (5L, ts(200), 100L, "click", 5.0)) // another session
+
+  private def eventsDf =
+    sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("batch windowAgg: hour-tumbling counts and sums") {
+    val got = StreamOps.windowAgg(eventsDf)
+      .orderBy("w_start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (ts(0), "click", 2L, 3.0),
+      (ts(60), "click", 1L, 4.0),
+      (ts(60), "view", 1L, 3.0),
+      (ts(180), "click", 1L, 5.0)))
+  }
+
+  test("streaming windowAgg over MemoryStream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowAggStream(sdf).writeStream
+      .format("memory").queryName("wagg").outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("wagg")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val want = StreamOps.windowAgg(eventsDf)
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("batch sessionize: 30-min gap splits sessions") {
+    val got = StreamOps.sessionize(eventsDf)
+      .orderBy("user_id", "session_idx")
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(got == Seq(
+      (100L, 1L, ts(0), ts(10), 2L),
+      (100L, 2L, ts(70), ts(70), 1L),
+      (100L, 3L, ts(200), ts(200), 1L),
+      (200L, 1L, ts(75), ts(75), 1L)))
+  }
+
+  test("streaming sessionize closes sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.sessionizeStream(spark, sdf).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(sample.filter(_._2.getTime <= ts(10).getTime): _*)
+      q.processAllAvailable()
+      mem.addData(sample.filter(_._2.getTime > ts(10).getTime): _*)
+      q.processAllAvailable()
+      // push the watermark far past everything → all sessions time out
+      mem.addData((99L, ts(100000), 999L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((98L, ts(200000), 999L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .filter(col("user_id") < 900)
+        .orderBy("user_id", "session_start")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      val want = StreamOps.sessionize(eventsDf)
+        .orderBy("user_id", "session_start")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("topkEvents ranks users per day by decimal-exact sums") {
+    val got = StreamOps.topkEvents(eventsDf, 1)
+      .as[(Timestamp, Int, Long, Double)].collect().toSeq
+    // day 0: user 100 total 1+2+3+5=11 vs user 200 total 4 → top-1 is 100
+    assert(got == Seq((ts(0), 1, 100L, 11.0)))
+  }
+}

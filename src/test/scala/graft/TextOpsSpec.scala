@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("docShingles: 3-shingles of tokenized text, distinct") {
+    val got = TextOps.docShingles(docs(1L -> "The quick brown fox, the quick brown fox"), 3)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "the quick brown"), (1L, "quick brown fox"),
+      (1L, "brown fox the"), (1L, "fox the quick")))
+  }
+
+  test("minhash: identical docs get identical signatures; determinism") {
+    val d = docs(1L -> "a b c d e f g", 2L -> "a b c d e f g", 3L -> "x y z w v u t")
+    val sig = TextOps.minhashLong(TextOps.docShingles(d, 3))
+      .as[(Long, Int, String)].collect()
+    val byDoc = sig.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) != byDoc(3L))
+    assert(byDoc(1L).size == TextOps.numPerms)
+  }
+
+  test("jaccard: exact set overlap on candidate pairs") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "p q r s")
+    val sh = TextOps.docShingles(d, 2) // doc1: {a b, b c, c d}, doc2: {a b, b c, c e}
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = TextOps.jaccard(pairs, sh)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(math.abs(got((1L, 2L)) - 2.0 / 4.0) < 1e-12)
+    assert(!got.contains((1L, 3L))) // no shared shingle → not emitted
+  }
+
+  test("simhash: near-identical docs within hamming 3, disjoint docs are not") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // identical → hamming 0
+      3L -> "one two three four five six seven eight nine ten")
+    val dups = TextOps.simhashDups(TextOps.simhashBands(d), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L, 0L)))
+    assert(!dups.exists(t => t._2 == 3L || t._1 == 3L))
+  }
+
+  test("langId picks the profile with most stopword hits, tie-break by lang") {
+    val d = docs(1L -> "the cat of the house and a dog", 2L -> "der hund und die katze ist nicht")
+    val got = TextAnalysis.langId(d).as[(Long, String, Int)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+  }
+
+  test("fingerprint: whitespace/punct-insensitive") {
+    val d = docs(1L -> "Hello,   World!", 2L -> "hello world", 3L -> "different")
+    val fp = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
