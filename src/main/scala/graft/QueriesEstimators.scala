@@ -85,33 +85,48 @@ object QueriesEstimators {
   /** Independence-assumption estimator: |J⋈-only| × Π per-table pred
     * selectivities (the classic baseline the reference's learned models
     * are measured against; selectivities from exact per-table counts).
-    * Built as one declarative plan: scalar aggregates cross-joined, the
-    * product folded left-to-right — no collect.
+    *
+    * All per-predicate match counts for one table are computed in a
+    * SINGLE conditional-aggregation scan (sum(when(p,1))), the 1-row
+    * per-table stat frames are cross-joined once into a shared stats row,
+    * and each query's estimate is a pure expression over that row — 7
+    * table scans + 10 join counts total instead of a scan per predicate.
+    * Same product, same left-to-right order as the oracle SQL.
     */
-  def naiveEstQ(spark: SparkSession, dir: String): DataFrame =
-    CardBenchmark.specs
-      .map { case (id, sql) =>
-        val q = PseudoSql.parse(sql)
-        val load = Fanouts.loader(spark, dir)
+  def naiveEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
+    // Global predicate index → (predicate, table) across all specs.
+    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
+      .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
+    val statsRow = allPreds
+      .groupBy(_._3)
+      .map { case (t, preds) =>
+        val aggs = count(lit(1)).cast("double").as(s"__n_$t") +:
+          preds.map { case (i, p, _) =>
+            sum(when(p.toColumn, 1L).otherwise(0L)).cast("double").as(s"__m$i")
+          }
+        Tables(spark, dir, t).agg(aggs.head, aggs.tail: _*)
+      }
+      .reduce(_.crossJoin(_))
+    var globalIdx = 0
+    parsed
+      .map { case (id, q) =>
         val joinOnly = Engine
           .count(q.copy(predicates = Seq.empty), load)
           .select(col("card").cast("double").as("__j"))
-        var df = joinOnly
-        q.predicates.zipWithIndex.foreach { case (p, i) =>
-          val t = CardBenchmark.tableOf(p.col)
-          val m = Tables(spark, dir, t).filter(p.toColumn)
-            .agg(count(lit(1)).cast("double").as(s"__m$i"))
-          val n = Tables(spark, dir, t)
-            .agg(count(lit(1)).cast("double").as(s"__n$i"))
-          df = df.crossJoin(m).crossJoin(n)
+        val est = q.predicates.foldLeft(col("__j")) { (acc, p) =>
+          val i = globalIdx
+          globalIdx += 1
+          acc * (col(s"__m$i") / col(s"__n_${CardBenchmark.tableOf(p.col)}"))
         }
-        val est = q.predicates.indices.foldLeft(col("__j")) { (acc, i) =>
-          acc * (col(s"__m$i") / col(s"__n$i"))
-        }
-        df.select(lit(id).as("query_id"), est.as("est"))
+        joinOnly
+          .crossJoin(broadcast(statsRow))
+          .select(lit(id).as("query_id"), est.as("est"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
+  }
 
   val naiveEstSql: String =
     CardBenchmark.specs

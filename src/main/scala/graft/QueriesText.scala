@@ -160,36 +160,40 @@ object QueriesText {
 
   // ---- row 23: n-gram Jaccard over (lang, source) candidate pairs ----
 
+  /** Dense within-group pair verification: every (lang, source) group is
+    * all-pairs, so ship each doc's distinct bigram SET once per pair and
+    * intersect arrays — no exploded shingle self-join.
+    */
   def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"))
-    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"))
-    val pairs = a
-      .join(b, Seq("lang", "source"))
+    val sets = TextOps.shingleArrays(
+      Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source"))
+    val a = sets.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+      col("sh").as("sha"), size(col("sh")).as("na"))
+    val b = sets.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+      col("sh").as("shb"), size(col("sh")).as("nb"))
+    a.join(b, Seq("lang", "source"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-    TextOps
-      .jaccard(pairs, TextOps.docShingles(d, 2))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter") > 0)
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val ngramJaccardSql: String =
     s"""WITH $wordsCte,
-       |${shinglesCte(2, "sh")},
-       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM documents a JOIN documents b
-       |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |          FROM sh a
-       |          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-       |          GROUP BY 1, 2)
+       |sets AS (SELECT w.doc_id, d.lang, d.source,
+       |    list_distinct(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+       |  FROM w JOIN documents d ON d.doc_id = w.doc_id),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+       |         FROM sets a JOIN sets b
+       |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
-       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
+       |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+       |FROM cand WHERE inter > 0
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- rows 24/25: embedding similarity ----

@@ -24,14 +24,25 @@ object Encoding {
     * values + 1, i.e. the reference's index+2 with 0=MASK / 1=NULL
     * reserved (common.py:241-243).
     *
-    * The window has no partition key on purpose — it runs over the
-    * *dictionary* (ndv rows), not the data. For dictionaries too large for
-    * one partition, swap in a range-partitioned rank (sort + per-partition
-    * offsets); the returned contract is identical.
+    * Scale path: a global-window row_number would sort the whole
+    * dictionary in ONE partition. Instead the distinct values are
+    * range-partitioned + sorted (a distributed sort), and the dense rank
+    * comes from zipWithIndex's per-partition offsets — every partition
+    * ranks independently after one tiny count job.
     */
-  def dictionary(df: DataFrame, c: String): DataFrame =
-    distinctVals(df, c)
-      .withColumn("code", (row_number().over(Window.orderBy(col(c))) + lit(1)).cast("int"))
+  def dictionary(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = distinctVals(df, c).orderBy(col(c))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.IntegerType, false))
+    val withIdx = sorted.rdd
+      .zipWithIndex()
+      .map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 2).toInt)
+      }
+    spark.createDataFrame(withIdx, schema)
+  }
 
   /** Encode `c` to its dictionary code as column `outName`; NULL → 1.
     * Dictionary join is left to Catalyst/AQE (the dictionary is the

@@ -50,6 +50,22 @@ object TextOps {
       .distinct()
   }
 
+  /** Distinct shingle SET per doc as one array column — for workloads
+    * that verify many candidate pairs per doc, shipping the set once per
+    * pair (array_intersect) beats the exploded shingle self-join.
+    */
+  def shingleArrays(documents: DataFrame, k: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val sh = k match {
+      case 2 => shingles2Expr
+      case 3 => shingles3Expr
+      case other => throw new IllegalArgumentException(s"k=$other")
+    }
+    documents
+      .select((col("doc_id") +: extraCols.map(col)) :+ tokensExpr.as("__ws"): _*)
+      .withColumn("sh", array_distinct(sh))
+      .drop("__ws")
+  }
+
   val numPerms = 16
 
   /** Portable MinHash: perm i's hash of a shingle is md5("i:" ++ shingle)
@@ -106,8 +122,15 @@ object TextOps {
     */
   def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+    // Restrict each side to docs that actually appear in a candidate pair
+    // BEFORE the shingle self-join — when candidates are sparse (LSH) this
+    // collapses the join's input from the whole corpus to the near-dups.
+    val a = shingles
+      .join(pairs.select(col("doc_a").as("doc_id")).distinct(), Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shingles
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = a
       .join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -130,17 +153,30 @@ object TextOps {
     * bits come from the first 16 hex digits of md5(token); per-bit votes
     * are +1/-1 over the doc's distinct tokens; a tie votes 1.
     */
-  def simhashBands(documents: DataFrame): DataFrame =
-    documents
+  def simhashBands(documents: DataFrame): DataFrame = {
+    // One row per (doc, word, hex-digit position) — 16 rows/word, not 64:
+    // the digit's 4 bit-votes are folded into one conditional aggregation,
+    // so the big shuffle carries 4× fewer rows than a per-bit explode.
+    // vote(bit) = 2·Σ bits − words, bit b of digit d = (d >> (3-b)) & 1.
+    val digitSums = documents
       .select(col("doc_id"), explode(tokensExpr).as("word"))
       .distinct()
       .withColumn("__h", md5(col("word")))
-      .withColumn("i", explode(sequence(lit(0), lit(63))))
-      .withColumn("__d", expr("CAST(conv(substring(__h, CAST(i / 4 AS INT) + 1, 1), 16, 10) AS INT)"))
-      .withColumn("__bit", expr("shiftright(__d, 3 - CAST(i % 4 AS INT)) % 2"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("__bit") * 2 - 1).as("__s"))
-      .withColumn("__sig", (col("__s") >= 0).cast("long"))
+      .withColumn("p", explode(sequence(lit(0), lit(15))))
+      .withColumn("__d", expr("CAST(conv(substring(__h, p + 1, 1), 16, 10) AS INT)"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(
+        count(lit(1)).as("__nw"),
+        sum(expr("shiftright(__d, 3) & 1")).as("__s0"),
+        sum(expr("shiftright(__d, 2) & 1")).as("__s1"),
+        sum(expr("shiftright(__d, 1) & 1")).as("__s2"),
+        sum(expr("__d & 1")).as("__s3"))
+    // Unfold the 4 bit sums → bit index i = 4p+k, then pack band ints.
+    digitSums
+      .select(col("doc_id"), col("p"), col("__nw"),
+        posexplode(array(col("__s0"), col("__s1"), col("__s2"), col("__s3"))))
+      .withColumn("i", col("p") * 4 + col("pos"))
+      .withColumn("__sig", (col("col") * 2 - col("__nw") >= 0).cast("long"))
       .withColumn("__band", floor(col("i") / 16))
       .withColumn("__w", expr("CAST(pow(2.0, 15 - CAST(i % 16 AS INT)) AS BIGINT)"))
       .groupBy(col("doc_id"))
@@ -149,6 +185,7 @@ object TextOps {
         sum(when(col("__band") === 1, col("__sig") * col("__w")).otherwise(0L)).as("b1"),
         sum(when(col("__band") === 2, col("__sig") * col("__w")).otherwise(0L)).as("b2"),
         sum(when(col("__band") === 3, col("__sig") * col("__w")).otherwise(0L)).as("b3"))
+  }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (< 4): any pair
     * within that distance must share at least one of the 4 bands
