@@ -33,6 +33,25 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed parquet table: co-locates rows by hash(bucketCol) at WRITE
+    * time, so equi-joins and aggregations on that column need no shuffle
+    * at read time — the co-located-join scale path for repeated big-table
+    * joins (e.g. orders⋈customer on custkey at 100 TB).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** The reference's prepare-once/cache pattern (datasets.py:207-221):
     * build `df` only if `path` does not already hold a materialized copy,
     * then always read back from parquet so downstream plans scan the

@@ -46,6 +46,27 @@ class SourcesMetricsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val base = Files.createTempDirectory("graft_bucket").toString
+    val left = (1L to 1000L).map(i => (i, s"o$i")).toDF("custkey", "o")
+    val right = (1L to 200L).map(i => (i, s"c$i")).toDF("custkey", "c")
+    Sources.writeBucketed(left, "graft_orders_b", s"$base/o", "custkey", 4)
+    Sources.writeBucketed(right, "graft_cust_b", s"$base/c", "custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"), "custkey")
+      assert(joined.collect().length == 200) // executes → AQE final plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
   test("quantilesNearest matches pandas nearest-interpolation semantics") {
     val df = (1 to 101).map(_.toDouble).toDF("v")
     val got = Metrics.quantilesNearest(df, "v")
