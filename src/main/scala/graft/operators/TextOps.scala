@@ -154,37 +154,20 @@ object TextOps {
     * are +1/-1 over the doc's distinct tokens; a tie votes 1.
     */
   def simhashBands(documents: DataFrame): DataFrame = {
-    // One row per (doc, word, hex-digit position) — 16 rows/word, not 64:
-    // the digit's 4 bit-votes are folded into one conditional aggregation,
-    // so the big shuffle carries 4× fewer rows than a per-bit explode.
-    // vote(bit) = 2·Σ bits − words, bit b of digit d = (d >> (3-b)) & 1.
-    val digitSums = documents
+    // Custom typed aggregation (graft.functions.SimHashVotes): built-ins
+    // would need a per-bit or per-digit explode plus a second shuffle —
+    // the Aggregator folds all 64 votes per token in one pass, with
+    // map-side partial aggregation, one shuffle total.
+    val simhash = udaf(new graft.functions.SimHashVotes)
+    documents
       .select(col("doc_id"), explode(tokensExpr).as("word"))
       .distinct()
-      .withColumn("__h", md5(col("word")))
-      .withColumn("p", explode(sequence(lit(0), lit(15))))
-      .withColumn("__d", expr("CAST(conv(substring(__h, p + 1, 1), 16, 10) AS INT)"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(
-        count(lit(1)).as("__nw"),
-        sum(expr("shiftright(__d, 3) & 1")).as("__s0"),
-        sum(expr("shiftright(__d, 2) & 1")).as("__s1"),
-        sum(expr("shiftright(__d, 1) & 1")).as("__s2"),
-        sum(expr("__d & 1")).as("__s3"))
-    // Unfold the 4 bit sums → bit index i = 4p+k, then pack band ints.
-    digitSums
-      .select(col("doc_id"), col("p"), col("__nw"),
-        posexplode(array(col("__s0"), col("__s1"), col("__s2"), col("__s3"))))
-      .withColumn("i", col("p") * 4 + col("pos"))
-      .withColumn("__sig", (col("col") * 2 - col("__nw") >= 0).cast("long"))
-      .withColumn("__band", floor(col("i") / 16))
-      .withColumn("__w", expr("CAST(pow(2.0, 15 - CAST(i % 16 AS INT)) AS BIGINT)"))
       .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("__band") === 0, col("__sig") * col("__w")).otherwise(0L)).as("b0"),
-        sum(when(col("__band") === 1, col("__sig") * col("__w")).otherwise(0L)).as("b1"),
-        sum(when(col("__band") === 2, col("__sig") * col("__w")).otherwise(0L)).as("b2"),
-        sum(when(col("__band") === 3, col("__sig") * col("__w")).otherwise(0L)).as("b3"))
+      .agg(simhash(col("word")).as("__bands"))
+      .select(
+        col("doc_id"),
+        col("__bands")(0).as("b0"), col("__bands")(1).as("b1"),
+        col("__bands")(2).as("b2"), col("__bands")(3).as("b3"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming (< 4): any pair
