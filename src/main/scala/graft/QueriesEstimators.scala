@@ -172,6 +172,26 @@ object QueriesEstimators {
        |FROM est JOIN tru ON est.query_id = tru.query_id
        |ORDER BY est.query_id""".stripMargin
 
+  /** Quantile summary of the q-errors — the reference's reported metric
+    * (run.py:967-973: quantiles [0.5 0.9 0.95 0.99 1.0], interpolation
+    * "nearest", i.e. value at round-half-even(q·(n−1))).
+    */
+  def qErrorQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.quantilesNearest(qErrorQ(spark, dir), "q_err")
+
+  val qErrorQuantilesSql: String = {
+    val arms = graft.operators.Metrics.quantiles
+      .map(q =>
+        s"SELECT $q AS quantile, q_err AS value FROM ranked WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
+      .mkString("\nUNION ALL\n")
+    s"""WITH qe AS (
+       |$qErrorSql
+       |),
+       |ranked AS (SELECT q_err, ROW_NUMBER() OVER (ORDER BY q_err) AS rn, COUNT(*) OVER () AS n FROM qe)
+       |$arms
+       |ORDER BY quantile""".stripMargin
+  }
+
   // ---- rows 12/14: weighted join sample + sample-based estimator ----
 
   /** customer ← orders ← lineitem chain, rooted at customer. */
@@ -236,6 +256,7 @@ object QueriesEstimators {
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
     "q_error" -> (qErrorQ _),
+    "q_error_quantiles" -> (qErrorQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
     "sample_est" -> (sampleEstQ _)
   )
@@ -245,6 +266,7 @@ object QueriesEstimators {
     "pred_eval" -> predEvalSql,
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,
-    "q_error" -> qErrorSql
+    "q_error" -> qErrorSql,
+    "q_error_quantiles" -> qErrorQuantilesSql
   )
 }

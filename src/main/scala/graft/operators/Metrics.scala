@@ -22,19 +22,17 @@ object Metrics {
     * tiny rank filter — no driver-side collect of the data.
     */
   def quantilesNearest(df: DataFrame, valueCol: String, qs: Seq[Double] = quantiles): DataFrame = {
-    val n = col("__n")
-    val ranked = df
-      .select(col(valueCol).cast("double").as("__v"))
+    // Rank and count come from windows over the slim (value) projection so
+    // the input subtree is scanned ONCE; each row then tests the 5 target
+    // ranks from an exploded quantile list. The single-partition windows
+    // run over metric rows (one per benchmark query), not data.
+    df.select(col(valueCol).cast("double").as("__v"))
       .withColumn("__rn", row_number().over(Window.orderBy(col("__v"))))
-      .crossJoin(broadcast(
-        df.agg(count(lit(1)).as("__n"))))
-    qs.map { q =>
-        // pandas 'nearest' uses round-half-even on q*(n-1)
-        ranked
-          .filter(col("__rn") === (expr(s"CAST(bround($q * (__n - 1), 0) AS BIGINT)") + 1))
-          .select(lit(q).as("quantile"), col("__v").as("value"))
-      }
-      .reduce(_.unionAll(_))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("quantile", explode(array(qs.map(lit): _*)))
+      // pandas 'nearest' uses round-half-even on q*(n-1)
+      .filter(col("__rn") === expr("CAST(bround(quantile * (__n - 1), 0) AS BIGINT) + 1"))
+      .select(col("quantile"), col("__v").as("value"))
       .orderBy(col("quantile"))
   }
 }
