@@ -78,10 +78,21 @@ object QueriesText {
   val lshTau = 0.6
 
   def minhashLshDupQ(spark: SparkSession, dir: String): DataFrame = {
-    val shingles = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
-    val cands = TextOps.lshCandidates(TextOps.lshBands(TextOps.minhashWide(shingles)))
-    TextOps
-      .jaccard(cands, shingles)
+    val d = Tables(spark, dir, "documents")
+    val cands = TextOps.lshCandidates(
+      TextOps.lshBands(TextOps.minhashWide(TextOps.docShingles(d, 3))))
+    // Verify candidates against whole shingle SETS (array_intersect):
+    // the sparse candidate list joins the per-doc set twice — no second
+    // exploded-shingle self-join, three document scans total.
+    val sets = TextOps.shingleArrays(d, 3)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= lshTau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
