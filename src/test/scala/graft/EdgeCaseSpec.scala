@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Metrics, TextOps}
+import graft.query.{Engine, PseudoSql}
+
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantilesNearest with a single row returns it for every quantile") {
+    val got = Metrics.quantilesNearest(Seq(42.0).toDF("v"), "v")
+      .as[(Double, Double)].collect().toSeq
+    assert(got == Metrics.quantiles.map(q => (q, 42.0)))
+  }
+
+  test("Engine rejects a disconnected join graph") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM lineitem, region WHERE l_quantity > 0")
+    val ex = intercept[IllegalArgumentException] {
+      Engine.plan(q, t => Tables(spark, sf, t))
+    }
+    assert(ex.getMessage.contains("disconnected"))
+  }
+
+  test("queries without WHERE parse to empty joins and predicates") {
+    val q = PseudoSql.parse("SELECT COUNT(*) FROM orders")
+    assert(q.tables == Seq("orders") && q.joins.isEmpty && q.predicates.isEmpty)
+  }
+
+  test("short documents produce no 3-shingles but don't fail") {
+    val d = Seq((1L, "only two"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    assert(TextOps.docShingles(d, 3).count() == 0)
+    val arrays = TextOps.shingleArrays(d, 3)
+      .select(col("doc_id"), size(col("sh")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(arrays == Map(1L -> 0, 2L -> 0, 3L -> 0))
+  }
+
+  test("simhash band join never pairs a doc with itself") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val dups = TextOps.simhashDups(TextOps.simhashBands(d), 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(dups == Seq((1L, 2L, 0L)))
+  }
+
+  test("dictEncode on an all-null column maps every row to the NULL code") {
+    val d = Seq[Option[String]](None, None).toDF("v")
+    val got = graft.operators.Encoding.dictEncode(d, "v", "code")
+      .select("code").as[Int].collect().toSeq
+    assert(got == Seq(1, 1))
+  }
+}
