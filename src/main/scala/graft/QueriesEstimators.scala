@@ -172,6 +172,205 @@ object QueriesEstimators {
        |FROM est JOIN tru ON est.query_id = tru.query_id
        |ORDER BY est.query_id""".stripMargin
 
+  // ---- row 11b: histogram/ndv-driven estimator (stats, not exact counts) ----
+
+  /** Predicate selectivity model used by hist_est:
+    * equality → 1/ndv, != → 1−1/ndv, IN(k) → k/ndv, range ops → 10-bucket
+    * equi-width histogram with linear interpolation in boundary buckets,
+    * LIKE/NOT LIKE → exact-match fallback (no stats model for patterns).
+    * All arithmetic is a fixed-order scalar expression over one stats row,
+    * so Spark and the oracle agree bit-for-bit.
+    */
+  private object HistModel {
+    val bins = 10
+    val negInf: Double = -1e308
+    val posInf: Double = 1e308
+
+    /** Numeric accessor for a column in histogram space (timestamps →
+      * epoch micros; both engines produce identical integers).
+      */
+    def sparkNum(c: String): org.apache.spark.sql.Column =
+      // NTZ → LTZ cast is identity under the UTC session TZ, matching
+      // DuckDB's epoch_us on the naive timestamp.
+      if (c == "l_shipdate") expr(s"CAST(unix_micros(CAST($c AS TIMESTAMP)) AS DOUBLE)")
+      else col(c).cast("double")
+    def sqlNum(c: String): String =
+      if (c == "l_shipdate") s"CAST(epoch_us($c) AS DOUBLE)"
+      else s"CAST($c AS DOUBLE)"
+
+    /** (lo, hi) interval in histogram space for a range predicate. */
+    def interval(p: Predicate): (Double, Double) = {
+      def num(v: Any): Double = v match {
+        case s: String => // timestamp literal (only l_shipdate in specs)
+          java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli * 1000.0
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(s"$other")
+      }
+      p.op.toUpperCase match {
+        case "<" | "<=" => (negInf, num(p.value))
+        case ">" | ">=" => (num(p.value), posInf)
+        case "BETWEEN" =>
+          val Seq(lo, hi) = p.value.asInstanceOf[Seq[Any]]
+          (num(lo), num(hi))
+        case other => throw new IllegalArgumentException(other)
+      }
+    }
+
+    def isRange(p: Predicate): Boolean =
+      Set("<", "<=", ">", ">=", "BETWEEN")(p.op.toUpperCase)
+  }
+
+  /** Histogram-stats estimator: |J⋈-only| × Π model-based selectivities.
+    * Two scans per table (min/max pass, then conditional bucket counts +
+    * ndv), one shared broadcast stats row, estimates as pure expressions.
+    */
+  def histEstQ(spark: SparkSession, dir: String): DataFrame = {
+    import HistModel._
+    val load = Fanouts.loader(spark, dir)
+    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
+    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
+      .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
+
+    val histCols = allPreds.collect { case (_, p, t) if isRange(p) => (t, p.col) }.distinct
+    val ndvCols = allPreds.collect {
+      case (_, p, t) if Set("=", "!=", "<>", "IN")(p.op.toUpperCase) => (t, p.col)
+    }.distinct
+    val likeIdx = allPreds.collect {
+      case (i, p, t) if Set("LIKE", "NOT LIKE")(p.op.toUpperCase) => (i, p, t)
+    }
+
+    val statsRow = allPreds.map(_._3).distinct
+      .map { t =>
+        val df = Tables(spark, dir, t)
+        val myHist = histCols.filter(_._1 == t).map(_._2)
+        val myNdv = ndvCols.filter(_._1 == t).map(_._2)
+        val myLike = likeIdx.filter(_._3 == t)
+        // pass 1: min/max per histogram column
+        val mmAggs = myHist.flatMap { c =>
+          Seq(min(sparkNum(c)).as(s"__mn_$c"), max(sparkNum(c)).as(s"__mx_$c"))
+        }
+        val base = df.agg(count(lit(1)).as(s"__N_$t")) // always have one agg
+        val withMm =
+          if (mmAggs.isEmpty) base
+          else df.agg(mmAggs.head, mmAggs.tail: _*).crossJoin(base)
+        // pass 2: bucket counts + ndv + LIKE fallbacks, min/max as constants
+        val aggs2 =
+          myHist.flatMap { c =>
+            (0 until bins).map { b =>
+              sum(when(
+                least(
+                  floor((sparkNum(c) - col(s"__mn_$c")) * lit(bins.toDouble) /
+                    (col(s"__mx_$c") - col(s"__mn_$c"))),
+                  lit((bins - 1).toLong)) === b, 1L).otherwise(0L))
+                .as(s"__h_${c}_$b")
+            }
+          } ++
+            myNdv.map(c => count_distinct(col(c)).cast("double").as(s"__ndv_$c")) ++
+            myLike.map { case (i, p, _) =>
+              sum(when(p.toColumn, 1L).otherwise(0L)).cast("double").as(s"__like_$i")
+            }
+        if (aggs2.isEmpty) withMm
+        else df.crossJoin(broadcast(withMm))
+          .agg(aggs2.head, aggs2.tail: _*)
+          .crossJoin(broadcast(withMm))
+      }
+      .reduce(_.crossJoin(_))
+
+    def selExpr(i: Int, p: Predicate, t: String): org.apache.spark.sql.Column = {
+      val n = col(s"__N_$t").cast("double")
+      p.op.toUpperCase match {
+        case "=" => lit(1.0) / col(s"__ndv_${p.col}")
+        case "!=" | "<>" => lit(1.0) - lit(1.0) / col(s"__ndv_${p.col}")
+        case "IN" =>
+          lit(p.value.asInstanceOf[Seq[Any]].size.toDouble) / col(s"__ndv_${p.col}")
+        case "LIKE" | "NOT LIKE" => col(s"__like_$i") / n
+        case _ =>
+          val (lo, hi) = interval(p)
+          val c = p.col
+          val w = (col(s"__mx_$c") - col(s"__mn_$c")) / lit(bins.toDouble)
+          val terms = (0 until bins).map { b =>
+            val lb = col(s"__mn_$c") + lit(b.toDouble) * w
+            val ub = col(s"__mn_$c") + lit((b + 1).toDouble) * w
+            val frac = greatest(lit(0.0),
+              least(lit(1.0), (least(ub, lit(hi)) - greatest(lb, lit(lo))) / w))
+            col(s"__h_${c}_$b").cast("double") * frac
+          }
+          terms.reduce(_ + _) / n
+      }
+    }
+
+    var gi = 0
+    parsed
+      .map { case (id, q) =>
+        val joinOnly = Engine
+          .count(q.copy(predicates = Seq.empty), load)
+          .select(col("card").cast("double").as("__j"))
+        val est = q.predicates.foldLeft(col("__j")) { (acc, p) =>
+          val i = gi
+          gi += 1
+          acc * selExpr(i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
+        }
+        joinOnly
+          .crossJoin(broadcast(statsRow))
+          .select(lit(id).as("query_id"), est.as("est"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("query_id"))
+  }
+
+  val histEstSql: String = {
+    import HistModel._
+    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
+    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
+      .map { case (p, i) => (i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col)) }
+
+    def mmSql(t: String, c: String, agg: String): String =
+      s"(SELECT $agg(${sqlNum(c)}) FROM $t)"
+    def nSql(t: String): String = s"CAST((SELECT COUNT(*) FROM $t) AS DOUBLE)"
+    def ndvSql(t: String, c: String): String =
+      s"CAST((SELECT COUNT(DISTINCT $c) FROM $t) AS DOUBLE)"
+    def histSql(t: String, c: String, b: Int): String =
+      s"""CAST((SELECT SUM(CASE WHEN LEAST(CAST(FLOOR((${sqlNum(c)} - mn) * $bins.0 / (mx - mn)) AS BIGINT), ${bins - 1}) = $b THEN 1 ELSE 0 END)
+         | FROM $t, (SELECT ${mmSql(t, c, "MIN")} AS mn, ${mmSql(t, c, "MAX")} AS mx)) AS DOUBLE)""".stripMargin.replace("\n", "")
+
+    def selSql(i: Int, p: Predicate, t: String): String =
+      p.op.toUpperCase match {
+        case "=" => s"(1.0 / ${ndvSql(t, p.col)})"
+        case "!=" | "<>" => s"(1.0 - 1.0 / ${ndvSql(t, p.col)})"
+        case "IN" =>
+          s"(${p.value.asInstanceOf[Seq[Any]].size}.0 / ${ndvSql(t, p.col)})"
+        case "LIKE" | "NOT LIKE" =>
+          s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE) / ${nSql(t)})"
+        case _ =>
+          val (lo, hi) = interval(p)
+          val c = p.col
+          val mn = mmSql(t, c, "MIN")
+          val mx = mmSql(t, c, "MAX")
+          val w = s"(($mx - $mn) / $bins.0)"
+          val terms = (0 until bins).map { b =>
+            val lb = s"($mn + $b.0 * $w)"
+            val ub = s"($mn + ${b + 1}.0 * $w)"
+            val frac = s"GREATEST(0.0, LEAST(1.0, (LEAST($ub, $hi) - GREATEST($lb, $lo)) / $w))"
+            s"${histSql(t, c, b)} * $frac"
+          }
+          s"((${terms.mkString(" + ")}) / ${nSql(t)})"
+      }
+
+    var gi = 0
+    parsed
+      .map { case (id, q) =>
+        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+        val factors = q.predicates.map { p =>
+          val i = gi
+          gi += 1
+          selSql(i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
+        }
+        s"SELECT '$id' AS query_id, ${(j +: factors).mkString(" * ")} AS est"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+  }
+
   /** Quantile summary of the q-errors — the reference's reported metric
     * (run.py:967-973: quantiles [0.5 0.9 0.95 0.99 1.0], interpolation
     * "nearest", i.e. value at round-half-even(q·(n−1))).
@@ -255,6 +454,7 @@ object QueriesEstimators {
     "pred_eval" -> (predEvalQ _),
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
+    "hist_est" -> (histEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
@@ -266,6 +466,7 @@ object QueriesEstimators {
     "pred_eval" -> predEvalSql,
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,
+    "hist_est" -> histEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql
   )
