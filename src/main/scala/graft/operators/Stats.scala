@@ -70,11 +70,14 @@ object Stats {
       .filter(col(colName).isNotNull)
       .groupBy(col(colName).cast("string").as("val"))
       .agg(count(lit(1)).as("cnt"))
-      .select(lit(label).as("col_name"), col("val"), col("cnt"))
-    val win = Window.partitionBy(col("col_name")).orderBy(col("cnt").desc, col("val"))
-    counted
-      .withColumn("rnk", row_number().over(win))
-      .filter(col("rnk") <= k)
+    // orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    // per-partition top-k + tiny driver merge. A row_number window here
+    // would funnel ALL ndv rows through one partition; ranking only runs
+    // over the k survivors.
+    val top = counted.orderBy(col("cnt").desc, col("val")).limit(k)
+    top
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("val"))))
+      .select(lit(label).as("col_name"), col("val"), col("cnt"), col("rnk"))
   }
 
   /** HLL++ approximate ndv next to the exact count (impl-specific sketch →
