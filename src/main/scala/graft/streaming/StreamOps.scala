@@ -125,6 +125,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup by key with bounded state: watermarked
+    * `dropDuplicates` keeps one state entry per key only until the
+    * watermark passes — the streaming face of `exact_dedup`.
+    */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keyCols :+ "ts")
+
   // ---- per-window top-k (row 33) ----
 
   /** Per-day top-k users by summed value; decimal-exact ranking with a

@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream drops in-stream duplicates and writes to a parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.dedupeStream(sdf, Seq("event_id")).writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(sample ++ sample: _*) // every event duplicated
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+      assert(got.count() == sample.length)
+      assert(got.select("event_id").as[Long].collect().toSet == sample.map(_._1).toSet)
+    } finally q.stop()
+  }
+
   test("topkEvents ranks users per day by decimal-exact sums") {
     val got = StreamOps.topkEvents(eventsDf, 1)
       .as[(Timestamp, Int, Long, Double)].collect().toSeq
