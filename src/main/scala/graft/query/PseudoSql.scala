@@ -21,14 +21,27 @@ object PseudoSql {
       "(?i)IS NOT", "(?i)IS", "(?i)IN", "(?i)BETWEEN")
 
   def parse(sql: String): ParsedQuery = {
-    val lower = sql.trim.replaceAll("\\s+", " ")
+    val lower = sql.trim.stripSuffix(";").replaceAll("\\s+", " ")
     val fromIdx = indexOfWord(lower, "from")
     require(fromIdx >= 0, s"no FROM clause: $sql")
     val whereIdx = indexOfWord(lower, "where")
     val fromPart =
       if (whereIdx >= 0) lower.substring(fromIdx + 4, whereIdx)
       else lower.substring(fromIdx + 4)
-    val tables = fromPart.split(",").map(_.trim.split("\\s+")(0)).toSeq
+    // FROM entries are "table [alias]" (reference workloads alias every
+    // table, e.g. "movie_companies mc"); resolve aliases to table names.
+    val entries = fromPart.split(",").map(_.trim.split("\\s+").toSeq).toSeq
+    val tables = entries.map(_.head)
+    val aliasToTable: Map[String, String] =
+      entries.flatMap {
+        case Seq(t) => Seq(t -> t)
+        case Seq(t, a) => Seq(t -> t, a -> t)
+        case other => throw new IllegalArgumentException(s"bad FROM entry: $other")
+      }.toMap
+    def resolve(qualified: String): String = qualified.split('.') match {
+      case Array(q, c) => s"${aliasToTable.getOrElse(q, q)}.$c"
+      case _ => qualified
+    }
 
     if (whereIdx < 0) return ParsedQuery(tables, Seq.empty, Seq.empty)
     val wherePart = lower.substring(whereIdx + 5).trim
@@ -48,8 +61,8 @@ object PseudoSql {
 
     for (cond <- stitched) {
       parseCond(cond.trim) match {
-        case Left(join)  => joins += join
-        case Right(pred) => preds += pred
+        case Left((a, b)) => joins += ((resolve(a), resolve(b)))
+        case Right(pred)  => preds += pred.copy(col = resolve(pred.col))
       }
     }
     ParsedQuery(tables, joins.toSeq, preds.toSeq)
