@@ -24,13 +24,17 @@ object Similarity {
   val quantExpr: Column =
     expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
 
+  /** Exact dot product via the native codegen'd expression
+    * (graft.functions.QuantizedDot); see GraftFunctions.register.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    expr(s"quantized_dot(${a.toString}, ${b.toString})")
 
   /** Brute-force cosine top-k of every corpus vector for each probe.
     * `probePred` selects the probe rows (must be small — it is broadcast).
     */
   def cosineTopK(embeddings: DataFrame, probePred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings
       .select(col("vec_id"), quantExpr.as("qv"))
       .withColumn("nn", dot(col("qv"), col("qv")))
@@ -79,6 +83,7 @@ object Similarity {
     * vectors — the 100 TB scale path (bucket join instead of full scan).
     */
   def lshAnn(embeddings: DataFrame, buckets: DataFrame, probePred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = embeddings
       .select(col("vec_id"), quantExpr.as("qv"))
       .withColumn("nn", dot(col("qv"), col("qv")))
