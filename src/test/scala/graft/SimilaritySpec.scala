@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (p, c) => (p % 2) == (c % 2) })
   }
 
+  test("native quantized_dot matches the higher-order-function formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-7L, 0L, 9L), Array(2L, 100L, -3L))).toDF("a", "b")
+    val got = df.selectExpr("quantized_dot(a, b)").as[Long].collect().toSeq
+    val want = df.selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      .as[Long].collect().toSeq
+    assert(got == want && got == Seq(32L, -41L))
+  }
+
   test("multimodal decodeBatched preserves schema and determinism") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val out = Multimodal.decodeBatched(spark, docs).collect().sortBy(_.doc_id)
