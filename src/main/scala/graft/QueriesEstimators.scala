@@ -82,24 +82,17 @@ object QueriesEstimators {
     }
   }
 
-  /** Independence-assumption estimator: |J⋈-only| × Π per-table pred
-    * selectivities (the classic baseline the reference's learned models
-    * are measured against; selectivities from exact per-table counts).
-    *
-    * All per-predicate match counts for one table are computed in a
-    * SINGLE conditional-aggregation scan (sum(when(p,1))), the 1-row
-    * per-table stat frames are cross-joined once into a shared stats row,
-    * and each query's estimate is a pure expression over that row — 7
-    * table scans + 10 join counts total instead of a scan per predicate.
-    * Same product, same left-to-right order as the oracle SQL.
+  /** One conditional-aggregation scan per table covering every predicate
+    * match count (+ the table count), cross-joined into one stats row:
+    * all per-predicate match counts for one table come from a SINGLE
+    * sum(when(p,1)) pass, so the estimators cost 7 table scans total
+    * instead of a scan per predicate.
     */
-  def naiveEstQ(spark: SparkSession, dir: String): DataFrame = {
-    val load = Fanouts.loader(spark, dir)
-    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
-    // Global predicate index → (predicate, table) across all specs.
-    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
+  private def predStatsRow(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = CardBenchmark.specs.map { case (_, sql) => PseudoSql.parse(sql) }
+    val allPreds = parsed.flatMap(_.predicates).zipWithIndex
       .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
-    val statsRow = allPreds
+    allPreds
       .groupBy(_._3)
       .map { case (t, preds) =>
         val aggs = count(lit(1)).cast("double").as(s"__n_$t") +:
@@ -109,17 +102,34 @@ object QueriesEstimators {
         Tables(spark, dir, t).agg(aggs.head, aggs.tail: _*)
       }
       .reduce(_.crossJoin(_))
-    var globalIdx = 0
-    parsed
-      .map { case (id, q) =>
+  }
+
+  /** est column for query `q` given its predicates' global start index. */
+  private def naiveEstCol(q: graft.query.ParsedQuery, startIdx: Int): org.apache.spark.sql.Column = {
+    var i = startIdx - 1
+    q.predicates.foldLeft(col("__j")) { (acc, p) =>
+      i += 1
+      acc * (col(s"__m$i") / col(s"__n_${CardBenchmark.tableOf(p.col)}"))
+    }
+  }
+
+  /** Independence-assumption estimator: |J⋈-only| × Π per-table pred
+    * selectivities (the classic baseline the reference's learned models
+    * are measured against; selectivities from exact per-table counts).
+    * Same product, same left-to-right order as the oracle SQL.
+    */
+  def naiveEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val statsRow = predStatsRow(spark, dir)
+    var gi = 0
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        val q = PseudoSql.parse(sql)
         val joinOnly = Engine
           .count(q.copy(predicates = Seq.empty), load)
           .select(col("card").cast("double").as("__j"))
-        val est = q.predicates.foldLeft(col("__j")) { (acc, p) =>
-          val i = globalIdx
-          globalIdx += 1
-          acc * (col(s"__m$i") / col(s"__n_${CardBenchmark.tableOf(p.col)}"))
-        }
+        val est = naiveEstCol(q, gi)
+        gi += q.predicates.length
         joinOnly
           .crossJoin(broadcast(statsRow))
           .select(lit(id).as("query_id"), est.as("est"))
