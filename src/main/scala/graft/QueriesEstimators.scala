@@ -231,11 +231,32 @@ object QueriesEstimators {
       Set("<", "<=", ">", ">=", "BETWEEN")(p.op.toUpperCase)
   }
 
-  /** Histogram-stats estimator: |J⋈-only| × Π model-based selectivities.
-    * Two scans per table (min/max pass, then conditional bucket counts +
-    * ndv), one shared broadcast stats row, estimates as pure expressions.
+  /** MCV (most-common-values) equality model shared by mcv_est's Spark
+    * plan and oracle SQL: top-k values by (count DESC, value ASC) with
+    * exact frequencies; non-MCV equality mass spread uniformly over the
+    * remaining ndv−k values (the Postgres stats model). k is small so
+    * the workload exercises both the MCV hit and the uniform tail.
     */
-  def histEstQ(spark: SparkSession, dir: String): DataFrame = {
+  private object McvModel {
+    val k = 3
+    def isEq(p: Predicate): Boolean = Set("=", "!=", "<>", "IN")(p.op.toUpperCase)
+    /** Literals needing a per-value MCV frequency, in SQL order. */
+    def eqLiterals(p: Predicate): Seq[Any] = p.op.toUpperCase match {
+      case "IN" => p.value.asInstanceOf[Seq[Any]]
+      case _    => Seq(p.value)
+    }
+  }
+
+  /** Stats-model estimator scaffolding shared by hist_est and mcv_est:
+    * |J⋈-only| × Π model-based selectivities. Range predicates use the
+    * 10-bucket equi-width histogram in both; the equality family is
+    * 1/ndv (hist_est, System-R) or MCV frequencies + uniform tail
+    * (mcv_est, Postgres). Two scans per table (min/max pass, then
+    * conditional bucket counts + ndv/nn), plus — for mcv — one tiny
+    * TakeOrdered top-k per equality column; everything lands in one
+    * broadcast stats row and each estimate is a pure expression over it.
+    */
+  private def statsEstQ(eqViaMcv: Boolean)(spark: SparkSession, dir: String): DataFrame = {
     import HistModel._
     val load = Fanouts.loader(spark, dir)
     val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
@@ -243,9 +264,10 @@ object QueriesEstimators {
       .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
 
     val histCols = allPreds.collect { case (_, p, t) if isRange(p) => (t, p.col) }.distinct
-    val ndvCols = allPreds.collect {
-      case (_, p, t) if Set("=", "!=", "<>", "IN")(p.op.toUpperCase) => (t, p.col)
-    }.distinct
+    val eqIdx = allPreds.collect {
+      case (i, p, t) if McvModel.isEq(p) => (i, p.copy(col = p.col.split('.').last), t)
+    }
+    val eqCols = eqIdx.map { case (_, p, t) => (t, p.col) }.distinct
     val likeIdx = allPreds.collect {
       case (i, p, t) if Set("LIKE", "NOT LIKE")(p.op.toUpperCase) => (i, p, t)
     }
@@ -254,7 +276,7 @@ object QueriesEstimators {
       .map { t =>
         val df = Tables(spark, dir, t)
         val myHist = histCols.filter(_._1 == t).map(_._2)
-        val myNdv = ndvCols.filter(_._1 == t).map(_._2)
+        val myEq = eqCols.filter(_._1 == t).map(_._2)
         val myLike = likeIdx.filter(_._3 == t)
         // pass 1: min/max per histogram column
         val mmAggs = myHist.flatMap { c =>
@@ -264,7 +286,8 @@ object QueriesEstimators {
         val withMm =
           if (mmAggs.isEmpty) base
           else df.agg(mmAggs.head, mmAggs.tail: _*).crossJoin(base)
-        // pass 2: bucket counts + ndv + LIKE fallbacks, min/max as constants
+        // pass 2: bucket counts + ndv (+ non-null counts for the MCV
+        // tail) + LIKE fallbacks, min/max as constants
         val aggs2 =
           myHist.flatMap { c =>
             (0 until bins).map { b =>
@@ -276,7 +299,10 @@ object QueriesEstimators {
                 .as(s"__h_${c}_$b")
             }
           } ++
-            myNdv.map(c => count_distinct(col(c)).cast("double").as(s"__ndv_$c")) ++
+            myEq.flatMap { c =>
+              count_distinct(col(c)).cast("double").as(s"__ndv_$c") +:
+                (if (eqViaMcv) Seq(count(col(c)).cast("double").as(s"__nn_$c")) else Nil)
+            } ++
             myLike.map { case (i, p, _) =>
               sum(when(p.toColumn, 1L).otherwise(0L)).cast("double").as(s"__like_$i")
             }
@@ -287,17 +313,50 @@ object QueriesEstimators {
       }
       .reduce(_.crossJoin(_))
 
+    // MCV frames: per equality column, a 1-row agg over the tiny
+    // TakeOrdered top-k — Σf plus one frequency slot per workload literal
+    // (null when the literal is not among the MCVs).
+    val fullStats =
+      if (!eqViaMcv) statsRow
+      else eqCols.map { case (t, c) =>
+        val mcv = Tables(spark, dir, t)
+          .select(col(c).as("v")).filter(col("v").isNotNull)
+          .groupBy("v").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("v").asc).limit(McvModel.k)
+        val litAggs = eqIdx
+          .collect { case (i, p, `t`) if p.col == c => (i, p) }
+          .flatMap { case (i, p) =>
+            McvModel.eqLiterals(p).zipWithIndex.map { case (v, j) =>
+              max(when(col("v") === lit(v), col("f"))).cast("double").as(s"__f_${i}_$j")
+            }
+          }
+        val aggs = sum(col("f")).cast("double").as(s"__sumF_$c") +: litAggs
+        mcv.agg(aggs.head, aggs.tail: _*)
+      }.foldLeft(statsRow)(_.crossJoin(_))
+
     def selExpr(i: Int, p: Predicate, t: String): org.apache.spark.sql.Column = {
       val n = col(s"__N_$t").cast("double")
+      val c = p.col
+      // MCV equality: exact MCV frequency, else uniform share of the
+      // non-MCV mass — 0 when every distinct value is an MCV.
+      def mcvSel(j: Int): org.apache.spark.sql.Column =
+        coalesce(
+          col(s"__f_${i}_$j"),
+          when(col(s"__ndv_$c") > lit(McvModel.k.toDouble),
+            (col(s"__nn_$c") - col(s"__sumF_$c")) / (col(s"__ndv_$c") - lit(McvModel.k.toDouble)))
+            .otherwise(lit(0.0))) / n
       p.op.toUpperCase match {
-        case "=" => lit(1.0) / col(s"__ndv_${p.col}")
-        case "!=" | "<>" => lit(1.0) - lit(1.0) / col(s"__ndv_${p.col}")
+        case "=" =>
+          if (eqViaMcv) mcvSel(0) else lit(1.0) / col(s"__ndv_$c")
+        case "!=" | "<>" =>
+          if (eqViaMcv) lit(1.0) - mcvSel(0)
+          else lit(1.0) - lit(1.0) / col(s"__ndv_$c")
         case "IN" =>
-          lit(p.value.asInstanceOf[Seq[Any]].size.toDouble) / col(s"__ndv_${p.col}")
+          if (eqViaMcv) McvModel.eqLiterals(p).indices.map(mcvSel).reduce(_ + _)
+          else lit(p.value.asInstanceOf[Seq[Any]].size.toDouble) / col(s"__ndv_$c")
         case "LIKE" | "NOT LIKE" => col(s"__like_$i") / n
         case _ =>
           val (lo, hi) = interval(p)
-          val c = p.col
           val w = (col(s"__mx_$c") - col(s"__mn_$c")) / lit(bins.toDouble)
           val terms = (0 until bins).map { b =>
             val lb = col(s"__mn_$c") + lit(b.toDouble) * w
@@ -322,18 +381,27 @@ object QueriesEstimators {
           acc * selExpr(i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
         }
         joinOnly
-          .crossJoin(broadcast(statsRow))
+          .crossJoin(broadcast(fullStats))
           .select(lit(id).as("query_id"), est.as("est"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
   }
 
-  val histEstSql: String = {
+  def histEstQ(spark: SparkSession, dir: String): DataFrame =
+    statsEstQ(eqViaMcv = false)(spark, dir)
+
+  def mcvEstQ(spark: SparkSession, dir: String): DataFrame =
+    statsEstQ(eqViaMcv = true)(spark, dir)
+
+  private def statsEstSql(eqViaMcv: Boolean): String = {
     import HistModel._
     val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
     val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
       .map { case (p, i) => (i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col)) }
+    val eqCols = allPreds.collect {
+      case (_, p, t) if McvModel.isEq(p) => (t, p.col)
+    }.distinct
 
     def mmSql(t: String, c: String, agg: String): String =
       s"(SELECT $agg(${sqlNum(c)}) FROM $t)"
@@ -343,13 +411,28 @@ object QueriesEstimators {
     def histSql(t: String, c: String, b: Int): String =
       s"""CAST((SELECT SUM(CASE WHEN LEAST(CAST(FLOOR((${sqlNum(c)} - mn) * $bins.0 / (mx - mn)) AS BIGINT), ${bins - 1}) = $b THEN 1 ELSE 0 END)
          | FROM $t, (SELECT ${mmSql(t, c, "MIN")} AS mn, ${mmSql(t, c, "MAX")} AS mx)) AS DOUBLE)""".stripMargin.replace("\n", "")
+    def mcvSelSql(v: Any, c: String, t: String): String = {
+      val f = s"CAST((SELECT MAX(CASE WHEN v = ${PredicateSql.renderValue(v)} THEN f END) FROM mcv_$c) AS DOUBLE)"
+      val nn = s"CAST((SELECT COUNT($c) FROM $t) AS DOUBLE)"
+      val sumF = s"CAST((SELECT SUM(f) FROM mcv_$c) AS DOUBLE)"
+      val ndv = ndvSql(t, c)
+      s"(COALESCE($f, CASE WHEN $ndv > ${McvModel.k}.0" +
+        s" THEN (($nn - $sumF) / ($ndv - ${McvModel.k}.0)) ELSE 0.0 END) / ${nSql(t)})"
+    }
 
     def selSql(i: Int, p: Predicate, t: String): String =
       p.op.toUpperCase match {
-        case "=" => s"(1.0 / ${ndvSql(t, p.col)})"
-        case "!=" | "<>" => s"(1.0 - 1.0 / ${ndvSql(t, p.col)})"
+        case "=" =>
+          if (eqViaMcv) mcvSelSql(p.value, p.col, t)
+          else s"(1.0 / ${ndvSql(t, p.col)})"
+        case "!=" | "<>" =>
+          if (eqViaMcv) s"(1.0 - ${mcvSelSql(p.value, p.col, t)})"
+          else s"(1.0 - 1.0 / ${ndvSql(t, p.col)})"
         case "IN" =>
-          s"(${p.value.asInstanceOf[Seq[Any]].size}.0 / ${ndvSql(t, p.col)})"
+          if (eqViaMcv) {
+            val sels = McvModel.eqLiterals(p).map(v => mcvSelSql(v, p.col, t))
+            s"(${sels.mkString(" + ")})"
+          } else s"(${p.value.asInstanceOf[Seq[Any]].size}.0 / ${ndvSql(t, p.col)})"
         case "LIKE" | "NOT LIKE" =>
           s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE) / ${nSql(t)})"
         case _ =>
@@ -368,7 +451,7 @@ object QueriesEstimators {
       }
 
     var gi = 0
-    parsed
+    val body = parsed
       .map { case (id, q) =>
         val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
         val factors = q.predicates.map { p =>
@@ -379,7 +462,18 @@ object QueriesEstimators {
         s"SELECT '$id' AS query_id, ${(j +: factors).mkString(" * ")} AS est"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+    if (!eqViaMcv) body
+    else {
+      val ctes = eqCols.map { case (t, c) =>
+        s"mcv_$c AS (SELECT $c AS v, COUNT(*) AS f FROM $t WHERE $c IS NOT NULL" +
+          s" GROUP BY $c ORDER BY f DESC, v ASC LIMIT ${McvModel.k})"
+      }
+      s"WITH ${ctes.mkString(",\n")}\n$body"
+    }
   }
+
+  val histEstSql: String = statsEstSql(eqViaMcv = false)
+  val mcvEstSql: String = statsEstSql(eqViaMcv = true)
 
   /** Quantile summary of the q-errors — the reference's reported metric
     * (run.py:967-973: quantiles [0.5 0.9 0.95 0.99 1.0], interpolation
@@ -465,6 +559,7 @@ object QueriesEstimators {
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
     "hist_est" -> (histEstQ _),
+    "mcv_est" -> (mcvEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
@@ -477,6 +572,7 @@ object QueriesEstimators {
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,
     "hist_est" -> histEstSql,
+    "mcv_est" -> mcvEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql
   )
