@@ -96,6 +96,71 @@ object QueriesStats {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, rnk")
 
+  // ---- row 18b: count-min sketch (portable md5 hash family) ----
+
+  /** depth 4 × width 256; probe partkeys 1..20 exist at every SF. */
+  val cmsDepth = 4
+  val cmsProbes: Seq[Long] = 1L to 20L
+
+  /** CMS frequency estimates vs true counts for the probe keys:
+    * est(v) = min over sketch rows d of counter[d][bucket_d(v)] — always
+    * ≥ the true count, equal when no collision. Probe buckets are md5'd
+    * driver-side (20×4 constants); the counter build is the only data
+    * pass.
+    */
+  def cmsFreqQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val counters = Stats.cmsCounters(li, "l_partkey", cmsDepth)
+    val probeCells = cmsProbes
+      .flatMap(v => (0 until cmsDepth).map(d => (v, d, Stats.cmsBucketOf(d, v.toString))))
+      .toDF("partkey", "d", "bucket")
+    val est = broadcast(probeCells)
+      .join(counters, Seq("d", "bucket"), "left")
+      .groupBy(col("partkey"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
+    val tru = li
+      .filter(col("l_partkey").isin(cmsProbes: _*))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .select(col("l_partkey").cast("long").as("partkey"), col("true_cnt"))
+    est.join(tru, Seq("partkey"), "left")
+      .select(
+        col("partkey"), col("cms_cnt").cast("long").as("cms_cnt"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+      .orderBy(col("partkey"))
+  }
+
+  val cmsFreqSql: String = {
+    def bucketSql(v: String): String =
+      s"(strpos('0123456789abcdef', substr(md5(depths.d || ':' || $v), 1, 1)) - 1) * 16" +
+        s" + (strpos('0123456789abcdef', substr(md5(depths.d || ':' || $v), 2, 1)) - 1)"
+    s"""WITH depths AS (SELECT UNNEST([${(0 until cmsDepth).mkString(", ")}]) AS d),
+       |counters AS (
+       |  SELECT depths.d AS d, ${bucketSql("l_partkey")} AS bucket, COUNT(*) AS cnt
+       |  FROM lineitem, depths
+       |  GROUP BY 1, 2
+       |),
+       |probes AS (SELECT UNNEST([${cmsProbes.mkString(", ")}]) AS pk),
+       |probe_cells AS (
+       |  SELECT probes.pk, depths.d, ${bucketSql("probes.pk")} AS bucket
+       |  FROM probes, depths
+       |),
+       |est AS (
+       |  SELECT pc.pk, MIN(COALESCE(c.cnt, 0)) AS cms_cnt
+       |  FROM probe_cells pc LEFT JOIN counters c ON pc.d = c.d AND pc.bucket = c.bucket
+       |  GROUP BY pc.pk
+       |),
+       |tru AS (
+       |  SELECT l_partkey AS pk, COUNT(*) AS true_cnt FROM lineitem
+       |  WHERE l_partkey IN (SELECT pk FROM probes) GROUP BY 1
+       |)
+       |SELECT CAST(est.pk AS BIGINT) AS partkey, CAST(est.cms_cnt AS BIGINT) AS cms_cnt,
+       |  CAST(COALESCE(tru.true_cnt, 0) AS BIGINT) AS true_cnt
+       |FROM est LEFT JOIN tru ON est.pk = tru.pk
+       |ORDER BY partkey""".stripMargin
+  }
+
   val hllCols: Seq[(String, String)] = Seq(
     ("orders", "o_custkey"),
     ("lineitem", "l_partkey"),
@@ -112,6 +177,7 @@ object QueriesStats {
     "col_stats" -> (colStatsQ _),
     "histogram" -> (histogramQ _),
     "mcv" -> (mcvQ _),
+    "cms_freq" -> (cmsFreqQ _),
     "hll_ndv" -> (hllNdvQ _)
   )
 
@@ -119,6 +185,7 @@ object QueriesStats {
   val oracleSql: Map[String, String] = Map(
     "col_stats" -> colStatsSql,
     "histogram" -> histogramSql,
-    "mcv" -> mcvSql
+    "mcv" -> mcvSql,
+    "cms_freq" -> cmsFreqSql
   )
 }

@@ -80,6 +80,34 @@ object Stats {
       .select(lit(label).as("col_name"), col("val"), col("cnt"), col("rnk"))
   }
 
+  /** Bucket of value v in count-min-sketch row d: the first two hex
+    * digits of md5("d:v"), i.e. a uniform value in [0, 256). md5 is the
+    * portable hash family — DuckDB computes the identical hex, so the
+    * oracle rebuilds the exact same sketch.
+    */
+  def cmsBucket(d: Int, v: Column): Column =
+    conv(substring(md5(concat(lit(s"$d:"), v.cast("string"))), 1, 2), 16, 10).cast("long")
+
+  /** The same bucket computed driver-side for probe literals. */
+  def cmsBucketOf(d: Int, v: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$v".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Count-min-sketch counters (d, bucket, cnt) for one column: one
+    * posexplode pass (depth rows per input row) + one groupBy that
+    * map-side-combines down to at most depth×256 cells per partition
+    * before the shuffle — the sketch build stays one bounded-output
+    * shuffle no matter the input size.
+    */
+  def cmsCounters(df: DataFrame, colName: String, depth: Int): DataFrame =
+    df.select(
+        posexplode(array((0 until depth).map(d => cmsBucket(d, col(colName))): _*))
+          .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** HLL++ approximate ndv next to the exact count (impl-specific sketch →
     * rows-only oracle).
     */
