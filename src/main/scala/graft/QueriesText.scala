@@ -308,6 +308,34 @@ object QueriesText {
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- rows 29b/29c: PII scrub + URL stats ----
+
+  def piiScrubQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiScrub(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** DuckDB regexp_replace defaults to first-match-only — the 'g' option
+    * matches Spark's replace-all semantics.
+    */
+  val piiScrubSql: String = {
+    import TextAnalysis.{emailPat, phonePat}
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phonePat')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$emailPat', '<EMAIL>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def urlStatsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.urlStats(Tables(spark, dir, "documents"))
+
+  val urlStatsSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '${TextAnalysis.urlPat}'))) AS BIGINT) AS n_urls,
+       |  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.urlPat}')) > 0
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- row 30: multimodal metadata ----
 
   def mmMetaQ(spark: SparkSession, dir: String): DataFrame =
@@ -336,6 +364,8 @@ object QueriesText {
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
     "doc_fingerprint" -> (docFingerprintQ _),
+    "pii_scrub" -> (piiScrubQ _),
+    "url_stats" -> (urlStatsQ _),
     "mm_meta" -> (mmMetaQ _)
   )
 
@@ -351,6 +381,8 @@ object QueriesText {
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "pii_scrub" -> piiScrubSql,
+    "url_stats" -> urlStatsSql,
     "mm_meta" -> mmMetaSql
   )
 }

@@ -77,4 +77,41 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
+
+  /** PII / URL patterns restricted to the regex subset on which Java
+    * regex (Spark) and RE2 (DuckDB) agree: character classes, bounded
+    * repetition, alternation-free, no backrefs or lookaround — both
+    * engines produce the identical greedy matches.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePat = "[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+  val urlPat = "https?://[A-Za-z0-9./_%-]+"
+
+  /** PII scrub: per document, email/phone match counts and the md5 of
+    * the redacted text (emails → <EMAIL>, phones → <PHONE>) — the
+    * fingerprint stands in for shipping megabytes of scrubbed text
+    * through the correctness gate. Pure per-row expressions, no shuffle.
+    */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>")).as("redacted_md5"))
+
+  /** Per-source URL stats: one scan, per-row match counts, tiny
+    * per-source aggregate (map-side combined).
+    */
+  def urlStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("source"),
+        size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("long").as("__n"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_urls"),
+        sum(when(col("__n") > 0, 1L).otherwise(0L)).as("docs_with_url"))
+      .orderBy(col("source"))
 }

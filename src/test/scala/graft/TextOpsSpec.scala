@@ -63,4 +63,35 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("piiScrub counts and redacts emails/phones; clean docs untouched") {
+    val d = docs(
+      1L -> "write to jo.doe+x@mail.example.org or call 030-555-1234 now",
+      2L -> "two mails: a@b.co and c.d@e-f.org, phone 0123-4567 is too short",
+      3L -> "nothing sensitive here")
+    val got = TextAnalysis.piiScrub(d)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L)._1 == 1L && got(1L)._2 == 1L)
+    assert(got(2L)._1 == 2L && got(2L)._2 == 0L)
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L)
+    // doc 3 unchanged → fingerprint equals md5 of the raw text
+    val raw = d.filter(col("doc_id") === 3L).select(md5(col("text"))).head.getString(0)
+    assert(got(3L)._3 == raw)
+    assert(got(1L)._3 != raw)
+  }
+
+  test("urlStats aggregates match counts per source") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see https://example.org/a and http://b.io/x?", "web"),
+      (2L, "no links", "web"),
+      (3L, "https://example.org/path_%20ok trailing", "crawl"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.urlStats(d)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("web") == ((2L, 2L, 1L)))
+    assert(got("crawl") == ((1L, 1L, 1L)))
+  }
 }
