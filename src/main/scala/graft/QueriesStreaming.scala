@@ -61,15 +61,30 @@ object QueriesStreaming {
        |) WHERE rnk <= $topK
        |ORDER BY day, rnk""".stripMargin
 
+  def intervalJoinQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .intervalJoin(Tables(spark, dir, "events"))
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  val intervalJoinSql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  a.ts AS click_ts, b.ts AS purchase_ts
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_agg" -> (windowAggQ _),
     "sessionize" -> (sessionizeQ _),
-    "topk_events" -> (topkEventsQ _)
+    "topk_events" -> (topkEventsQ _),
+    "interval_join" -> (intervalJoinQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "window_agg" -> windowAggSql,
     "sessionize" -> sessionizeSql,
-    "topk_events" -> topkEventsSql
+    "topk_events" -> topkEventsSql,
+    "interval_join" -> intervalJoinSql
   )
 }

@@ -134,6 +134,46 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
+  // ---- interval join (row 34) ----
+
+  val intervalJoinGap = "INTERVAL 30 MINUTES"
+
+  /** Interval join: each click matched to the same user's purchases in
+    * (click_ts, click_ts + 30 min]. The user_id equality key makes this
+    * one co-partitioned shuffle join (both sides hash-partition on
+    * user_id); the time bound is a residual predicate, so no cross
+    * product and no skew beyond the key distribution.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    joinWithin(clicks, purchases)
+  }
+
+  /** The shared join body — batch and streaming run exactly this. */
+  private def joinWithin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases, Seq("user_id"))
+      .filter(
+        col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(intervalJoinGap))
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+
+  /** Streaming variant: stream-stream inner join. Watermarks on BOTH
+    * sides plus the time-range condition let Spark bound the join state —
+    * a click can be dropped from state once the watermark passes
+    * click_ts + 30 min, a purchase as soon as its watermark expires.
+    * Inputs carry (user_id, click_id, click_ts) / (user_id, purchase_id,
+    * purchase_ts) like the batch sides.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    joinWithin(
+      clicks.withWatermark("click_ts", "1 hour"),
+      purchases.withWatermark("purchase_ts", "1 hour"))
+
   // ---- per-window top-k (row 33) ----
 
   /** Per-day top-k users by summed value; decimal-exact ranking with a

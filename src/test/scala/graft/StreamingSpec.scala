@@ -119,4 +119,38 @@ class StreamingSpec extends SparkSpec {
     // day 0: user 100 total 1+2+3+5=11 vs user 200 total 4 → top-1 is 100
     assert(got == Seq((ts(0), 1, 100L, 11.0)))
   }
+
+  // Interval-join fixture: clicks (1,2 by user 100; 3 by 200) and
+  // purchases; only (1→10) and (2→11) fall in the (0, 30 min] window.
+  private val ivClicks = Seq((100L, 1L, ts(0)), (100L, 2L, ts(40)), (200L, 3L, ts(0)))
+  private val ivPurchases = Seq(
+    (100L, 10L, ts(20)), (100L, 11L, ts(55)), (200L, 12L, ts(45)), (300L, 13L, ts(10)))
+
+  test("batch intervalJoin: purchases within 30 min after a click") {
+    val ev = (ivClicks.map { case (u, id, t) => (id, t, u, "click", 0.0) } ++
+      ivPurchases.map { case (u, id, t) => (id, t, u, "purchase", 0.0) })
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.intervalJoin(ev)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("streaming intervalJoin joins two watermarked streams with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF.toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF.toDF("user_id", "purchase_id", "purchase_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      clicks.addData(ivClicks: _*)
+      purchases.addData(ivPurchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 11L)))
+    } finally q.stop()
+  }
 }
