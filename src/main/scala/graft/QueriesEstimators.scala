@@ -155,18 +155,38 @@ object QueriesEstimators {
 
   /** q-error of the naive estimator vs truth: max(est/true, true/est)
     * (reference: scardina/run.py:60-67).
+    *
+    * Single-pass formulation: instead of running the predicate-free join
+    * (for the estimate's base) AND the filtered join (for the true card)
+    * separately, each spec's join tree is traversed ONCE and both counts
+    * come out of the same aggregation — count(*) and the conditional
+    * count of rows satisfying the conjunction (row-local predicates
+    * commute with inner joins, so this equals the filtered-join count
+    * the oracle computes).
     */
   def qErrorQ(spark: SparkSession, dir: String): DataFrame = {
-    val est = naiveEstQ(spark, dir)
-    val tru = trueCardQ(spark, dir)
-    est
-      .join(tru, "query_id")
-      .select(
-        col("query_id"),
-        greatest(
-          col("est") / col("card").cast("double"),
-          col("card").cast("double") / col("est")
-        ).as("q_err"))
+    val load = Fanouts.loader(spark, dir)
+    val statsRow = predStatsRow(spark, dir)
+    var gi = 0
+    CardBenchmark.specs
+      .map { case (id, sql) =>
+        val q = PseudoSql.parse(sql)
+        val conj = Predicate.conjunction(
+          q.predicates.map(p => p.copy(col = p.col.split('.').last)))
+        val both = Engine
+          .plan(q.copy(predicates = Seq.empty), load)
+          .agg(
+            count(lit(1)).cast("double").as("__j"),
+            sum(when(conj, 1L).otherwise(0L)).cast("double").as("__card"))
+        val est = naiveEstCol(q, gi)
+        gi += q.predicates.length
+        both
+          .crossJoin(broadcast(statsRow))
+          .select(
+            lit(id).as("query_id"),
+            greatest(est / col("__card"), col("__card") / est).as("q_err"))
+      }
+      .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
   }
 
