@@ -298,14 +298,11 @@ object QueriesEstimators {
         val myHist = histCols.filter(_._1 == t).map(_._2)
         val myEq = eqCols.filter(_._1 == t).map(_._2)
         val myLike = likeIdx.filter(_._3 == t)
-        // pass 1: min/max per histogram column
-        val mmAggs = myHist.flatMap { c =>
+        // pass 1: row count + min/max per histogram column, one scan
+        val firstAggs = count(lit(1)).as(s"__N_$t") +: myHist.flatMap { c =>
           Seq(min(sparkNum(c)).as(s"__mn_$c"), max(sparkNum(c)).as(s"__mx_$c"))
         }
-        val base = df.agg(count(lit(1)).as(s"__N_$t")) // always have one agg
-        val withMm =
-          if (mmAggs.isEmpty) base
-          else df.agg(mmAggs.head, mmAggs.tail: _*).crossJoin(base)
+        val withMm = df.agg(firstAggs.head, firstAggs.tail: _*)
         // pass 2: bucket counts + ndv (+ non-null counts for the MCV
         // tail) + LIKE fallbacks, min/max as constants
         val aggs2 =
