@@ -241,6 +241,69 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---- row 25b: IVF ANN (SQL-checkable scale path) ----
+
+  val ivfCentLo = 100L
+  val ivfNCent = 16
+  val ivfNProbe = 2
+
+  def embedIvfAnnQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .ivfAnn(
+        Tables(spark, dir, "embeddings"),
+        col("vec_id") < probeMax,
+        col("vec_id") >= ivfCentLo && col("vec_id") < ivfCentLo + ivfNCent,
+        ivfNProbe, topK)
+      .orderBy(col("probe_id"), col("rnk"))
+
+  val embedIvfAnnSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM q
+       |         WHERE vec_id >= $ivfCentLo AND vec_id < ${ivfCentLo + ivfNCent}),
+       |asex AS (SELECT v.vec_id, c.cent_id, v.qv AS qv, c.centv AS centv,
+       |                unnest(range(1, len(v.qv) + 1)) AS i
+       |         FROM q v, cent c),
+       |adots AS (SELECT vec_id, cent_id, CAST(SUM(qv[i] * centv[i]) AS BIGINT) AS dot
+       |          FROM asex GROUP BY 1, 2),
+       |acos AS (SELECT a.vec_id, a.cent_id,
+       |           CAST(a.dot AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos_c
+       |         FROM adots a
+       |         JOIN norms nv ON nv.vec_id = a.vec_id
+       |         JOIN norms nc ON nc.vec_id = a.cent_id),
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM (
+       |             SELECT vec_id, cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |             FROM acos) WHERE rn = 1),
+       |probe_lists AS (SELECT vec_id AS probe_id, cent_id AS list_id FROM (
+       |             SELECT vec_id, cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |             FROM acos WHERE vec_id < $probeMax) WHERE rn <= $ivfNProbe),
+       |pairs AS (SELECT pl.probe_id, a.vec_id AS cand_id, pl.list_id, p.qv AS pv, cq.qv AS cv
+       |          FROM probe_lists pl
+       |          JOIN assign a ON a.list_id = pl.list_id
+       |          JOIN q p ON p.vec_id = pl.probe_id
+       |          JOIN q cq ON cq.vec_id = a.vec_id
+       |          WHERE a.vec_id != pl.probe_id),
+       |pex AS (SELECT probe_id, cand_id, list_id, pv, cv, unnest(range(1, len(pv) + 1)) AS i FROM pairs),
+       |dots AS (SELECT probe_id, cand_id, list_id, CAST(SUM(pv[i] * cv[i]) AS BIGINT) AS dot
+       |         FROM pex GROUP BY 1, 2, 3),
+       |cs AS (SELECT probe_id, cand_id, list_id,
+       |         CAST(dot AS DOUBLE) / sqrt(CAST(np.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos
+       |       FROM dots
+       |       JOIN norms np ON np.vec_id = probe_id
+       |       JOIN norms nc ON nc.vec_id = cand_id)
+       |SELECT * FROM (
+       |  SELECT probe_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rnk,
+       |    cand_id, cos, CAST(list_id AS BIGINT) AS list_id
+       |  FROM cs
+       |) WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
+
   /** Rows-only: Scala-side md5-derived hyperplanes. */
   def embedLshAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
@@ -360,6 +423,7 @@ object QueriesText {
     "ngram_jaccard" -> (ngramJaccardQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
+    "embed_ivf_ann" -> (embedIvfAnnQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
@@ -377,6 +441,7 @@ object QueriesText {
     "simhash_dup" -> simhashDupSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "embed_cosine_topk" -> embedCosineTopkSql,
+    "embed_ivf_ann" -> embedIvfAnnSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,

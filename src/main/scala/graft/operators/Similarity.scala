@@ -79,6 +79,57 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(expr("bit * CAST(pow(2.0, plane) AS BIGINT)")).as("bucket"))
 
+  /** IVF (inverted-file) ANN: vectors are partitioned into inverted
+    * lists by nearest centroid, probes scan only their nProbe closest
+    * lists — the other classic ANN scale path next to LSH (bounded
+    * per-probe work: nProbe/nCent of the corpus instead of all of it).
+    *
+    * Centroids are a fixed slice of the corpus (`centPred`) rather than
+    * k-means iterates, so the index is deterministic and the DuckDB
+    * oracle rebuilds it exactly; a trained centroid table slots into the
+    * same plan without changing the assignment or probe path. Assignment
+    * is a broadcast nested-loop against the tiny centroid set + one
+    * map-side-combined argmax per vector — no shuffle of the corpus.
+    */
+  def ivfAnn(
+      embeddings: DataFrame, probePred: Column, centPred: Column,
+      nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings
+      .select(col("vec_id"), quantExpr.as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+    val cents = q.filter(centPred)
+      .select(col("vec_id").as("cent_id"), col("qv").as("centv"), col("nn").as("ncent"))
+    val simToCent = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        dot(col("qv"), col("centv")).cast("double") /
+          sqrt(col("nn").cast("double")) / sqrt(col("ncent").cast("double")))
+    // each vector's inverted list: argmax centroid (ties → lower cent_id)
+    val assign = simToCent
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id"))).as("list_id"))
+    val probeLists = simToCent.filter(probePred)
+      .withColumn("rnk_c", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rnk_c") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("list_id"))
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("nn").as("np"))
+      .join(probeLists, "probe_id")
+    val cands = q.join(assign, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("qv").as("cv"), col("nn").as("nc"), col("list_id"))
+    val win = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes)
+      .join(cands, Seq("list_id"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("pv"), col("cv")).cast("double") /
+          sqrt(col("np").cast("double")) / sqrt(col("nc").cast("double")))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos"), col("list_id"))
+  }
+
   /** Bucketed approximate NN: probes only compare against same-bucket
     * vectors — the 100 TB scale path (bucket join instead of full scan).
     */

@@ -36,6 +36,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (p, c) => (p % 2) == (c % 2) })
   }
 
+  test("ivfAnn searches only the probe's nProbe inverted lists, exact cosines") {
+    // Two well-separated directions: ids 0-3 cluster around +x, 4-7
+    // around +y. Centroids = ids {0, 4} (one per cluster).
+    val vecs = (0L until 8L).map { i =>
+      val v =
+        if (i < 4) Array(1.0f, 0.01f * i, 0.0f)
+        else Array(0.01f * i, 1.0f, 0.0f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfAnn(
+      vecs, col("vec_id") === 1L, col("vec_id") === 0L || col("vec_id") === 4L,
+      nProbe = 1, k = 5)
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    // probe 1's single probed list is centroid 0's → only +x-cluster
+    // candidates, ranked by exact cosine
+    assert(got.nonEmpty && got.forall(_._5 == 0L))
+    assert(got.map(_._3).toSet.subsetOf(Set(0L, 2L, 3L)))
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    // with nProbe = 2 both clusters are probed → all 7 others reachable
+    val wide = Similarity.ivfAnn(
+      vecs, col("vec_id") === 1L, col("vec_id") === 0L || col("vec_id") === 4L,
+      nProbe = 2, k = 10)
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    assert(wide.map(_._3).toSet == Set(0L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("native quantized_dot matches the higher-order-function formulation") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
