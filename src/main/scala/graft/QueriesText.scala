@@ -304,6 +304,17 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Rows-only (k-means is not reproducible in the oracle): the MLlib
+    * leg — IVF search over k-means-trained centroids.
+    */
+  def ivfKmeansAnnQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val cents = Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L)
+    Similarity
+      .ivfAnnWith(emb, col("vec_id") < probeMax, cents, ivfNProbe, topK)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Rows-only: Scala-side md5-derived hyperplanes. */
   def embedLshAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
@@ -424,6 +435,7 @@ object QueriesText {
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
+    "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),

@@ -95,11 +95,54 @@ object Similarity {
       embeddings: DataFrame, probePred: Column, centPred: Column,
       nProbe: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val q = embeddings
-      .select(col("vec_id"), quantExpr.as("qv"))
-      .withColumn("nn", dot(col("qv"), col("qv")))
+    val q = quantized(embeddings)
     val cents = q.filter(centPred)
       .select(col("vec_id").as("cent_id"), col("qv").as("centv"), col("nn").as("ncent"))
+    ivfSearch(q, probePred, cents, nProbe, k)
+  }
+
+  /** MLlib k-means centroids for the IVF index, quantized like the
+    * corpus vectors: the "MLlib" leg of the stats+MLlib approach — the
+    * trainer runs once over the corpus, the resulting (cent_id, centv)
+    * table is tiny and broadcasts into the same search plan the
+    * deterministic-slice index uses.
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, seed: Long): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val feats = embeddings.select(
+      col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) =>
+        (i.toLong, v.toArray.map(d => math.floor(d * 1000000.0 + 0.5).toLong))
+      }
+      .toDF("cent_id", "centv")
+  }
+
+  /** IVF search against an explicit (cent_id, centv: array<long>)
+    * centroid table (e.g. from kmeansCentroids).
+    */
+  def ivfAnnWith(
+      embeddings: DataFrame, probePred: Column, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = centroids.select(
+      col("cent_id"), col("centv"), dot(col("centv"), col("centv")).as("ncent"))
+    ivfSearch(quantized(embeddings), probePred, cents, nProbe, k)
+  }
+
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), quantExpr.as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+
+  private def ivfSearch(
+      q: DataFrame, probePred: Column, cents: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
     val simToCent = q.crossJoin(broadcast(cents))
       .withColumn("cos_c",
         dot(col("qv"), col("centv")).cast("double") /

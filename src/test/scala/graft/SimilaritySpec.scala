@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSpec {
     assert(wide.map(_._3).toSet == Set(0L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("kmeans-trained IVF recovers well-separated clusters") {
+    val vecs = (0L until 8L).map { i =>
+      val v =
+        if (i < 4) Array(1.0f, 0.01f * i, 0.0f)
+        else Array(0.01f * i, 1.0f, 0.0f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, seed = 7L)
+    assert(cents.count() == 2)
+    val got = Similarity.ivfAnnWith(vecs, col("vec_id") === 1L, cents, nProbe = 1, k = 5)
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    // probe 1 sits in the +x cluster; its single probed list holds
+    // exactly the other +x vectors
+    assert(got.map(_._3).toSet == Set(0L, 2L, 3L))
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+  }
+
   test("native quantized_dot matches the higher-order-function formulation") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(
