@@ -102,6 +102,38 @@ object QueriesCore {
       |  ON c.c_custkey = ow.o_custkey
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Universal-relation size: the reference's OTHER partitioning mode
+    * (UR = one padded full outer join of the whole schema vs per-table
+    * CIN subschemas; scardina/schema.py builds either). Each table joins
+    * exactly once along a spanning tree of the FK graph — nation/region
+    * enter via the customer path, matching the join-each-table-once UR
+    * construction. Full joins can't broadcast; this is a chain of
+    * sort-merge joins, each co-partitioned on its key — one shuffle per
+    * edge, the unavoidable minimum for padded joins.
+    */
+  def urSizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    load("lineitem")
+      .join(load("orders"), col("l_orderkey") === col("o_orderkey"), "full_outer")
+      .join(load("customer"), col("o_custkey") === col("c_custkey"), "full_outer")
+      .join(load("nation"), col("c_nationkey") === col("n_nationkey"), "full_outer")
+      .join(load("region"), col("n_regionkey") === col("r_regionkey"), "full_outer")
+      .join(load("part"), col("l_partkey") === col("p_partkey"), "full_outer")
+      .join(load("supplier"), col("l_suppkey") === col("s_suppkey"), "full_outer")
+      .agg(count(lit(1)).as("size"))
+      .select(lit("ur").as("name"), col("size"))
+  }
+
+  val urSizeSql: String =
+    """SELECT 'ur' AS name, COUNT(*) AS size
+      |FROM lineitem
+      |FULL JOIN orders ON l_orderkey = o_orderkey
+      |FULL JOIN customer ON o_custkey = c_custkey
+      |FULL JOIN nation ON c_nationkey = n_nationkey
+      |FULL JOIN region ON n_regionkey = r_regionkey
+      |FULL JOIN part ON l_partkey = p_partkey
+      |FULL JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
   /** Full-outer-join sizes of every CIN subschema (schema.py:85-183). */
   def subschemaSizesQ(spark: SparkSession, dir: String): DataFrame = {
     val load = Fanouts.loader(spark, dir)
@@ -213,6 +245,7 @@ object QueriesCore {
     "adj_fanout" -> (adjFanoutQ _),
     "fanout_weight" -> (fanoutWeightQ _),
     "subschema_sizes" -> (subschemaSizesQ _),
+    "ur_size" -> (urSizeQ _),
     "distinct_vals" -> (distinctValsQ _),
     "dict_encode" -> (dictEncodeQ _),
     "factorize" -> (factorizeQ _)
@@ -224,6 +257,7 @@ object QueriesCore {
     "adj_fanout" -> adjFanoutSql,
     "fanout_weight" -> fanoutWeightSql,
     "subschema_sizes" -> subschemaSizesSql,
+    "ur_size" -> urSizeSql,
     "distinct_vals" -> distinctValsSql,
     "dict_encode" -> dictEncodeSql,
     "factorize" -> factorizeSql

@@ -25,6 +25,19 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema'd JSON-lines read — the de-facto interchange format of
+    * training-data pipelines. Explicit schema for the same reason as CSV:
+    * inference is a full extra pass, and a drifting inferred type (a
+    * numeric field that is sometimes a string) silently corrupts
+    * downstream plans at scale.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines write (one object per line, splittable downstream). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Write a parquet table, optionally hive-partitioned by low-cardinality
     * columns so downstream filters prune whole directories.
     */

@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
 
   test("SURVEY §2 inventory is fully declared") {
     val expected = Set(
-      "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes",
+      "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes", "ur_size",
       "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
       "naive_est", "hist_est", "mcv_est", "sample_est", "q_error", "q_error_quantiles", "join_sample",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv",

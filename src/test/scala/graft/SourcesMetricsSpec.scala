@@ -24,6 +24,18 @@ class SourcesMetricsSpec extends SparkSpec {
       Set((1L, "alpha", 1.5), (2L, "beta", 2.5)))
   }
 
+  test("jsonl roundtrip preserves schema and rows") {
+    val path = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Tables(spark, sf, "documents").limit(20)
+    Sources.writeJsonl(docs, path)
+    val back = Sources.readJsonl(spark, path, docs.schema)
+    assert(back.schema == docs.schema)
+    assert(back.count() == 20)
+    assert(
+      back.select("doc_id", "text").as[(Long, String)].collect().toSet ==
+        docs.select("doc_id", "text").as[(Long, String)].collect().toSet)
+  }
+
   test("materialized builds once, then reads the parquet cache") {
     val path = Files.createTempDirectory("graft_mat").toString + "/cache"
     var builds = 0
