@@ -74,17 +74,35 @@ object QueriesStreaming {
       |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Hot-key aggregation through the salted two-phase plan: event_type
+    * has 5 distinct values — the classic all-keys-hot case — so the
+    * direct groupBy would land the whole table on 5 reducers; the
+    * salted plan spreads each key over 32 salt buckets first. The
+    * oracle is the plain GROUP BY: results must be identical.
+    */
+  def skewAggQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew
+      .saltedCountSum(Tables(spark, dir, "events"), Seq("event_type"), "value", 32)
+      .orderBy(col("event_type"))
+
+  val skewAggSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_agg" -> (windowAggQ _),
     "sessionize" -> (sessionizeQ _),
     "topk_events" -> (topkEventsQ _),
-    "interval_join" -> (intervalJoinQ _)
+    "interval_join" -> (intervalJoinQ _),
+    "skew_agg" -> (skewAggQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "window_agg" -> windowAggSql,
     "sessionize" -> sessionizeSql,
     "topk_events" -> topkEventsSql,
-    "interval_join" -> intervalJoinSql
+    "interval_join" -> intervalJoinSql,
+    "skew_agg" -> skewAggSql
   )
 }

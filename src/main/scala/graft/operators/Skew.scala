@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key aggregations — the 100 TB failure mode
+  * where a groupBy key has so few distinct values (or such a skewed
+  * distribution) that single reducers take the whole table.
+  *
+  * Two-phase salted aggregation: phase 1 groups by (key, salt) so each
+  * hot key spreads over `buckets` reducers; phase 2 merges the per-salt
+  * partials per key. For decomposable aggregates (sum/count/min/max)
+  * the result is identical to the direct groupBy — the oracle checks
+  * that equivalence. The salt is a deterministic per-row hash (xxhash64
+  * of the row content), not a random number, so retried tasks salt
+  * identically and the plan stays reproducible.
+  *
+  * (AQE's skewJoin handles skewed JOINS; this is the aggregation-side
+  * counterpart for when the partial-agg map side alone is not enough —
+  * e.g. high-cardinality decimal sums or collect-style aggregates.)
+  */
+object Skew {
+
+  /** Generic two-phase plan: caller supplies partial and merge
+    * aggregation columns (partial outputs must be what merge reads).
+    */
+  def twoPhase(
+      df: DataFrame, keys: Seq[String], buckets: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame =
+    df.withColumn(
+        "__salt",
+        pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+
+  /** Salted count + decimal-exact sum per key — equals the direct
+    * `groupBy(keys).agg(count, sum)` (decimal sums are associative, so
+    * the salt split cannot change the result).
+    */
+  def saltedCountSum(
+      df: DataFrame, keys: Seq[String], valueCol: String, buckets: Int): DataFrame =
+    twoPhase(
+      df, keys, buckets,
+      partial = Seq(
+        count(lit(1)).as("__pcnt"),
+        sum(col(valueCol).cast("decimal(38,6)")).as("__psum")),
+      merge = Seq(
+        sum(col("__pcnt")).as("cnt"),
+        sum(col("__psum")).cast("double").as(s"sum_$valueCol")))
+}

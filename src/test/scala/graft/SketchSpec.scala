@@ -16,6 +16,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase aggregation equals the direct groupBy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events")
+    val salted = graft.operators.Skew
+      .saltedCountSum(ev, Seq("event_type"), "value", 32)
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    val direct = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(salted == direct)
+    // the salt genuinely spreads each hot key over many sub-groups
+    val spread = ev
+      .withColumn("__salt", pmod(xxhash64(ev.columns.map(col): _*), lit(32L)))
+      .select("event_type", "__salt").distinct().count()
+    assert(spread > 100) // 5 keys × up to 32 salts
+  }
+
   test("cmsBucket (plan-side) and cmsBucketOf (driver-side) agree") {
     import spark.implicits._
     val vals = Seq("1", "42", "xyz", "1995-03-15")
