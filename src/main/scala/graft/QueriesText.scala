@@ -97,11 +97,15 @@ object QueriesText {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val minhashLshDupSql: String = {
+  /** Shared CTE block ending in `pairs` (verified near-dup pairs) —
+    * minhash_lsh_dup selects from it directly, dup_clusters closes over
+    * it transitively.
+    */
+  private val lshPairsCtes: String = {
     val bandArms = (0 until TextOps.numBands)
       .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS band_key FROM sigs")
       .mkString("\nUNION ALL\n")
-    s"""WITH $wordsCte,
+    s"""$wordsCte,
        |${shinglesCte(3, "sh")},
        |$sigsCte,
        |bands AS (
@@ -115,15 +119,43 @@ object QueriesText {
        |          FROM sh a
        |          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $lshTau
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $lshTau)""".stripMargin
   }
+
+  val minhashLshDupSql: String =
+    s"""WITH $lshPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- row 21b: near-dup cluster resolution ----
+
+  /** Transitive closure of the verified LSH pairs → one cluster id (the
+    * minimum member doc_id) per involved document; the keep-list of a
+    * dedup pass is then `doc_id == cluster_id`.
+    */
+  def dupClustersQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Components
+      .connectedComponents(minhashLshDupQ(spark, dir), "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $lshPairsCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+       |)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---- row 22: SimHash near-dup pairs ----
 
@@ -430,6 +462,7 @@ object QueriesText {
     "exact_dedup" -> (exactDedupQ _),
     "minhash_sig" -> (minhashSigQ _),
     "minhash_lsh_dup" -> (minhashLshDupQ _),
+    "dup_clusters" -> (dupClustersQ _),
     "simhash_dup" -> (simhashDupQ _),
     "ngram_jaccard" -> (ngramJaccardQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
@@ -450,6 +483,7 @@ object QueriesText {
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,
     "minhash_lsh_dup" -> minhashLshDupSql,
+    "dup_clusters" -> dupClustersSql,
     "simhash_dup" -> simhashDupSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "embed_cosine_topk" -> embedCosineTopkSql,

@@ -64,6 +64,15 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("connectedComponents resolves transitive chains to the min label") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Components
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 6L, 7L -> 6L, 9L -> 9L))
+  }
+
   test("piiScrub counts and redacts emails/phones; clean docs untouched") {
     val d = docs(
       1L -> "write to jo.doe+x@mail.example.org or call 030-555-1234 now",
