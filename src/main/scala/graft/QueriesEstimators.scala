@@ -82,6 +82,22 @@ object QueriesEstimators {
     }
   }
 
+  /** Parsed benchmark specs with each query's global predicate start
+    * index — the structural contract binding predStatsRow's __m<i>
+    * columns to their consumers (naiveEstQ/qErrorQ read the start index
+    * from here instead of re-counting, so a reordered or filtered spec
+    * list cannot silently shift the numbering).
+    */
+  private lazy val parsedSpecs: Seq[(String, graft.query.ParsedQuery, Int)] = {
+    var i = 0
+    CardBenchmark.specs.map { case (id, sql) =>
+      val q = PseudoSql.parse(sql)
+      val start = i
+      i += q.predicates.length
+      (id, q, start)
+    }
+  }
+
   /** One conditional-aggregation scan per table covering every predicate
     * match count (+ the table count), cross-joined into one stats row:
     * all per-predicate match counts for one table come from a SINGLE
@@ -89,9 +105,11 @@ object QueriesEstimators {
     * instead of a scan per predicate.
     */
   private def predStatsRow(spark: SparkSession, dir: String): DataFrame = {
-    val parsed = CardBenchmark.specs.map { case (_, sql) => PseudoSql.parse(sql) }
-    val allPreds = parsed.flatMap(_.predicates).zipWithIndex
-      .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
+    val allPreds = parsedSpecs.flatMap { case (_, q, start) =>
+      q.predicates.zipWithIndex.map { case (p, j) =>
+        (start + j, p, CardBenchmark.tableOf(p.col))
+      }
+    }
     allPreds
       .groupBy(_._3)
       .map { case (t, preds) =>
@@ -121,18 +139,14 @@ object QueriesEstimators {
   def naiveEstQ(spark: SparkSession, dir: String): DataFrame = {
     val load = Fanouts.loader(spark, dir)
     val statsRow = predStatsRow(spark, dir)
-    var gi = 0
-    CardBenchmark.specs
-      .map { case (id, sql) =>
-        val q = PseudoSql.parse(sql)
+    parsedSpecs
+      .map { case (id, q, start) =>
         val joinOnly = Engine
           .count(q.copy(predicates = Seq.empty), load)
           .select(col("card").cast("double").as("__j"))
-        val est = naiveEstCol(q, gi)
-        gi += q.predicates.length
         joinOnly
           .crossJoin(broadcast(statsRow))
-          .select(lit(id).as("query_id"), est.as("est"))
+          .select(lit(id).as("query_id"), naiveEstCol(q, start).as("est"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
@@ -167,10 +181,8 @@ object QueriesEstimators {
   def qErrorQ(spark: SparkSession, dir: String): DataFrame = {
     val load = Fanouts.loader(spark, dir)
     val statsRow = predStatsRow(spark, dir)
-    var gi = 0
-    CardBenchmark.specs
-      .map { case (id, sql) =>
-        val q = PseudoSql.parse(sql)
+    parsedSpecs
+      .map { case (id, q, start) =>
         val conj = Predicate.conjunction(
           q.predicates.map(p => p.copy(col = p.col.split('.').last)))
         val both = Engine
@@ -178,8 +190,7 @@ object QueriesEstimators {
           .agg(
             count(lit(1)).cast("double").as("__j"),
             sum(when(conj, 1L).otherwise(0L)).cast("double").as("__card"))
-        val est = naiveEstCol(q, gi)
-        gi += q.predicates.length
+        val est = naiveEstCol(q, start)
         both
           .crossJoin(broadcast(statsRow))
           .select(

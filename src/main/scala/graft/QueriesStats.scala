@@ -115,8 +115,10 @@ object QueriesStats {
     val probeCells = cmsProbes
       .flatMap(v => (0 until cmsDepth).map(d => (v, d, Stats.cmsBucketOf(d, v.toString))))
       .toDF("partkey", "d", "bucket")
-    val est = broadcast(probeCells)
-      .join(counters, Seq("d", "bucket"), "left")
+    // broadcast the BUILDABLE side: for a left-outer join only the right
+    // side can be broadcast, and counters is bounded at depth×256 rows
+    val est = probeCells
+      .join(broadcast(counters), Seq("d", "bucket"), "left")
       .groupBy(col("partkey"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
     val tru = li

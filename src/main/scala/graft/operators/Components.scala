@@ -24,7 +24,12 @@ object Components {
   /** (node, label) for every node in `pairs`, label = min node id of its
     * component. `localCheckpoint` truncates the per-iteration lineage so
     * long chains don't accumulate (at cluster scale, use checkpoint with
-    * a reliable dir instead).
+    * a reliable dir instead); superseded rounds' checkpoint blocks are
+    * reclaimed by the ContextCleaner once the previous round's frame is
+    * dereferenced. Throws if the fixpoint is not reached within
+    * `maxIter` rounds — a partial result would silently mis-cluster
+    * (and diverge from the closure the oracle computes), which is worse
+    * than failing loudly.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
@@ -53,6 +58,9 @@ object Components {
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component's min-label eccentricity exceeds the cap; raise maxIter")
     labels
   }
 }

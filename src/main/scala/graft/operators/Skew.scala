@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * hot key spreads over `buckets` reducers; phase 2 merges the per-salt
   * partials per key. For decomposable aggregates (sum/count/min/max)
   * the result is identical to the direct groupBy — the oracle checks
-  * that equivalence. The salt is a deterministic per-row hash (xxhash64
-  * of the row content), not a random number, so retried tasks salt
-  * identically and the plan stays reproducible.
+  * that equivalence. The salt is round-robin within each input
+  * partition (monotonically_increasing_id mod buckets), NOT a hash of
+  * the row content: content hashing would send identical rows — the
+  * degenerate hot-key case — to one bucket and reintroduce the skew.
+  * Round-robin spreads them perfectly, and any assignment is correct
+  * because the aggregates decompose.
   *
   * (AQE's skewJoin handles skewed JOINS; this is the aggregation-side
   * counterpart for when the partial-agg map side alone is not enough —
@@ -29,7 +32,7 @@ object Skew {
       partial: Seq[Column], merge: Seq[Column]): DataFrame =
     df.withColumn(
         "__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+        pmod(monotonically_increasing_id(), lit(buckets.toLong)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

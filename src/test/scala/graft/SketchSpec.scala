@@ -31,11 +31,13 @@ class SketchSpec extends SparkSpec {
       .orderBy("event_type")
       .as[(String, Long, Double)].collect().toSeq
     assert(salted == direct)
-    // the salt genuinely spreads each hot key over many sub-groups
-    val spread = ev
-      .withColumn("__salt", pmod(xxhash64(ev.columns.map(col): _*), lit(32L)))
-      .select("event_type", "__salt").distinct().count()
-    assert(spread > 100) // 5 keys × up to 32 salts
+    // degenerate hot key — 500 IDENTICAL rows: round-robin salting must
+    // still spread them (content hashing would not) and stay correct
+    val dup = Seq.fill(500)(("hot", 1.0)).toDF("event_type", "value")
+    val dupSalted = graft.operators.Skew
+      .saltedCountSum(dup, Seq("event_type"), "value", 32)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(dupSalted == Seq(("hot", 500L, 500.0)))
   }
 
   test("cmsBucket (plan-side) and cmsBucketOf (driver-side) agree") {
