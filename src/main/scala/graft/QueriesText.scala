@@ -414,6 +414,32 @@ object QueriesText {
     """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- row 28b: tf-idf top terms ----
+
+  val tfidfK = 3
+
+  def tfidfTermsQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .tfidfTopTerms(Tables(spark, dir, "documents"), tfidfK)
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val tfidfTermsSql: String =
+    s"""WITH $wordsCte,
+       |w2 AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT * FROM (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+       |               term) AS INT) AS rnk,
+       |    term,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq USING (term), n
+       |) WHERE rnk <= $tfidfK
+       |ORDER BY doc_id, rnk""".stripMargin
+
   // ---- rows 29b/29c: PII scrub + URL stats ----
 
   def piiScrubQ(spark: SparkSession, dir: String): DataFrame =
@@ -472,6 +498,7 @@ object QueriesText {
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
+    "tfidf_terms" -> (tfidfTermsQ _),
     "doc_fingerprint" -> (docFingerprintQ _),
     "pii_scrub" -> (piiScrubQ _),
     "url_stats" -> (urlStatsQ _),
@@ -491,6 +518,7 @@ object QueriesText {
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
+    "tfidf_terms" -> tfidfTermsSql,
     "doc_fingerprint" -> docFingerprintSql,
     "pii_scrub" -> piiScrubSql,
     "url_stats" -> urlStatsSql,

@@ -78,6 +78,29 @@ object TextAnalysis {
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("fingerprint"))
 
+  /** Per-document top-k terms by tf-idf with a LOG-FREE idf
+    * (score = tf × N / df): ln() is the one place libm implementations
+    * may differ in the last ulp between engines, and the rational form
+    * ranks identically per term while staying bit-exact everywhere.
+    * One explode + two keyed aggregations (doc-term, then term) + a
+    * per-doc window over that doc's distinct terms — bounded work per
+    * key; the doc count is a 1-row broadcast.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    val words = documents.select(col("doc_id"), explode(TextOps.tokensExpr).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
+
   /** PII / URL patterns restricted to the regex subset on which Java
     * regex (Spark) and RE2 (DuckDB) agree: character classes, bounded
     * repetition, alternation-free, no backrefs or lookaround — both

@@ -64,6 +64,16 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("tfidfTopTerms ranks rare frequent terms first, rational idf") {
+    val d = docs(1L -> "apple apple banana", 2L -> "banana cherry")
+    val got = TextAnalysis.tfidfTopTerms(d, 2)
+      .as[(Long, Int, String, Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+    // N=2; df: apple 1, banana 2, cherry 1
+    assert(got == Seq(
+      (1L, 1, "apple", 4.0), (1L, 2, "banana", 1.0),
+      (2L, 1, "cherry", 2.0), (2L, 2, "banana", 1.0)))
+  }
+
   test("connectedComponents resolves transitive chains to the min label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 9L))
       .toDF("doc_a", "doc_b")
