@@ -33,8 +33,12 @@ object Components {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionAll(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // checkpoint the pair list BEFORE symmetrizing — the two union
+    // branches would otherwise evaluate the (possibly expensive)
+    // upstream pair pipeline twice
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val edges = p
+      .unionAll(p.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("node"))
