@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-regression guards: the scale-critical physical-plan properties
+  * (filter pushdown to the scan, broadcast of bounded sides, shuffle
+  * counts) asserted as tests, so an innocent-looking rewrite cannot
+  * silently turn a broadcast into a shuffle or lift a filter off the
+  * scan. Plans are inspected WITHOUT AQE (the fixture session), so the
+  * assertions are deterministic.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("interval_join pushes the event_type filters into the parquet scans") {
+    val p = plan("interval_join")
+    assert(p.contains("EqualTo(event_type,click)"))
+    assert(p.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("cms_freq joins its bounded counter table by broadcast") {
+    assert(plan("cms_freq").contains("BroadcastHashJoin"))
+  }
+
+  test("naive_est broadcasts the one-row stats row, never shuffles it") {
+    val p = plan("naive_est")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("q1_agg is a single scan + partial/final aggregate (one exchange)") {
+    val p = plan("q1_agg")
+    assert("Exchange".r.findAllIn(p).size <= 2) // agg shuffle (+ sort for output order)
+  }
+
+  test("exact_dedup reads only the columns it needs") {
+    val p = plan("exact_dedup")
+    // ReadSchema on the documents scan must not include the wide columns
+    // that the dedup never touches (lang, source)
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("lang")))
+  }
+}
