@@ -152,17 +152,19 @@ object QueriesEstimators {
       .orderBy(col("query_id"))
   }
 
+  /** Exact-count selectivity factors (the naive model's SQL side). */
+  private def naiveFactorsSql(q: graft.query.ParsedQuery): Seq[String] =
+    q.predicates.map { p =>
+      val t = CardBenchmark.tableOf(p.col)
+      s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE)" +
+        s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
+    }
+
   val naiveEstSql: String =
-    CardBenchmark.specs
-      .map { case (id, sql) =>
-        val q = PseudoSql.parse(sql)
+    parsedSpecs
+      .map { case (id, q, _) =>
         val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
-        val factors = q.predicates.map { p =>
-          val t = CardBenchmark.tableOf(p.col)
-          s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE)" +
-            s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
-        }
-        val est = (j +: factors).mkString(" * ")
+        val est = (j +: naiveFactorsSql(q)).mkString(" * ")
         s"SELECT '$id' AS query_id, $est AS est"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
@@ -287,12 +289,13 @@ object QueriesEstimators {
     * TakeOrdered top-k per equality column; everything lands in one
     * broadcast stats row and each estimate is a pure expression over it.
     */
-  private def statsEstQ(eqViaMcv: Boolean)(spark: SparkSession, dir: String): DataFrame = {
+  private def modelStatsRow(eqViaMcv: Boolean)(spark: SparkSession, dir: String): DataFrame = {
     import HistModel._
-    val load = Fanouts.loader(spark, dir)
-    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
-    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
-      .map { case (p, i) => (i, p, CardBenchmark.tableOf(p.col)) }
+    val allPreds = parsedSpecs.flatMap { case (_, q, start) =>
+      q.predicates.zipWithIndex.map { case (p, j) =>
+        (start + j, p, CardBenchmark.tableOf(p.col))
+      }
+    }
 
     val histCols = allPreds.collect { case (_, p, t) if isRange(p) => (t, p.col) }.distinct
     val eqIdx = allPreds.collect {
@@ -361,8 +364,16 @@ object QueriesEstimators {
         val aggs = sum(col("f")).cast("double").as(s"__sumF_$c") +: litAggs
         mcv.agg(aggs.head, aggs.tail: _*)
       }.foldLeft(statsRow)(_.crossJoin(_))
+    fullStats
+  }
 
-    def selExpr(i: Int, p: Predicate, t: String): org.apache.spark.sql.Column = {
+  /** Selectivity of one predicate as an expression over the model's
+    * stats row (i = the predicate's global index).
+    */
+  private def modelSelExpr(eqViaMcv: Boolean)(
+      i: Int, p: Predicate, t: String): org.apache.spark.sql.Column = {
+    import HistModel._
+    {
       val n = col(s"__N_$t").cast("double")
       val c = p.col
       // MCV equality: exact MCV frequency, else uniform share of the
@@ -396,21 +407,30 @@ object QueriesEstimators {
           terms.reduce(_ + _) / n
       }
     }
+  }
 
-    var gi = 0
-    parsed
-      .map { case (id, q) =>
+  /** est column for a query under a stats model: __j × Π selectivities. */
+  private def modelEstCol(eqViaMcv: Boolean)(
+      q: graft.query.ParsedQuery, start: Int): org.apache.spark.sql.Column = {
+    var i = start - 1
+    q.predicates.foldLeft(col("__j")) { (acc, p) =>
+      i += 1
+      acc * modelSelExpr(eqViaMcv)(
+        i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
+    }
+  }
+
+  private def statsEstQ(eqViaMcv: Boolean)(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val fullStats = modelStatsRow(eqViaMcv)(spark, dir)
+    parsedSpecs
+      .map { case (id, q, start) =>
         val joinOnly = Engine
           .count(q.copy(predicates = Seq.empty), load)
           .select(col("card").cast("double").as("__j"))
-        val est = q.predicates.foldLeft(col("__j")) { (acc, p) =>
-          val i = gi
-          gi += 1
-          acc * selExpr(i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
-        }
         joinOnly
           .crossJoin(broadcast(fullStats))
-          .select(lit(id).as("query_id"), est.as("est"))
+          .select(lit(id).as("query_id"), modelEstCol(eqViaMcv)(q, start).as("est"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
@@ -422,14 +442,27 @@ object QueriesEstimators {
   def mcvEstQ(spark: SparkSession, dir: String): DataFrame =
     statsEstQ(eqViaMcv = true)(spark, dir)
 
-  private def statsEstSql(eqViaMcv: Boolean): String = {
+  /** Oracle-SQL generators for the stats models — shared by
+    * hist_est/mcv_est and the per-model q-error query.
+    */
+  private object StatsSql {
     import HistModel._
-    val parsed = CardBenchmark.specs.map { case (id, sql) => (id, PseudoSql.parse(sql)) }
-    val allPreds = parsed.flatMap(_._2.predicates).zipWithIndex
-      .map { case (p, i) => (i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col)) }
-    val eqCols = allPreds.collect {
-      case (_, p, t) if McvModel.isEq(p) => (t, p.col)
-    }.distinct
+
+    val eqCols: Seq[(String, String)] = parsedSpecs
+      .flatMap(_._2.predicates)
+      .collect {
+        case p if McvModel.isEq(p) =>
+          (CardBenchmark.tableOf(p.col), p.col.split('.').last)
+      }
+      .distinct
+
+    /** mcv_<col> CTE list (the MCV model's WITH prefix). */
+    val mcvCtes: String = eqCols
+      .map { case (t, c) =>
+        s"mcv_$c AS (SELECT $c AS v, COUNT(*) AS f FROM $t WHERE $c IS NOT NULL" +
+          s" GROUP BY $c ORDER BY f DESC, v ASC LIMIT ${McvModel.k})"
+      }
+      .mkString(",\n")
 
     def mmSql(t: String, c: String, agg: String): String =
       s"(SELECT $agg(${sqlNum(c)}) FROM $t)"
@@ -448,7 +481,7 @@ object QueriesEstimators {
         s" THEN (($nn - $sumF) / ($ndv - ${McvModel.k}.0)) ELSE 0.0 END) / ${nSql(t)})"
     }
 
-    def selSql(i: Int, p: Predicate, t: String): String =
+    def selSql(eqViaMcv: Boolean)(p: Predicate, t: String): String =
       p.op.toUpperCase match {
         case "=" =>
           if (eqViaMcv) mcvSelSql(p.value, p.col, t)
@@ -478,26 +511,23 @@ object QueriesEstimators {
           s"((${terms.mkString(" + ")}) / ${nSql(t)})"
       }
 
-    var gi = 0
-    val body = parsed
-      .map { case (id, q) =>
+    /** Factor list (selectivities) for one query under a model. */
+    def factors(eqViaMcv: Boolean)(q: graft.query.ParsedQuery): Seq[String] =
+      q.predicates.map { p =>
+        selSql(eqViaMcv)(
+          p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
+      }
+  }
+
+  private def statsEstSql(eqViaMcv: Boolean): String = {
+    val body = parsedSpecs
+      .map { case (id, q, _) =>
         val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
-        val factors = q.predicates.map { p =>
-          val i = gi
-          gi += 1
-          selSql(i, p.copy(col = p.col.split('.').last), CardBenchmark.tableOf(p.col))
-        }
-        s"SELECT '$id' AS query_id, ${(j +: factors).mkString(" * ")} AS est"
+        s"SELECT '$id' AS query_id, ${(j +: StatsSql.factors(eqViaMcv)(q)).mkString(" * ")} AS est"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
     if (!eqViaMcv) body
-    else {
-      val ctes = eqCols.map { case (t, c) =>
-        s"mcv_$c AS (SELECT $c AS v, COUNT(*) AS f FROM $t WHERE $c IS NOT NULL" +
-          s" GROUP BY $c ORDER BY f DESC, v ASC LIMIT ${McvModel.k})"
-      }
-      s"WITH ${ctes.mkString(",\n")}\n$body"
-    }
+    else s"WITH ${StatsSql.mcvCtes}\n$body"
   }
 
   val histEstSql: String = statsEstSql(eqViaMcv = false)
@@ -521,6 +551,69 @@ object QueriesEstimators {
        |ranked AS (SELECT q_err, ROW_NUMBER() OVER (ORDER BY q_err) AS rn, COUNT(*) OVER () AS n FROM qe)
        |$arms
        |ORDER BY quantile""".stripMargin
+  }
+
+  // ---- row 13c: per-model q-error (the reference's eval_batch shape) ----
+
+  /** q-error of EVERY stats model (naive / hist / mcv) over the
+    * workload — the reference's per-estimator evaluation output
+    * (run.py eval_batch). One traversal of each spec's join tree serves
+    * all three models: the (join size, true card) one-row frame is
+    * cached, and each model's estimate is a pure expression over its
+    * own broadcast stats row — adding a model costs expressions, not
+    * join passes.
+    */
+  def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val modelRows = Seq(
+      ("hist", modelStatsRow(eqViaMcv = false)(spark, dir),
+        (q: graft.query.ParsedQuery, s: Int) => modelEstCol(eqViaMcv = false)(q, s)),
+      ("mcv", modelStatsRow(eqViaMcv = true)(spark, dir),
+        (q: graft.query.ParsedQuery, s: Int) => modelEstCol(eqViaMcv = true)(q, s)),
+      ("naive", predStatsRow(spark, dir),
+        (q: graft.query.ParsedQuery, s: Int) => naiveEstCol(q, s)))
+    val boths = parsedSpecs.map { case (id, q, start) =>
+      val conj = Predicate.conjunction(
+        q.predicates.map(p => p.copy(col = p.col.split('.').last)))
+      val both = Engine
+        .plan(q.copy(predicates = Seq.empty), load)
+        .agg(
+          count(lit(1)).cast("double").as("__j"),
+          sum(when(conj, 1L).otherwise(0L)).cast("double").as("__card"))
+        .cache()
+      (id, q, start, both)
+    }
+    modelRows
+      .flatMap { case (model, statsRow, estOf) =>
+        boths.map { case (id, q, start, both) =>
+          val est = estOf(q, start)
+          both
+            .crossJoin(broadcast(statsRow))
+            .select(
+              lit(model).as("model"), lit(id).as("query_id"),
+              greatest(est / col("__card"), col("__card") / est).as("q_err"))
+        }
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("model"), col("query_id"))
+  }
+
+  val qErrorModelsSql: String = {
+    val models: Seq[(String, graft.query.ParsedQuery => Seq[String])] = Seq(
+      "hist" -> StatsSql.factors(eqViaMcv = false) _,
+      "mcv" -> StatsSql.factors(eqViaMcv = true) _,
+      "naive" -> (naiveFactorsSql _))
+    val arms = for {
+      (model, factorsOf) <- models
+      (id, q, _) <- parsedSpecs
+    } yield {
+      val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+      val est = (j +: factorsOf(q)).mkString(" * ")
+      val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
+      s"SELECT '$model' AS model, '$id' AS query_id," +
+        s" GREATEST(($est) / $tru, $tru / ($est)) AS q_err"
+    }
+    s"WITH ${StatsSql.mcvCtes}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
   }
 
   // ---- rows 12/14: weighted join sample + sample-based estimator ----
@@ -590,6 +683,7 @@ object QueriesEstimators {
     "mcv_est" -> (mcvEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
+    "q_error_models" -> (qErrorModelsQ _),
     "join_sample" -> (joinSampleQ _),
     "sample_est" -> (sampleEstQ _)
   )
@@ -602,6 +696,7 @@ object QueriesEstimators {
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
     "q_error" -> qErrorSql,
-    "q_error_quantiles" -> qErrorQuantilesSql
+    "q_error_quantiles" -> qErrorQuantilesSql,
+    "q_error_models" -> qErrorModelsSql
   )
 }
