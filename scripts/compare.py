@@ -54,6 +54,20 @@ def main():
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
         bad = None
+        kind_bad = None
+        for c in g.columns:
+            ka, kb = g[c].dtype.kind, w[c].dtype.kind
+            # int-vs-float drift (e.g. DuckDB HUGEINT -> float64) hashes
+            # differently in the driver even when values compare equal.
+            if {ka, kb} == {"f"} or {ka, kb} <= {"i", "u"}:
+                pass
+            elif ("f" in (ka, kb)) and (ka in "iu" or kb in "iu"):
+                kind_bad = (c, g[c].dtype, w[c].dtype)
+                break
+        if kind_bad:
+            c, da, db = kind_bad
+            print(f"FAIL {name}: col {c} dtype kind {da} vs {db} (int/float drift)")
+            n_fail += 1; continue
         for c in g.columns:
             a, b = g[c], w[c]
             try:

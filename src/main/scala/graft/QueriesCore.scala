@@ -91,7 +91,7 @@ object QueriesCore {
 
   val fanoutWeightSql: String =
     """SELECT c.c_custkey,
-      |  COALESCE(ow.w, 1) AS weight
+      |  CAST(COALESCE(ow.w, 1) AS BIGINT) AS weight
       |FROM customer c
       |LEFT JOIN (
       |  SELECT o.o_custkey, SUM(COALESCE(lw.cnt, 1)) AS w

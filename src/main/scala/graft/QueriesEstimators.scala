@@ -169,8 +169,28 @@ object QueriesEstimators {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
-  /** q-error of the naive estimator vs truth: max(est/true, true/est)
-    * (reference: scardina/run.py:60-67).
+  /** calc_q_err's exact semantics (reference: scardina/run.py:60-67):
+    * true=0 ∧ est≠0 → est; est=0 ∧ true≠0 → true; both 0 → 1.0;
+    * else max(est/true, true/est). est=0 is reachable (MCV zero tail
+    * when ndv≤k, zero LIKE match counts), where plain division would
+    * yield NULL in Spark vs inf in DuckDB — a parity break and poisoned
+    * quantiles. Mirrored in [[qErrSqlOf]] so both sides agree.
+    */
+  private def qErrCol(est: Column, tru: Column): Column =
+    when(tru === 0.0 && est =!= 0.0, est)
+      .when(est === 0.0 && tru =!= 0.0, tru)
+      .when(tru === 0.0 && est === 0.0, lit(1.0))
+      .otherwise(greatest(est / tru, tru / est))
+
+  /** SQL twin of [[qErrCol]]; `est`/`tru` must be cheap references. */
+  private def qErrSqlOf(est: String, tru: String): String =
+    s"CASE WHEN $tru = 0 AND $est <> 0 THEN $est" +
+      s" WHEN $est = 0 AND $tru <> 0 THEN $tru" +
+      s" WHEN $tru = 0 AND $est = 0 THEN 1.0" +
+      s" ELSE GREATEST($est / $tru, $tru / $est) END"
+
+  /** q-error of the naive estimator vs truth (calc_q_err semantics,
+    * reference: scardina/run.py:60-67).
     *
     * Single-pass formulation: instead of running the predicate-free join
     * (for the estimate's base) AND the filtered join (for the true card)
@@ -197,7 +217,7 @@ object QueriesEstimators {
           .crossJoin(broadcast(statsRow))
           .select(
             lit(id).as("query_id"),
-            greatest(est / col("__card"), col("__card") / est).as("q_err"))
+            qErrCol(est, col("__card")).as("q_err"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("query_id"))
@@ -210,8 +230,7 @@ object QueriesEstimators {
        |$trueCardSql
        |)
        |SELECT est.query_id,
-       |  GREATEST(est.est / CAST(tru.card AS DOUBLE),
-       |           CAST(tru.card AS DOUBLE) / est.est) AS q_err
+       |  ${qErrSqlOf("est.est", "CAST(tru.card AS DOUBLE)")} AS q_err
        |FROM est JOIN tru ON est.query_id = tru.query_id
        |ORDER BY est.query_id""".stripMargin
 
@@ -591,7 +610,7 @@ object QueriesEstimators {
             .crossJoin(broadcast(statsRow))
             .select(
               lit(model).as("model"), lit(id).as("query_id"),
-              greatest(est / col("__card"), col("__card") / est).as("q_err"))
+              qErrCol(est, col("__card")).as("q_err"))
         }
       }
       .reduce(_.unionAll(_))
@@ -610,8 +629,10 @@ object QueriesEstimators {
       val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
       val est = (j +: factorsOf(q)).mkString(" * ")
       val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
-      s"SELECT '$model' AS model, '$id' AS query_id," +
-        s" GREATEST(($est) / $tru, $tru / ($est)) AS q_err"
+      // est is a large generated expression: bind it (and tru) once in a
+      // derived table so the CASE references are cheap.
+      s"SELECT model, query_id, ${qErrSqlOf("e", "t")} AS q_err FROM" +
+        s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, $tru AS t) AS s"
     }
     s"WITH ${StatsSql.mcvCtes}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
   }

@@ -38,7 +38,7 @@ object QueriesStats {
           else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
             s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
         s"""SELECT '$t.$c' AS col_name, COUNT(*) AS cnt,
-           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nulls,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
            |  COUNT(DISTINCT $c) AS ndv,
            |  $minNum AS min_num, $maxNum AS max_num,
            |  $minStr AS min_str, $maxStr AS max_str

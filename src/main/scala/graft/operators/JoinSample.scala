@@ -18,9 +18,12 @@ import graft.{FkEdge, Subschema}
   *    parallel, and scale-free: no CDF materialization, no driver state.
   *  - per-edge pick: each sample slot left-joins its matching child rows,
   *    each candidate gets an exponential clock `-log(u)/w` with a seeded
-  *    per-(slot, child) uniform, and the minimum clock wins — P(pick) =
-  *    w_i/Σw (weighted pick), resolved by one window per edge. One
-  *    shuffle per edge, exactly as SURVEY.md §3 plans it.
+  *    per-(slot, candidate-row) uniform — the uniform hashes the child
+  *    table's PRIMARY KEY columns (not the join key, which is constant
+  *    across a slot's candidates, so hashing it would collapse all
+  *    clocks) — and the minimum clock wins: P(pick) = w_i/Σw, resolved
+  *    by one window per edge with the PK as deterministic tie-break.
+  *    One shuffle per edge, exactly as SURVEY.md §3 plans it.
   */
 object JoinSample {
 
@@ -47,7 +50,8 @@ object JoinSample {
       rootKey: String,
       load: String => DataFrame,
       n: Long,
-      seed: Long
+      seed: Long,
+      pkOf: String => Seq[String] = graft.Tables.pks
   ): DataFrame = {
     val weighted = Fanouts.weighted(sub, root, load)
     val total = totalWeight(sub, root, load)
@@ -81,9 +85,14 @@ object JoinSample {
         val childW = Fanouts
           .weighted(childSub, child, load)
           .withColumnRenamed("__weight__", "__cw__")
+        // Seed the clock with the candidate row's PK — unique per child
+        // row, unlike childKey which equals the slot's own join key.
+        val childPk = pkOf(child).map(col)
         val clock =
-          -log(uniform(seed + 1, col("__slot__"), col(childKey))) / col("__cw__").cast("double")
-        val win = Window.partitionBy(col("__slot__")).orderBy(col("__clock__"), col(childKey))
+          -log(uniform(seed + 1, (col("__slot__") +: childPk): _*)) /
+            col("__cw__").cast("double")
+        val win = Window.partitionBy(col("__slot__"))
+          .orderBy((col("__clock__") +: childPk): _*)
         out = out
           .join(childW, col(myKey) === col(childKey), "left")
           .withColumn("__clock__", clock)

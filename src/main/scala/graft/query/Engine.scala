@@ -16,16 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Engine {
 
-  /** Strip an optional `table.` qualifier — TPC-H-ish column names are
-    * globally unique, which the reference also relies on (parse.py:72).
+  /** Build the join+filter plan for a parsed query.
+    *
+    * Every table is wrapped in a Dataset alias of its own name, and join
+    * edges / qualified predicates reference `table.col` through that
+    * alias — so an edge whose column name is identical on both sides
+    * (e.g. the reference's IMDB `mc.movie_id = ci.movie_id`) resolves to
+    * the intended side instead of being ambiguous or trivially true.
     */
-  private def bare(c: String): String =
-    c.split('.').last
-
-  /** Build the join+filter plan for a parsed query. */
   def plan(q: ParsedQuery, load: String => DataFrame): DataFrame = {
     require(q.tables.nonEmpty, "no tables")
-    var df = load(q.tables.head)
+    def aliased(t: String): DataFrame = load(t).alias(t)
+    def qualified(parts: Array[String]): String = s"${parts(0)}.${parts(1)}"
+    var df = aliased(q.tables.head)
     var joined = Set(q.tables.head)
     var pending = q.joins.map { case (a, b) => (a.split('.'), b.split('.')) }
 
@@ -38,16 +41,18 @@ object Engine {
       val (a, b) = pending(nextIdx)
       pending = pending.patch(nextIdx, Nil, 1)
       val (newTable, newCol, oldCol) =
-        if (joined.contains(a(0))) (b(0), b(1), a(1)) else (a(0), a(1), b(1))
-      df = df.join(load(newTable), col(oldCol) === col(newCol))
+        if (joined.contains(a(0))) (b(0), qualified(b), qualified(a))
+        else (a(0), qualified(a), qualified(b))
+      df = df.join(aliased(newTable), col(oldCol) === col(newCol))
       joined += newTable
     }
     // Any leftover edges between already-joined tables become filters.
     for ((a, b) <- pending)
-      df = df.filter(col(a(1)) === col(b(1)))
+      df = df.filter(col(qualified(a)) === col(qualified(b)))
 
-    val preds = q.predicates.map(p => p.copy(col = bare(p.col)))
-    df.filter(Predicate.conjunction(preds))
+    // Qualified predicate columns resolve through the table aliases;
+    // unqualified ones resolve by (globally unique) bare name.
+    df.filter(Predicate.conjunction(q.predicates))
   }
 
   /** `COUNT(*)` of the plan — the reference's true-cardinality probe. */

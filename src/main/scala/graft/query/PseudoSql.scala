@@ -35,7 +35,8 @@ object PseudoSql {
     val aliasToTable: Map[String, String] =
       entries.flatMap {
         case Seq(t) => Seq(t -> t)
-        case Seq(t, a) => Seq(t -> t, a -> t)
+        case Seq(t, a) if !a.equalsIgnoreCase("as") => Seq(t -> t, a -> t)
+        case Seq(t, as_, a) if as_.equalsIgnoreCase("as") => Seq(t -> t, a -> t)
         case other => throw new IllegalArgumentException(s"bad FROM entry: $other")
       }.toMap
     def resolve(qualified: String): String = qualified.split('.') match {

@@ -23,6 +23,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ex.getMessage.contains("disconnected"))
   }
 
+  test("Engine resolves join edges whose column name matches on both sides") {
+    // The reference's IMDB workloads join mc.movie_id = ci.movie_id —
+    // same column name on both sides. Table aliases must make the edge
+    // resolve per-table instead of being ambiguous or trivially true.
+    val mc = Seq((1L, 10L), (2L, 20L)).toDF("movie_id", "company_id")
+    val ci = Seq((1L, 100L), (1L, 101L), (3L, 102L)).toDF("movie_id", "person_id")
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM mc, ci WHERE mc.movie_id = ci.movie_id AND ci.person_id >= 101")
+    val cnt = Engine.count(q, Map("mc" -> mc, "ci" -> ci)(_))
+      .collect()(0).getLong(0)
+    assert(cnt == 1L)
+  }
+
   test("queries without WHERE parse to empty joins and predicates") {
     val q = PseudoSql.parse("SELECT COUNT(*) FROM orders")
     assert(q.tables == Seq("orders") && q.joins.isEmpty && q.predicates.isEmpty)

@@ -34,6 +34,33 @@ class JoinSampleSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("per-edge pick is weighted, not degenerate: P(child) ∝ downstream weight") {
+    // One customer, two orders: A with 1 lineitem (weight 1), B with 3
+    // (weight 3). A degenerate pick (clock seeded only by the join key,
+    // which is constant across a slot's candidates) would choose B in
+    // every slot; the correct exponential-clock pick chooses B with
+    // P = 3/4.
+    import spark.implicits._
+    val customers = Seq((1L, "x")).toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (20L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1), (20L, 1), (20L, 2), (20L, 3))
+      .toDF("l_orderkey", "l_linenumber")
+    val tables = Map("customer" -> customers, "orders" -> orders, "lineitem" -> lineitem)
+    val pk = Map(
+      "orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+    val s = JoinSample
+      .sample(chain, "customer", "c_custkey", tables(_), 4000, seed = 11, pk(_))
+      .cache()
+    val n = s.count().toDouble
+    val pickB = s.filter(col("o_orderkey") === 20L).count().toDouble / n
+    assert(math.abs(pickB - 0.75) < 0.05, s"P(B)=$pickB, want ~0.75")
+    // and within order B, each of its 3 lineitems is picked ~uniformly
+    val l2 = s.filter(col("o_orderkey") === 20L && col("l_linenumber") === 2)
+      .count().toDouble / (n * 0.75)
+    assert(math.abs(l2 - 1.0 / 3) < 0.06, s"P(l2|B)=$l2, want ~0.333")
+  }
+
   test("weighted sampling is approximately unbiased: est ≈ padded join size") {
     val w = JoinSample.totalWeight(chain, "customer", load)
       .collect()(0).getLong(0)

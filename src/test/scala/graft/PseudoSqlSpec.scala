@@ -38,6 +38,15 @@ class PseudoSqlSpec extends AnyFunSuite {
       Predicate("o_totalprice", "IS", null)))
   }
 
+  test("FROM entries accept alias, AS alias, and bare forms (job-light uses AS)") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM cast_info AS ci, title t, movie_info" +
+        " WHERE t.id = ci.movie_id AND ci.role_id = 2")
+    assert(q.tables == Seq("cast_info", "title", "movie_info"))
+    assert(q.joins == Seq(("title.id", "cast_info.movie_id")))
+    assert(q.predicates == Seq(Predicate("cast_info.role_id", "=", 2L)))
+  }
+
   test("round-trips through PredicateSql.render") {
     import graft.query.PredicateSql
     assert(PredicateSql.render(Predicate("a", "BETWEEN", Seq(1L, 2L))) == "a BETWEEN 1 AND 2")
