@@ -61,11 +61,9 @@ object QueriesEstimators {
     * engine materializes its stats tables once and serves every
     * estimate from them.
     */
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private def memoized(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, tag), build.cache())
+    Memo(spark, dir, tag)(build)
 
   /** One-row (join size, true card) frame for a spec: its join tree is
     * traversed once, producing count(*) and the conditional count of

@@ -57,9 +57,26 @@ object QueriesText {
 
   // ---- row 20: minhash signatures ----
 
+  /** Wide minhash signatures (doc_id, m0..m15), materialized once per
+    * session — the base of minhash_sig, the LSH bands, and (via the
+    * verified pairs) dup_clusters.
+    */
+  private def mhWide(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "mhWide")(
+      TextOps.minhashWide(TextOps.docShingles(Tables(spark, dir, "documents"), 3)))
+
+  /** Per-doc distinct 3-shingle sets, materialized once (pair verify). */
+  private def shArr3(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "shArr3")(
+      TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
+
   def minhashSigQ(spark: SparkSession, dir: String): DataFrame =
-    TextOps
-      .minhashLong(TextOps.docShingles(Tables(spark, dir, "documents"), 3))
+    mhWide(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until TextOps.numPerms).map(i => col(s"m$i")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "minhash")
       .orderBy(col("doc_id"), col("seed"))
 
   val minhashSigSql: String = {
@@ -77,25 +94,29 @@ object QueriesText {
 
   val lshTau = 0.6
 
-  def minhashLshDupQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val cands = TextOps.lshCandidates(
-      TextOps.lshBands(TextOps.minhashWide(TextOps.docShingles(d, 3))))
-    // Verify candidates against whole shingle SETS (array_intersect):
-    // the sparse candidate list joins the per-doc set twice — no second
-    // exploded-shingle self-join, three document scans total.
-    val sets = TextOps.shingleArrays(d, 3)
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= lshTau)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** Verified (jaccard ≥ τ) near-dup pairs, materialized once — served
+    * to minhash_lsh_dup and closed transitively by dup_clusters.
+    */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "lshPairs") {
+      val cands = TextOps.lshCandidates(TextOps.lshBands(mhWide(spark, dir)))
+      // Verify candidates against whole shingle SETS (array_intersect):
+      // the sparse candidate list joins the per-doc set twice — no second
+      // exploded-shingle self-join, three document scans total.
+      val sets = shArr3(spark, dir)
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (size(col("sha")) + size(col("shb")) - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= lshTau)
+    }
+
+  def minhashLshDupQ(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared CTE block ending in `pairs` (verified near-dup pairs) —
     * minhash_lsh_dup selects from it directly, dup_clusters closes over
@@ -141,7 +162,7 @@ object QueriesText {
     */
   def dupClustersQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Components
-      .connectedComponents(minhashLshDupQ(spark, dir), "doc_a", "doc_b")
+      .connectedComponents(lshPairs(spark, dir), "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
