@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, TextAnalysis}
+
+/** Corpus-curation queries (SURVEY.md §2 rows 36-41): stratified
+  * sampling, drift testing, n-gram statistics, rule filtering,
+  * repetition signals, and cluster-aware keep-best dedup resolution.
+  * Oracle SQL mirrors the Spark expressions operation-for-operation.
+  */
+object QueriesCorpus {
+
+  // ---- row 36: deterministic stratified sampling ----
+
+  val strataSeed = "strat42"
+
+  /** Stratum fraction by source index mod 3: 0.5 / 0.25 / 0.1. */
+  val strataFracs: Seq[Double] = Seq(0.5, 0.25, 0.1)
+
+  private def srcNum = expr("CAST(substring(source, 4) AS INT)")
+
+  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val thresh = when(srcNum % 3 === 0, lit(Corpus.thresholdHex(strataFracs(0))))
+      .when(srcNum % 3 === 1, lit(Corpus.thresholdHex(strataFracs(1))))
+      .otherwise(lit(Corpus.thresholdHex(strataFracs(2))))
+    Corpus
+      .stratifiedSample(Tables(spark, dir, "documents"), strataSeed, thresh)
+      .orderBy(col("doc_id"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val caseSql =
+      s"""CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN '${Corpus.thresholdHex(strataFracs(0))}'
+         |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN '${Corpus.thresholdHex(strataFracs(1))}'
+         |       ELSE '${Corpus.thresholdHex(strataFracs(2))}' END""".stripMargin
+    s"""SELECT doc_id, source, substr(md5('$strataSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+       |FROM documents
+       |WHERE substr(md5('$strataSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  $caseSql
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- row 37: χ² drift between event populations ----
+
+  def chi2DriftQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.chi2Drift(Tables(spark, dir, "events")).orderBy(col("event_type"))
+
+  val chi2DriftSql: String =
+    """WITH obs AS (SELECT event_type,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1 FROM obs)
+      |SELECT event_type, n0, n1,
+      |  (CAST(n0 AS DOUBLE) - e0) * (CAST(n0 AS DOUBLE) - e0) / e0
+      |    + (CAST(n1 AS DOUBLE) - e1) * (CAST(n1 AS DOUBLE) - e1) / e1 AS chi2
+      |FROM (SELECT event_type, n0, n1,
+      |        CAST(n0 + n1 AS DOUBLE) * CAST(t0 AS DOUBLE) / CAST(t0 + t1 AS DOUBLE) AS e0,
+      |        CAST(n0 + n1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(t0 + t1 AS DOUBLE) AS e1
+      |      FROM obs, tot)
+      |ORDER BY event_type""".stripMargin
+
+  // ---- row 38: per-lang top-k n-grams ----
+
+  val ngramFreqK = 5
+
+  def ngramFreqQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus
+      .ngramFreq(Tables(spark, dir, "documents"), ngramFreqK)
+      .orderBy(col("lang"), col("rnk"))
+
+  val ngramFreqSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |bi AS (SELECT d.lang,
+       |         unnest(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) AS ngram
+       |       FROM w JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT lang, ngram, COUNT(*) AS cnt FROM bi GROUP BY 1, 2)
+       |SELECT lang, CAST(rnk AS INT) AS rnk, ngram, cnt FROM (
+       |  SELECT lang, ngram, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, ngram) AS rnk
+       |  FROM cnt)
+       |WHERE rnk <= $ngramFreqK
+       |ORDER BY lang, rnk""".stripMargin
+
+  // ---- row 39: C4/Gopher-style rule filter ----
+
+  def docFilterQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.docFilter(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val docFilterSql: String = {
+    import TextAnalysis.{emailPat, phonePat}
+    s"""WITH ${QueriesText.wordsCte}
+       |SELECT doc_id, r_min_words, r_stop_ratio, r_word_shape, r_no_pii,
+       |  (r_min_words AND r_stop_ratio AND r_word_shape AND r_no_pii) AS kept
+       |FROM (
+       |  SELECT w.doc_id,
+       |    len(ws) >= 30 AS r_min_words,
+       |    (${QueriesText.stopRatioSqlExpr}) >= 0.02 AS r_stop_ratio,
+       |    (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0 AS r_word_shape,
+       |    (len(regexp_extract_all(d.text, '$emailPat'))
+       |      + len(regexp_extract_all(d.text, '$phonePat'))) = 0 AS r_no_pii
+       |  FROM w JOIN documents d USING (doc_id))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- row 40: repetition signals ----
+
+  def repetitionRatioQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionRatio(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  val repetitionRatioSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |wx AS (SELECT doc_id, unnest(ws) AS word FROM w),
+       |wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM wx GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS nt,
+       |               CAST(COUNT(*) AS BIGINT) AS nu, CAST(MAX(cnt) AS BIGINT) AS mx
+       |        FROM wc GROUP BY 1),
+       |bi AS (SELECT doc_id,
+       |         list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1]) AS bl
+       |       FROM w)
+       |SELECT w.doc_id,
+       |  COALESCE(1.0 - CAST(nu AS DOUBLE) / CAST(nt AS DOUBLE), 0.0) AS dup_word_ratio,
+       |  COALESCE(CAST(mx AS DOUBLE) / CAST(nt AS DOUBLE), 0.0) AS top_word_ratio,
+       |  CASE WHEN len(bl) > 0 THEN 1.0 - CAST(len(list_distinct(bl)) AS DOUBLE) / CAST(len(bl) AS DOUBLE)
+       |       ELSE 0.0 END AS dup_bigram_ratio
+       |FROM w
+       |JOIN bi USING (doc_id)
+       |LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- row 41: cluster-aware keep-best dedup resolution ----
+
+  /** Among each near-dup cluster keep the highest-quality member
+    * (quality_score semantics, ties to the lowest doc_id) — the decision
+    * a curation pipeline actually ships, composed from the materialized
+    * cluster labels and the per-doc quality frame.
+    */
+  def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = QueriesText.dupComponents(spark, dir)
+    val quality = TextAnalysis
+      .qualityScore(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("score"))
+    val win = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    val keep = clusters
+      .join(quality, "doc_id")
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"))
+    clusters
+      .join(keep, "cluster_id")
+      .select(
+        col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${QueriesText.clustersCtes},
+       |qs AS (SELECT doc_id, ${QueriesText.scoreSqlExpr.replace("\n", " ")} AS score FROM w),
+       |ranked AS (SELECT c.doc_id, c.cluster_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY qs.score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN qs USING (doc_id)),
+       |keep AS (SELECT cluster_id, doc_id AS keep_id FROM ranked WHERE rn = 1)
+       |SELECT c.doc_id, c.cluster_id, k.keep_id, c.doc_id = k.keep_id AS kept
+       |FROM clusters c JOIN keep k USING (cluster_id)
+       |ORDER BY c.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample" -> (stratifiedSampleQ _),
+    "chi2_drift" -> (chi2DriftQ _),
+    "ngram_freq" -> (ngramFreqQ _),
+    "doc_filter" -> (docFilterQ _),
+    "repetition_ratio" -> (repetitionRatioQ _),
+    "dedup_keep_best" -> (dedupKeepBestQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stratified_sample" -> stratifiedSampleSql,
+    "chi2_drift" -> chi2DriftSql,
+    "ngram_freq" -> ngramFreqSql,
+    "doc_filter" -> docFilterSql,
+    "repetition_ratio" -> repetitionRatioSql,
+    "dedup_keep_best" -> dedupKeepBestSql
+  )
+}

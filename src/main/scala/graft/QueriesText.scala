@@ -16,7 +16,7 @@ import graft.operators.{Multimodal, Similarity, TextAnalysis, TextOps}
 object QueriesText {
 
   // Shared DuckDB SQL fragments (mirror TextOps exactly).
-  private val wordsCte =
+  private[graft] val wordsCte =
     """w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
       |       FROM documents)""".stripMargin
 
@@ -97,7 +97,7 @@ object QueriesText {
   /** Verified (jaccard ≥ τ) near-dup pairs, materialized once — served
     * to minhash_lsh_dup and closed transitively by dup_clusters.
     */
-  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshPairs(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "lshPairs") {
       val cands = TextOps.lshCandidates(TextOps.lshBands(mhWide(spark, dir)))
       // Verify candidates against whole shingle SETS (array_intersect):
@@ -122,7 +122,7 @@ object QueriesText {
     * minhash_lsh_dup selects from it directly, dup_clusters closes over
     * it transitively.
     */
-  private val lshPairsCtes: String = {
+  private[graft] val lshPairsCtes: String = {
     val bandArms = (0 until TextOps.numBands)
       .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS band_key FROM sigs")
       .mkString("\nUNION ALL\n")
@@ -160,23 +160,36 @@ object QueriesText {
     * minimum member doc_id) per involved document; the keep-list of a
     * dedup pass is then `doc_id == cluster_id`.
     */
-  def dupClustersQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Components
-      .connectedComponents(lshPairs(spark, dir), "doc_a", "doc_b")
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+  /** Connected components over the verified pairs, materialized once —
+    * shared by dup_clusters and dedup_keep_best.
+    */
+  private[graft] def dupComponents(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dupComponents")(
+      graft.operators.Components
+        .connectedComponents(lshPairs(spark, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
 
-  val dupClustersSql: String =
-    s"""WITH RECURSIVE $lshPairsCtes,
+  def dupClustersQ(spark: SparkSession, dir: String): DataFrame =
+    dupComponents(spark, dir).orderBy(col("doc_id"))
+
+  /** CTE chain ending in `clusters` (doc_id, cluster_id) — the recursive
+    * closure of the verified pairs; shared by dup_clusters and
+    * dedup_keep_best.
+    */
+  private[graft] val clustersCtes: String =
+    s"""$lshPairsCtes,
        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(node, r) AS (
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
-       |)
-       |SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
-       |GROUP BY node ORDER BY doc_id""".stripMargin
+       |),
+       |clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $clustersCtes
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   // ---- row 22: SimHash near-dup pairs ----
 
@@ -404,20 +417,29 @@ object QueriesText {
   def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
 
-  val qualityScoreSql: String = {
-    val in = TextAnalysis.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[graft] val stopwordsInSql: String =
+    TextAnalysis.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** SQL twins of qualityScore's per-doc expressions over `ws`. */
+  private[graft] val stopRatioSqlExpr: String =
+    s"CAST(len(list_filter(ws, x -> x IN $stopwordsInSql)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)"
+  private[graft] val avgWordLenSqlExpr: String =
+    "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)"
+  private[graft] val scoreSqlExpr: String =
+    s"""0.4 * LEAST(CAST(len(ws) AS DOUBLE) / 200.0, 1.0)
+       |    + 0.3 * ($stopRatioSqlExpr)
+       |    + 0.3 * (CASE WHEN ($avgWordLenSqlExpr)
+       |                       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)""".stripMargin
+
+  val qualityScoreSql: String =
     s"""WITH $wordsCte
        |SELECT doc_id,
        |  CAST(len(ws) AS INT) AS n_words,
-       |  CAST(len(list_filter(ws, x -> x IN $in)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
-       |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS avg_word_len,
-       |  0.4 * LEAST(CAST(len(ws) AS DOUBLE) / 200.0, 1.0)
-       |    + 0.3 * (CAST(len(list_filter(ws, x -> x IN $in)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
-       |    + 0.3 * (CASE WHEN (CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
-       |                       BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) AS score
+       |  $stopRatioSqlExpr AS stop_ratio,
+       |  $avgWordLenSqlExpr AS avg_word_len,
+       |  $scoreSqlExpr AS score
        |FROM w
        |ORDER BY doc_id""".stripMargin
-  }
 
   def tokenCountQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(Tables(spark, dir, "documents")).orderBy(col("doc_id"))

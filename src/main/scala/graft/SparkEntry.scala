@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesEstimators.queries ++
-      QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries
+      QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries ++
+      QueriesCorpus.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesEstimators.oracleSql ++
-      QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql
+      QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql ++
+      QueriesCorpus.oracleSql
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond per-doc analysis: deterministic stratified sampling,
+  * distribution-drift testing, corpus n-gram statistics, rule-based
+  * document filtering, and repetition signals (the Gopher/C4 quality
+  * rule family). Everything is codegen'd expressions + at most one keyed
+  * aggregation — no collects, no UDFs.
+  */
+object Corpus {
+
+  /** Hex threshold for a sampling fraction over the first 8 md5 hex
+    * digits (uniform on [0, 16^8)): keep iff hex8 < thresholdHex(f).
+    */
+  def thresholdHex(frac: Double): String =
+    f"${(frac * 4294967296d).toLong}%08x"
+
+  /** Deterministic stratified sampling: a doc is kept iff the first 8
+    * hex digits of md5(seed:doc_id) fall below the per-row threshold
+    * (derived from the row's stratum fraction). A pure filter — no
+    * shuffle, no state, independent of partitioning, reproducible at
+    * any scale, and stable under re-runs (the same doc is always in or
+    * out of the sample).
+    */
+  def stratifiedSample(documents: DataFrame, seed: String, threshold: Column): DataFrame =
+    documents
+      .select(
+        col("doc_id"), col("source"),
+        substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 8).as("h8"))
+      .filter(col("h8") < threshold)
+
+  /** χ² homogeneity test between two event populations (deterministic
+    * split g = event_id % 2): per event_type the observed counts and the
+    * χ² contribution Σ_g (o_g − e_g)²/e_g with e_g = rowTot × colTot/N.
+    * One groupBy plus a broadcast 1-row totals frame; drift detection
+    * over 100 TB of events is one shuffle of |event_type| rows.
+    */
+  def chi2Drift(events: DataFrame): DataFrame = {
+    val obs = events
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+    val tot = obs.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+    def e(tg: Column): Column =
+      (col("n0") + col("n1")).cast("double") * tg.cast("double") /
+        (col("t0") + col("t1")).cast("double")
+    def part(n: Column, eg: Column): Column =
+      (n.cast("double") - eg) * (n.cast("double") - eg) / eg
+    obs
+      .crossJoin(broadcast(tot))
+      .withColumn("__e0", e(col("t0")))
+      .withColumn("__e1", e(col("t1")))
+      .select(
+        col("event_type"), col("n0"), col("n1"),
+        (part(col("n0"), col("__e0")) + part(col("n1"), col("__e1"))).as("chi2"))
+  }
+
+  /** Corpus-level top-k n-grams (bigrams) per language by frequency —
+    * the contamination/repetition statistic: one explode, one keyed
+    * count (map-side combined), one bounded per-lang window.
+    */
+  def ngramFreq(documents: DataFrame, k: Int): DataFrame = {
+    val bi = documents
+      .select(col("lang"), col("doc_id"), TextOps.tokensExpr.as("__ws"))
+      .select(col("lang"), explode(TextOps.shingles2Expr).as("ngram"))
+    val counts = bi.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cnt").desc, col("ngram"))
+    counts
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("ngram"), col("cnt"))
+  }
+
+  /** C4/Gopher-style rule filter: per-document boolean per rule plus the
+    * conjunction. Single scan, pure expressions.
+    */
+  def docFilter(documents: DataFrame): DataFrame = {
+    import TextAnalysis.{emailPat, phonePat}
+    val base = documents
+      .select(col("doc_id"), col("text"), TextOps.tokensExpr.as("__ws"))
+      .withColumn("__n", expr("size(__ws)"))
+      .withColumn("__stop",
+        expr(s"CAST(size(filter(__ws, w -> w IN ${TextAnalysis.enStopwords
+          .map(w => s"'$w'").mkString("(", ", ", ")")})) AS DOUBLE)") /
+          col("__n").cast("double"))
+      .withColumn("__awl",
+        expr("CAST(aggregate(__ws, 0L, (acc, w) -> acc + length(w)) AS DOUBLE)") /
+          col("__n").cast("double"))
+      .withColumn("__pii",
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(phonePat), lit(0))))
+      .select(
+        col("doc_id"),
+        (col("__n") >= 30).as("r_min_words"),
+        (col("__stop") >= 0.02).as("r_stop_ratio"),
+        col("__awl").between(3.0, 10.0).as("r_word_shape"),
+        (col("__pii") === 0).as("r_no_pii"))
+    base.withColumn("kept",
+      col("r_min_words") && col("r_stop_ratio") && col("r_word_shape") && col("r_no_pii"))
+  }
+
+  /** Repetition signals (the Gopher duplicate-fraction family):
+    * duplicate-word fraction, top-word share, duplicate-bigram fraction.
+    * Word stats come from one keyed count; bigram stats are row-local
+    * array expressions — one shuffle total.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    val rowLvl = base
+      .withColumn("__bl", TextOps.shingles2Expr)
+      .select(
+        col("doc_id"),
+        size(col("__bl")).as("__nb"),
+        size(array_distinct(col("__bl"))).as("__nub"))
+    val agg = base
+      .select(col("doc_id"), explode(col("__ws")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("__nt"),
+        count(lit(1)).as("__nu"),
+        max(col("cnt")).as("__mx"))
+    rowLvl
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(
+          lit(1.0) - col("__nu").cast("double") / col("__nt").cast("double"),
+          lit(0.0)).as("dup_word_ratio"),
+        coalesce(col("__mx").cast("double") / col("__nt").cast("double"), lit(0.0))
+          .as("top_word_ratio"),
+        when(col("__nb") > 0,
+          lit(1.0) - col("__nub").cast("double") / col("__nb").cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("thresholdHex maps fractions to 8-hex-digit cut points") {
+    assert(Corpus.thresholdHex(0.5) == "80000000")
+    assert(Corpus.thresholdHex(0.25) == "40000000")
+    assert(Corpus.thresholdHex(0.1) == "19999999")
+  }
+
+  test("stratifiedSample keeps ~frac per stratum, deterministically") {
+    val docs = (0L until 4000L)
+      .map(i => (i, s"src${i % 2}", "t")).toDF("doc_id", "source", "text")
+    val thresh = when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0,
+      lit(Corpus.thresholdHex(0.5))).otherwise(lit(Corpus.thresholdHex(0.1)))
+    val s = Corpus.stratifiedSample(docs, "s", thresh).cache()
+    val by = s.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(by("src0") / 2000.0 - 0.5) < 0.05, by)
+    assert(math.abs(by("src1") / 2000.0 - 0.1) < 0.04, by)
+    val again = Corpus.stratifiedSample(docs, "s", thresh)
+    assert(s.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("chi2Drift is exactly zero for homogeneous populations") {
+    // consecutive (even, odd) event_id pairs share a type → 50/50 split
+    val ev = (0L until 400L).map(i => (i, s"t${(i / 2) % 4}"))
+      .toDF("event_id", "event_type")
+    val got = Corpus.chi2Drift(ev).select("chi2").as[Double].collect()
+    assert(got.length == 4 && got.forall(_ == 0.0), got.toSeq)
+  }
+
+  test("docFilter flags short, low-quality, and PII documents") {
+    val good = "the quick brown foxes jumped over " * 6 + "the lazy dogs"
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),
+      (3L, good + " contact bob@example.com")
+    ).toDF("doc_id", "text")
+    val got = Corpus.docFilter(docs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false), got)
+  }
+
+  test("repetitionRatio detects repeated content") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionRatio(docs)
+      .select("doc_id", "dup_word_ratio", "top_word_ratio", "dup_bigram_ratio")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val (dw1, tw1, db1) = got(1L)
+    assert(math.abs(dw1 - (1.0 - 1.0 / 6)) < 1e-12 && tw1 == 1.0 &&
+      math.abs(db1 - (1.0 - 1.0 / 5)) < 1e-12, got(1L))
+    assert(got(2L) == ((0.0, 0.25, 0.0)), got(2L))
+  }
+}

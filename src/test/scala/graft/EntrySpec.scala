@@ -20,7 +20,9 @@ class EntrySpec extends SparkSpec {
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
       "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "ivf_kmeans_ann", "lang_id",
       "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta",
-      "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg")
+      "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
+      "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
+      "repetition_ratio", "dedup_keep_best")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -31,6 +31,22 @@ class WorkloadSpec extends SparkSpec {
       s"mismatch: ${got.toSeq}")
   }
 
+  test("parses every query of the reference's actual workload CSVs") {
+    // job-light.csv uses bare-alias FROM entries, job-m.csv the AS form;
+    // both must decompose into tables + join edges + typed predicates.
+    val dir = java.nio.file.Paths.get("/root/reference/benchmarks/imdb")
+    assume(java.nio.file.Files.exists(dir))
+    for (f <- Seq("job-light.csv", "job-m.csv")) {
+      val entries = Workload.load(dir.resolve(f).toString)
+      assert(entries.nonEmpty, f)
+      for (e <- entries) {
+        val q = PseudoSql.parse(e.sql)
+        assert(q.tables.nonEmpty, s"$f: ${e.sql}")
+        assert(q.tables.size == 1 || q.joins.nonEmpty, s"$f: ${e.sql}")
+      }
+    }
+  }
+
   test("alias resolution rewrites joins and predicate columns") {
     val q = PseudoSql.parse(
       "SELECT COUNT(*) FROM lineitem l,orders o WHERE l.l_orderkey=o.o_orderkey AND o.o_totalprice>100;")
