@@ -36,11 +36,18 @@ object QueriesEstimators {
 
   def predEvalQ(spark: SparkSession, dir: String): DataFrame =
     predSuite
-      .map { case (id, table, p) =>
-        Tables(spark, dir, table)
-          .filter(p.toColumn)
-          .agg(count(lit(1)).as("cnt"))
-          .select(lit(id).as("pred_id"), col("cnt"))
+      .groupBy(_._2)
+      .map { case (t, preds) =>
+        // one conditional-aggregation scan per TABLE (not per predicate),
+        // unpivoted back to (pred_id, cnt) rows
+        val aggs = preds.map { case (id, _, p) =>
+          sum(when(p.toColumn, 1L).otherwise(0L)).as(id)
+        }
+        val entries = preds.flatMap { case (id, _, _) => Seq(lit(id), col(id)) }
+        Tables(spark, dir, t)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(map(entries: _*)))
+          .select(col("key").as("pred_id"), col("value").as("cnt"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("pred_id"))

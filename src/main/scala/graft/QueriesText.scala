@@ -197,7 +197,12 @@ object QueriesText {
 
   def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
     TextOps
-      .simhashDups(TextOps.simhashBands(Tables(spark, dir, "documents")), simhashMaxHamming)
+      .simhashDups(
+        // the bands frame feeds 4 candidate self-joins + 2 verify joins —
+        // materialize it once instead of recomputing the aggregation per branch
+        Memo(spark, dir, "simhashBands")(
+          TextOps.simhashBands(Tables(spark, dir, "documents"))),
+        simhashMaxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
 
   val simhashDupSql: String = {
@@ -242,8 +247,9 @@ object QueriesText {
     * intersect arrays — no exploded shingle self-join.
     */
   def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
-    val sets = TextOps.shingleArrays(
-      Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source"))
+    val sets = Memo(spark, dir, "shArr2ls")(
+      TextOps.shingleArrays(
+        Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
     val a = sets.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
       col("sh").as("sha"), size(col("sh")).as("na"))
     val b = sets.select(col("lang"), col("source"), col("doc_id").as("doc_b"),

@@ -160,8 +160,9 @@ object TextOps {
     // map-side partial aggregation, one shuffle total.
     val simhash = udaf(new graft.functions.SimHashVotes)
     documents
-      .select(col("doc_id"), explode(tokensExpr).as("word"))
-      .distinct()
+      // distinct tokens resolved row-locally (array_distinct) — no
+      // corpus-wide (doc_id, word) distinct shuffle before the aggregate
+      .select(col("doc_id"), explode(array_distinct(tokensExpr)).as("word"))
       .groupBy(col("doc_id"))
       .agg(simhash(col("word")).as("__bands"))
       .select(
