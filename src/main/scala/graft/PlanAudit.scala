@@ -13,7 +13,8 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val wanted = if (args.length > 1) args.drop(1).toSet else
       Set("q1_agg", "true_card", "minhash_lsh_dup", "embed_cosine_topk", "window_agg",
-        "mcv_est", "cms_freq", "interval_join", "embed_ivf_ann", "dup_clusters", "ur_size")
+        "mcv_est", "cms_freq", "interval_join", "embed_ivf_ann", "dup_clusters", "ur_size",
+        "stratified_sample", "chi2_drift", "doc_filter", "dedup_keep_best")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

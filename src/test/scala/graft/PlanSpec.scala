@@ -32,6 +32,29 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2) // agg shuffle (+ sort for output order)
   }
 
+  test("stratified_sample is a pure pushed-down filter — no shuffle at all") {
+    // the operator itself (before the presentation orderBy) must not
+    // exchange: sampling 100 TB is a scan, not a shuffle
+    val thresh = org.apache.spark.sql.functions.lit(
+      graft.operators.Corpus.thresholdHex(0.5))
+    val p = graft.operators.Corpus
+      .stratifiedSample(Tables(spark, sf, "documents"), "s", thresh)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("chi2_drift broadcasts its one-row totals frame") {
+    val p = plan("chi2_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("doc_filter is a single scan with no aggregation exchange") {
+    val p = graft.operators.Corpus
+      .docFilter(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("exact_dedup reads only the columns it needs") {
     val p = plan("exact_dedup")
     // ReadSchema on the documents scan must not include the wide columns
