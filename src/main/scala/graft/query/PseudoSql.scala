@@ -46,7 +46,7 @@ object PseudoSql {
 
     if (whereIdx < 0) return ParsedQuery(tables, Seq.empty, Seq.empty)
     val wherePart = lower.substring(whereIdx + 5).trim
-    val conds = wherePart.split("(?i)\\sAND\\s").toSeq
+    val conds = splitOnAnd(wherePart)
 
     val joins = scala.collection.mutable.ListBuffer[(String, String)]()
     val preds = scala.collection.mutable.ListBuffer[Predicate]()
@@ -67,6 +67,41 @@ object PseudoSql {
       }
     }
     ParsedQuery(tables, joins.toSeq, preds.toSeq)
+  }
+
+  /** Split the WHERE body on top-level ` AND ` — quote-aware, so a
+    * literal like `note LIKE '%men and women%'` stays intact.
+    */
+  private def splitOnAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var start = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQ = !inQ; i += 1 }
+      else if (!inQ && s.regionMatches(true, i, " and ", 0, 5)) {
+        out += s.substring(start, i); start = i + 5; i += 5
+      } else i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Quote-aware top-level split (for IN lists whose string literals may
+    * themselves contain the separator).
+    */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    for (c <- s) {
+      if (c == '\'') { inQ = !inQ; cur.append(c) }
+      else if (c == sep && !inQ) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   private def indexOfWord(s: String, w: String): Int = {
@@ -102,7 +137,7 @@ object PseudoSql {
       case betweenRe(c, _, lo, hi) =>
         Right(Predicate(c, "BETWEEN", Seq(parseValue(lo), parseValue(hi))))
       case inRe(c, _, items) =>
-        Right(Predicate(c, "IN", items.split(",").map(parseValue(_)).toSeq))
+        Right(Predicate(c, "IN", splitTopLevel(items, ',').map(parseValue(_))))
       case isRe(c, _, notPart, v) =>
         Right(Predicate(c, if (notPart != null) "IS NOT" else "IS", parseValue(v)))
       case likeRe(c, _, notPart, v) =>

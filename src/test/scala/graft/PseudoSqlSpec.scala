@@ -47,6 +47,16 @@ class PseudoSqlSpec extends AnyFunSuite {
     assert(q.predicates == Seq(Predicate("cast_info.role_id", "=", 2L)))
   }
 
+  test("quoted literals containing AND or commas survive the splitters") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM t WHERE note LIKE '%men and women%'" +
+        " AND kind IN ('a, b', 'c') AND n BETWEEN 1 AND 5")
+    assert(q.predicates == Seq(
+      Predicate("note", "LIKE", "%men and women%"),
+      Predicate("kind", "IN", Seq("a, b", "c")),
+      Predicate("n", "BETWEEN", Seq(1L, 5L))))
+  }
+
   test("round-trips through PredicateSql.render") {
     import graft.query.PredicateSql
     assert(PredicateSql.render(Predicate("a", "BETWEEN", Seq(1L, 2L))) == "a BETWEEN 1 AND 2")
