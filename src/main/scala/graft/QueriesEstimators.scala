@@ -668,6 +668,124 @@ object QueriesEstimators {
   val sampleN = 2000L
   val sampleSeed = 42L
 
+  /** md5-hex → 52-bit uniform, SQL side (mirrors JoinSample.uniform
+    * operation-for-operation: first 13 hex digits → BIGINT → /2^52).
+    */
+  private def uSql(mix: String): String =
+    s"CAST(CAST(('0x' || substr(md5($mix), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0"
+
+  private val coveredTables = Set("customer", "orders", "lineitem")
+
+  private lazy val coveredSpecs: Seq[(String, graft.query.ParsedQuery)] =
+    CardBenchmark.specs.flatMap { case (id, sql) =>
+      val q = PseudoSql.parse(sql)
+      if (q.tables.forall(coveredTables)) Some((id, q)) else None
+    }
+
+  /** Predicate columns per table across the covered specs — carried
+    * through the oracle's sample CTEs so sample_est evaluates on the
+    * PICKED rows (re-joining by key would be wrong: the synthetic
+    * lineitem's (l_orderkey, l_linenumber) is not unique).
+    */
+  private lazy val sampPredCols: Map[String, Seq[String]] =
+    coveredSpecs
+      .flatMap(_._2.predicates)
+      .map(p => (CardBenchmark.tableOf(p.col), p.col.split('.').last))
+      .distinct
+      .groupBy(_._1)
+      .map { case (t, cs) => (t, cs.map(_._2)) }
+
+  private def carry(t: String, alias: String): String =
+    sampPredCols.getOrElse(t, Nil).map(c => s", $alias$c").mkString
+
+  /** The whole weighted-sample pipeline as a DuckDB CTE chain ending in
+    * `samp` — weights, expected-copies root draw, and one inverse-CDF
+    * window pick per edge, mirroring JoinSample.sample exactly (same
+    * md5-seeded uniforms, same clamp, same row-identity pick order from
+    * Tables.pks). The sampling OPERATOR is correctness-gated, not just
+    * its downstream consumers.
+    */
+  private lazy val sampleCtes: String = {
+    val seed = sampleSeed
+    val e1 = chain.edges(0).joinLabel
+    val e2 = chain.edges(1).joinLabel
+    val lpk = Tables.pks("lineitem").map(c => s"$c NULLS FIRST").mkString(", ")
+    val cC = carry("customer", "")
+    val cCc = carry("customer", "c.")
+    val cO = carry("orders", "")
+    val cOo = carry("orders", "o.")
+    val cOp = carry("orders", "p.")
+    // l_quantity doubles as a pick-order column; dedupe the carry list
+    val cLextra = sampPredCols.getOrElse("lineitem", Nil)
+      .filterNot(Tables.pks("lineitem").contains)
+    s"""lw AS (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+       |ow AS (SELECT o.o_orderkey, o.o_custkey$cOo, CAST(COALESCE(lw.cnt, 1) AS BIGINT) AS cw
+       |       FROM orders o LEFT JOIN lw ON o.o_orderkey = lw.l_orderkey),
+       |cwt AS (SELECT c.c_custkey$cCc, CAST(COALESCE(x.w, 1) AS BIGINT) AS weight
+       |        FROM customer c LEFT JOIN (SELECT o_custkey, SUM(cw) AS w FROM ow GROUP BY 1) x
+       |          ON c.c_custkey = x.o_custkey),
+       |tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM cwt),
+       |root AS (SELECT c_custkey$cC,
+       |           $sampleN.0 * CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE) AS e,
+       |           ${uSql(s"'$seed:' || CAST(c_custkey AS VARCHAR)")} AS u
+       |         FROM cwt, tw),
+       |drawn AS (SELECT c_custkey$cC,
+       |            md5('$seed:' || CAST(c_custkey AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS slot
+       |          FROM (SELECT c_custkey$cC,
+       |                  unnest(range(1, CAST(FLOOR(e) AS BIGINT)
+       |                    + (CASE WHEN u < e - FLOOR(e) THEN 1 ELSE 0 END) + 1)) AS copy
+       |                FROM root)),
+       |cand1 AS (SELECT d.slot, d.c_custkey${carry("customer", "d.")}, o.o_orderkey$cOo, o.cw
+       |          FROM drawn d LEFT JOIN ow o ON d.c_custkey = o.o_custkey),
+       |win1 AS (SELECT slot, c_custkey$cC, o_orderkey$cO, cw,
+       |           SUM(cw) OVER (PARTITION BY slot ORDER BY o_orderkey NULLS FIRST ROWS UNBOUNDED PRECEDING) AS cum,
+       |           SUM(cw) OVER (PARTITION BY slot) AS ws
+       |         FROM cand1),
+       |pick1 AS (SELECT slot, c_custkey$cC, o_orderkey$cO FROM (
+       |            SELECT win1.*,
+       |              LEAST(CAST(FLOOR(${uSql(s"'$e1:' || slot")} * CAST(ws AS DOUBLE)) AS BIGINT), ws - 1) AS t
+       |            FROM win1) z
+       |          WHERE o_orderkey IS NULL OR (t >= cum - cw AND t < cum)),
+       |cand2 AS (SELECT p.slot, p.c_custkey${carry("customer", "p.")}, p.o_orderkey$cOp,
+       |            l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, l.l_quantity${cLextra.map(c => s", l.$c").mkString},
+       |            CASE WHEN l.l_orderkey IS NULL THEN NULL ELSE CAST(1 AS BIGINT) END AS cw
+       |          FROM pick1 p LEFT JOIN lineitem l ON p.o_orderkey = l.l_orderkey),
+       |win2 AS (SELECT cand2.*,
+       |           SUM(cw) OVER (PARTITION BY slot ORDER BY $lpk ROWS UNBOUNDED PRECEDING) AS cum,
+       |           SUM(cw) OVER (PARTITION BY slot) AS ws
+       |         FROM cand2),
+       |samp AS (SELECT slot, c_custkey$cC, o_orderkey$cO,
+       |           l_orderkey, l_linenumber, l_quantity${cLextra.map(c => s", $c").mkString},
+       |           o_orderkey IS NOT NULL AS in_orders, l_orderkey IS NOT NULL AS in_lineitem
+       |         FROM (
+       |            SELECT win2.*,
+       |              LEAST(CAST(FLOOR(${uSql(s"'$e2:' || slot")} * CAST(ws AS DOUBLE)) AS BIGINT), ws - 1) AS t
+       |            FROM win2) z
+       |          WHERE l_orderkey IS NULL OR (t >= cum - cw AND t < cum))""".stripMargin
+  }
+
+  val joinSampleSql: String =
+    s"""WITH $sampleCtes
+       |SELECT slot, c_custkey, o_orderkey, l_orderkey, l_linenumber, in_orders, in_lineitem
+       |FROM samp ORDER BY slot""".stripMargin
+
+  val sampleEstSql: String = {
+    val arms = coveredSpecs.map { case (id, q) =>
+      val flags = q.tables.filterNot(_ == "customer").map {
+        case "orders"   => "in_orders"
+        case "lineitem" => "in_lineitem"
+      }
+      val preds = q.predicates.map(p => PredicateSql.render(p.copy(col = p.col.split('.').last)))
+      val sat = (preds ++ flags).mkString(" AND ")
+      s"SELECT '$id' AS query_id," +
+        s" CAST(tw AS DOUBLE) * (CAST((SELECT SUM(CASE WHEN $sat THEN 1 ELSE 0 END) FROM samp) AS DOUBLE)" +
+        s" / (SELECT CAST(COUNT(*) AS DOUBLE) FROM samp)) AS est FROM tw"
+    }
+    s"""WITH $sampleCtes
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** The seeded chain sample, materialized once per (session, dir) and
     * shared by join_sample and sample_est.
     */
@@ -733,7 +851,10 @@ object QueriesEstimators {
     "sample_est" -> (sampleEstQ _)
   )
 
-  /** join_sample / sample_est are rows-only (seeded sampling). */
+  /** join_sample and sample_est are fully SQL-checked: the sampling's
+    * md5-seeded uniforms and integer inverse-CDF picks are reproduced in
+    * DuckDB CTEs, so even the stochastic operator hash-matches.
+    */
   val oracleSql: Map[String, String] = Map(
     "pred_eval" -> predEvalSql,
     "true_card" -> trueCardSql,
@@ -742,6 +863,8 @@ object QueriesEstimators {
     "mcv_est" -> mcvEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql,
-    "q_error_models" -> qErrorModelsSql
+    "q_error_models" -> qErrorModelsSql,
+    "join_sample" -> joinSampleSql,
+    "sample_est" -> sampleEstSql
   )
 }

@@ -11,8 +11,12 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
-  /** Per-table unique (primary) key columns — the row identity used to
-    * seed per-candidate-row randomness in sampling operators.
+  /** Per-table unique row-identity columns — the deterministic candidate
+    * ORDER for sampling picks. NOTE: the synthetic TESTDATA lineitem does
+    * NOT enforce the TPC-H (l_orderkey, l_linenumber) PK; the 5-column
+    * prefix below is verified unique at every test scale factor (and
+    * orderable identically in Spark and DuckDB — no double→string casts,
+    * doubles participate only in comparisons).
     */
   val pks: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"),
@@ -21,7 +25,7 @@ object Tables {
     "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"),
     "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"),
     "events" -> Seq("event_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id")
