@@ -387,14 +387,63 @@ object QueriesText {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** Rows-only: Scala-side md5-derived hyperplanes. */
+  val lshDim = 64
+
   def embedLshAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val planes = Similarity.hyperplanes(spark, 64)
+    val planes = Similarity.hyperplanes(spark, lshDim)
     Similarity
       .lshAnn(emb, Similarity.lshBuckets(emb, planes), col("vec_id") < probeMax, topK)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** SQL twin of the hyperplane-LSH path: integer hyperplanes and exact
+    * BIGINT projections make the bucket assignment — and therefore the
+    * whole bucketed ANN — reproducible in DuckDB.
+    */
+  val embedLshAnnSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |planes AS (SELECT plane, d,
+       |    (strpos('0123456789abcdef',
+       |            substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) * 2 - 15 AS w
+       |  FROM (SELECT unnest(range(0, ${Similarity.numPlanes})) AS plane),
+       |       (SELECT unnest(range(0, $lshDim)) AS d)),
+       |proj AS (SELECT e.vec_id, p.plane, CAST(SUM(e.qv[e.d + 1] * p.w) AS BIGINT) AS proj
+       |         FROM (SELECT vec_id, qv, unnest(range(0, len(qv))) AS d FROM q) e
+       |         JOIN planes p ON p.d = e.d
+       |         GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |          CAST(SUM((CASE WHEN proj > 0 THEN 1 ELSE 0 END) * CAST(pow(2.0, plane) AS BIGINT)) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY 1),
+       |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, pb.bucket,
+       |            p.qv AS pv, c.qv AS cv, np.nn AS np, nc.nn AS nc
+       |          FROM q p
+       |          JOIN bkt pb ON pb.vec_id = p.vec_id
+       |          JOIN bkt cb ON cb.bucket = pb.bucket
+       |          JOIN q c ON c.vec_id = cb.vec_id AND c.vec_id != p.vec_id
+       |          JOIN norms np ON np.vec_id = p.vec_id
+       |          JOIN norms nc ON nc.vec_id = c.vec_id
+       |          WHERE p.vec_id < $probeMax),
+       |pex AS (SELECT probe_id, cand_id, bucket, pv, cv, np, nc,
+       |               unnest(range(1, len(pv) + 1)) AS i FROM pairs),
+       |dots AS (SELECT probe_id, cand_id, bucket,
+       |           CAST(SUM(pv[i] * cv[i]) AS BIGINT) AS dot,
+       |           MIN(np) AS np, MIN(nc) AS nc
+       |         FROM pex GROUP BY 1, 2, 3),
+       |cs AS (SELECT probe_id, cand_id, bucket,
+       |         CAST(dot AS DOUBLE) / sqrt(CAST(np AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)) AS cos
+       |       FROM dots)
+       |SELECT * FROM (
+       |  SELECT probe_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS INT) AS rnk,
+       |    cand_id, cos, bucket
+       |  FROM cs
+       |) WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
 
   // ---- rows 26-29: text analysis ----
 
@@ -554,8 +603,9 @@ object QueriesText {
     "mm_meta" -> (mmMetaQ _)
   )
 
-  /** embed_lsh_ann is rows-only (Scala-side hyperplane derivation). */
+  /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
   val oracleSql: Map[String, String] = Map(
+    "embed_lsh_ann" -> embedLshAnnSql,
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,
     "minhash_lsh_dup" -> minhashLshDupSql,

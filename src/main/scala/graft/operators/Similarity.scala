@@ -55,27 +55,33 @@ object Similarity {
   val numPlanes = 6 // 2^6 buckets — sized so test-scale buckets are non-trivial; raise with corpus size
 
   /** Deterministic md5-derived random hyperplanes: component (p, d) is
-    * (hexval(md5("p:d")[0]) - 7.5), i.e. a fixed pseudo-random value in
-    * [-7.5, 7.5]. Materialized as a tiny (numPlanes × dim) broadcast table.
+    * the ODD INTEGER 2·hexval(md5("p:d")[0]) − 15 ∈ [−15, 15] — the same
+    * sign pattern as (hexval − 7.5) but integral, so projections against
+    * the quantized vectors are exact BIGINT sums (order-independent and
+    * reproducible in the DuckDB oracle). Tiny (numPlanes × dim)
+    * broadcast table.
     */
   def hyperplanes(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame = {
     import spark.implicits._
     spark.range(numPlanes.toLong).toDF("plane")
       .crossJoin(spark.range(dim.toLong).toDF("d"))
       .withColumn("w",
-        expr("CAST(conv(substring(md5(concat(plane, ':', d)), 1, 1), 16, 10) AS DOUBLE) - 7.5"))
+        expr("CAST(conv(substring(md5(concat(plane, ':', d)), 1, 1), 16, 10) AS BIGINT) * 2 - 15"))
   }
 
-  /** Random-hyperplane LSH bucket per vector: bit p = (v · h_p > 0),
-    * bucket = Σ bit_p · 2^p. One explode + one aggregation — linear scan.
+  /** Random-hyperplane LSH bucket per vector: bit p = (q · h_p > 0) over
+    * the QUANTIZED vector (exact integer projection — an odd-integer
+    * hyperplane never projects exactly to 0 on a nonzero axis-aligned
+    * input, and the integer sum is partition-order independent, unlike a
+    * double sum), bucket = Σ bit_p · 2^p. One explode + one aggregation.
     */
   def lshBuckets(embeddings: DataFrame, planes: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), posexplode(quantExpr).as(Seq("d", "q")))
       .join(broadcast(planes), "d")
       .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("v").cast("double") * col("w")).as("proj"))
-      .withColumn("bit", (col("proj") > 0d).cast("long"))
+      .agg(sum(col("q") * col("w")).as("proj"))
+      .withColumn("bit", (col("proj") > 0L).cast("long"))
       .groupBy(col("vec_id"))
       .agg(sum(expr("bit * CAST(pow(2.0, plane) AS BIGINT)")).as("bucket"))
 
