@@ -175,19 +175,75 @@ object QueriesStats {
       .reduce(_.unionAll(_))
       .orderBy(col("col_name"))
 
+  // ---- row 18c: KMV (k-minimum-values) ndv sketch, portable ----
+
+  /** Sketch size; estimate = (k−1)/u_k with u_k the k-th smallest
+    * md5-derived uniform over the column's DISTINCT values — the
+    * classic KMV estimator, built entirely from engine-portable pieces
+    * (md5 → 52-bit integer), unlike HLL++ whose register layout is
+    * implementation-specific.
+    */
+  val kmvK = 64
+
+  def kmvNdvQ(spark: SparkSession, dir: String): DataFrame =
+    hllCols
+      .map { case (t, c) =>
+        val hashed = Tables(spark, dir, t)
+          .filter(col(c).isNotNull)
+          .select(col(c).cast("string").as("v"))
+          .distinct()
+          .select(
+            conv(substring(md5(concat(lit("kmv:"), col("v"))), 1, 13), 16, 10)
+              .cast("long").as("h"))
+        // partial-aggregated distinct + TakeOrdered(k): the shuffle
+        // carries at most k hashes per partition, never the column
+        val exact = Tables(spark, dir, t).agg(count_distinct(col(c)).as("exact_ndv"))
+        hashed
+          .orderBy(col("h")).limit(kmvK)
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+          .crossJoin(broadcast(exact))
+          .select(
+            lit(s"$t.$c").as("col_name"),
+            when(col("m") < kmvK, col("m").cast("double"))
+              .otherwise(lit((kmvK - 1).toDouble) /
+                (col("hk").cast("double") / lit(4503599627370496.0)))
+              .as("kmv_est"),
+            col("exact_ndv"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+
+  val kmvNdvSql: String =
+    hllCols
+      .map { case (t, c) =>
+        s"""SELECT '$t.$c' AS col_name,
+           |  CASE WHEN m < $kmvK THEN CAST(m AS DOUBLE)
+           |       ELSE CAST(${kmvK - 1} AS DOUBLE) / (CAST(hk AS DOUBLE) / 4503599627370496.0) END AS kmv_est,
+           |  (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) FROM $t) AS exact_ndv
+           |FROM (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM (
+           |  SELECT CAST(('0x' || substr(md5('kmv:' || CAST($c AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+           |  FROM (SELECT DISTINCT $c FROM $t WHERE $c IS NOT NULL)
+           |  ORDER BY h LIMIT $kmvK) z)""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "col_stats" -> (colStatsQ _),
     "histogram" -> (histogramQ _),
     "mcv" -> (mcvQ _),
     "cms_freq" -> (cmsFreqQ _),
-    "hll_ndv" -> (hllNdvQ _)
+    "hll_ndv" -> (hllNdvQ _),
+    "kmv_ndv" -> (kmvNdvQ _)
   )
 
-  /** hll_ndv is rows-only (impl-specific sketch). */
+  /** hll_ndv is rows-only (impl-specific sketch); kmv_ndv is its
+    * SQL-checked portable companion.
+    */
   val oracleSql: Map[String, String] = Map(
     "col_stats" -> colStatsSql,
     "histogram" -> histogramSql,
     "mcv" -> mcvSql,
-    "cms_freq" -> cmsFreqSql
+    "cms_freq" -> cmsFreqSql,
+    "kmv_ndv" -> kmvNdvSql
   )
 }
