@@ -607,10 +607,10 @@ object QueriesEstimators {
       .map(q =>
         s"SELECT $q AS quantile, q_err AS value FROM ranked WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
       .mkString("\nUNION ALL\n")
-    s"""WITH qe AS (
+    s"""WITH qe AS MATERIALIZED (
        |$qErrorSql
        |),
-       |ranked AS (SELECT q_err, ROW_NUMBER() OVER (ORDER BY q_err) AS rn, COUNT(*) OVER () AS n FROM qe)
+       |ranked AS MATERIALIZED (SELECT q_err, ROW_NUMBER() OVER (ORDER BY q_err) AS rn, COUNT(*) OVER () AS n FROM qe)
        |$arms
        |ORDER BY quantile""".stripMargin
   }
@@ -654,6 +654,32 @@ object QueriesEstimators {
         s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, $tru AS t) AS s"
     }
     s"WITH ${StatsSql.mcvCtes}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
+  }
+
+  // ---- row 13d: per-model q-error quantiles (run.py:967-973 per estimator) ----
+
+  def qErrorModelQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics
+      .quantilesNearestBy(qErrorModelsQ(spark, dir), "model", "q_err")
+
+  val qErrorModelQuantilesSql: String = {
+    val arms = graft.operators.Metrics.quantiles
+      .map(q =>
+        s"SELECT model, $q AS quantile, q_err AS value FROM ranked" +
+          s" WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
+      .mkString("\nUNION ALL\n")
+    // MATERIALIZED: each quantile arm references `ranked`; without it
+    // DuckDB inlines (and recomputes) the whole per-model q-error body
+    // once per arm.
+    s"""WITH qe AS MATERIALIZED (
+       |$qErrorModelsSql
+       |),
+       |ranked AS MATERIALIZED (SELECT model, q_err,
+       |    ROW_NUMBER() OVER (PARTITION BY model ORDER BY q_err) AS rn,
+       |    COUNT(*) OVER (PARTITION BY model) AS n
+       |  FROM qe)
+       |$arms
+       |ORDER BY model, quantile""".stripMargin
   }
 
   // ---- rows 12/14: weighted join sample + sample-based estimator ----
@@ -847,6 +873,7 @@ object QueriesEstimators {
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
     "q_error_models" -> (qErrorModelsQ _),
+    "q_error_model_quantiles" -> (qErrorModelQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
     "sample_est" -> (sampleEstQ _)
   )
@@ -864,6 +891,7 @@ object QueriesEstimators {
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql,
     "q_error_models" -> qErrorModelsSql,
+    "q_error_model_quantiles" -> qErrorModelQuantilesSql,
     "join_sample" -> joinSampleSql,
     "sample_est" -> sampleEstSql
   )

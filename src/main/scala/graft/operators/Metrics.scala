@@ -35,4 +35,19 @@ object Metrics {
       .select(col("quantile"), col("__v").as("value"))
       .orderBy(col("quantile"))
   }
+
+  /** Per-group nearest-interpolation quantiles — the reference's
+    * per-estimator report shape (one quantile row set per model).
+    */
+  def quantilesNearestBy(
+      df: DataFrame, group: String, valueCol: String,
+      qs: Seq[Double] = quantiles): DataFrame =
+    df.select(col(group), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(group)).orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .withColumn("quantile", explode(array(qs.map(lit): _*)))
+      .filter(col("__rn") === expr("CAST(bround(quantile * (__n - 1), 0) AS BIGINT) + 1"))
+      .select(col(group), col("quantile"), col("__v").as("value"))
+      .orderBy(col(group), col("quantile"))
 }
