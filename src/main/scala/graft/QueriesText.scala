@@ -582,7 +582,27 @@ object QueriesText {
       |  md5(text) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- row 30b: multimodal frame sampling ----
+
+  val frameStride = 4
+
+  def mmFramesQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .frameSample(Tables(spark, dir, "documents"), frameStride)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmFramesSql: String =
+    s"""SELECT doc_id, n_frames, frame_idx,
+       |  md5(md5(text) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+       |FROM (
+       |  SELECT doc_id, text, n_frames,
+       |    unnest(range(0, n_frames, $frameStride)) AS frame_idx
+       |  FROM (SELECT doc_id, text, 8 + n_chars % 16 AS n_frames
+       |        FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3))
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frames" -> (mmFramesQ _),
     "exact_dedup" -> (exactDedupQ _),
     "minhash_sig" -> (minhashSigQ _),
     "minhash_lsh_dup" -> (minhashLshDupQ _),
@@ -605,6 +625,7 @@ object QueriesText {
 
   /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
   val oracleSql: Map[String, String] = Map(
+    "mm_frames" -> mmFramesSql,
     "embed_lsh_ann" -> embedLshAnnSql,
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,

@@ -45,6 +45,25 @@ object Multimodal {
       expr("CAST(conv(substring(md5(text), 1, 2), 16, 10) AS INT)").as("byte0"),
       md5(col("text")).as("checksum"))
 
+  /** Frame sampling for video payloads: every `stride`-th frame index up
+    * to the (metadata-derived) frame count, one output row per sampled
+    * frame with a deterministic stub frame fingerprint. This is the
+    * explode-shaped plumbing a real pipeline runs before per-frame
+    * feature extraction — the row multiplication, partitioning, and
+    * per-frame identity are real; only the fingerprint is the stub a
+    * codec would replace.
+    */
+  def frameSample(documents: DataFrame, stride: Int): DataFrame =
+    withPayload(documents)
+      .filter(col("mime") === "video/mp4")
+      .withColumn("n_frames", lit(8L) + col("n_chars") % 16)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat(md5(col("text")), lit(":"), col("frame_idx").cast("string")))
+          .as("frame_md5"))
+
   /** Batched "decode": the mapPartitions shape a real codec would use
     * (one iterator per partition → reuse a decoder instance across rows).
     * The per-row body is the deterministic stub: a codec would replace

@@ -19,7 +19,7 @@ class EntrySpec extends SparkSpec {
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
       "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "ivf_kmeans_ann", "lang_id",
-      "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta",
+      "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
       "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
       "repetition_ratio", "dedup_keep_best")
