@@ -47,6 +47,37 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false), got)
   }
 
+  test("Memo isolates materialized frames per (session, dir)") {
+    // the same memoized query against two sf dirs must not cross-serve
+    val a = QueriesEstimators.trueCardQ(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = QueriesEstimators.trueCardQ(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a.keySet == b.keySet)
+    assert(a != b, "sf0.001 and sf0.01 true cards should differ")
+  }
+
+  test("stratifiedSample is stateless: identical on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sc = spark.sqlContext
+    val docs = (0L until 500L).map(i => (i, s"src${i % 2}", "t"))
+    val thresh = when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0,
+      lit(Corpus.thresholdHex(0.5))).otherwise(lit(Corpus.thresholdHex(0.1)))
+    val batch = Corpus
+      .stratifiedSample(docs.toDF("doc_id", "source", "text"), "s", thresh)
+      .select("doc_id").as[Long].collect().toSet
+    val ms = MemoryStream[(Long, String, String)]
+    ms.addData(docs: _*)
+    val q = Corpus
+      .stratifiedSample(ms.toDF.toDF("doc_id", "source", "text"), "s", thresh)
+      .writeStream.format("memory").queryName("strat_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("strat_stream").select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("repetitionRatio detects repeated content") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),
