@@ -288,6 +288,74 @@ object QueriesEstimators {
        |FROM est JOIN tru ON est.query_id = tru.query_id
        |ORDER BY est.query_id""".stripMargin
 
+  // ---- row 11d: per-table joint (conjunction-exact) estimator ----
+
+  /** Each spec's predicates grouped by table (bare column names), tables
+    * sorted for a deterministic factor order shared with the oracle.
+    */
+  private lazy val specTableConj: Seq[(String, Seq[(String, Seq[Predicate])])] =
+    parsedSpecs.map { case (id, q, _) =>
+      val groups = q.predicates
+        .map(p => (CardBenchmark.tableOf(p.col), p.copy(col = p.col.split('.').last)))
+        .groupBy(_._1)
+        .map { case (t, ps) => (t, ps.map(_._2)) }
+        .toSeq.sortBy(_._1)
+      (id, groups)
+    }
+
+  /** One conditional-aggregation scan per table: for every (spec, table)
+    * the count of rows satisfying the CONJUNCTION of that table's
+    * predicates — the per-table-exact selectivity model (cross-table
+    * independence only). Captures intra-table correlation that the
+    * naive/hist/mcv per-predicate models miss, which is exactly the gap
+    * the reference's learned densities close.
+    */
+  private def jointStatsRow(spark: SparkSession, dir: String): DataFrame = {
+    val byTable = specTableConj
+      .flatMap { case (id, groups) => groups.map { case (t, ps) => (t, id, ps) } }
+      .groupBy(_._1)
+    byTable.toSeq.sortBy(_._1)
+      .map { case (t, entries) =>
+        val aggs = count(lit(1)).cast("double").as(s"__jn_$t") +:
+          entries.map { case (_, id, ps) =>
+            sum(when(Predicate.conjunction(ps), 1L).otherwise(0L))
+              .cast("double").as(s"__c_${id}_$t")
+          }
+        Tables(spark, dir, t).agg(aggs.head, aggs.tail: _*)
+      }
+      .reduce(_.crossJoin(_))
+  }
+
+  def jointEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val statsRow = memoized(spark, dir, "jointStats")(jointStatsRow(spark, dir))
+    val (hid, hgroups) = specTableConj.head
+    def estOf(id: String, groups: Seq[(String, Seq[Predicate])]): Column =
+      groups.foldLeft(col("__j")) { case (acc, (t, _)) =>
+        acc * (col(s"__c_${id}_$t") / col(s"__jn_$t"))
+      }
+    val estCase = specTableConj.tail.foldLeft(
+      when(col("query_id") === hid, estOf(hid, hgroups))) {
+      case (acc, (id, groups)) => acc.when(col("query_id") === id, estOf(id, groups))
+    }
+    bothsAll(spark, dir)
+      .crossJoin(broadcast(statsRow))
+      .select(col("query_id"), estCase.as("est"))
+      .orderBy(col("query_id"))
+  }
+
+  val jointEstSql: String =
+    specTableConj
+      .map { case (id, groups) =>
+        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+        val factors = groups.map { case (t, ps) =>
+          val conj = ps.map(PredicateSql.render).mkString(" AND ")
+          s"(CAST((SELECT COUNT(*) FROM $t WHERE $conj) AS DOUBLE)" +
+            s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
+        }
+        s"SELECT '$id' AS query_id, ${(j +: factors).mkString(" * ")} AS est"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   // ---- row 11b: histogram/ndv-driven estimator (stats, not exact counts) ----
 
   /** Predicate selectivity model used by hist_est:
@@ -870,6 +938,7 @@ object QueriesEstimators {
     "naive_est" -> (naiveEstQ _),
     "hist_est" -> (histEstQ _),
     "mcv_est" -> (mcvEstQ _),
+    "joint_est" -> (jointEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
     "q_error_models" -> (qErrorModelsQ _),
@@ -888,6 +957,7 @@ object QueriesEstimators {
     "naive_est" -> naiveEstSql,
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
+    "joint_est" -> jointEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql,
     "q_error_models" -> qErrorModelsSql,
