@@ -38,6 +38,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC table read — the other columnar interchange format Spark ships
+    * natively (predicate pushdown + column pruning like parquet).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC write. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Write a parquet table, optionally hive-partitioned by low-cardinality
     * columns so downstream filters prune whole directories.
     */

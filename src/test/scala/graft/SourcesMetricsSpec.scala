@@ -36,6 +36,18 @@ class SourcesMetricsSpec extends SparkSpec {
         docs.select("doc_id", "text").as[(Long, String)].collect().toSet)
   }
 
+  test("orc roundtrip preserves schema, rows, and pushes filters down") {
+    val path = Files.createTempDirectory("graft_orc").toString + "/li"
+    val li = Tables(spark, sf, "lineitem").limit(1000)
+    Sources.writeOrc(li, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.schema == li.schema)
+    assert(back.count() == 1000)
+    val plan = back.filter(col("l_quantity") > 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"), plan)
+  }
+
   test("materialized builds once, then reads the parquet cache") {
     val path = Files.createTempDirectory("graft_mat").toString + "/cache"
     var builds = 0
