@@ -191,6 +191,74 @@ object QueriesText {
     s"""WITH RECURSIVE $clustersCtes
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
+  // ---- row 21c: benchmark contamination check ----
+
+  /** The decontamination primitive: which corpus documents share word
+    * 3-grams with a held-out "benchmark" probe set (here the
+    * deterministic slice doc_id < contamProbeMax)? The probe shingle set
+    * is tiny and broadcast; the corpus side streams once — the standard
+    * n-gram-overlap decontamination pass at any scale.
+    */
+  val contamProbeMax = 10L
+  val contamMinOverlap = 2L
+
+  def contaminationQ(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
+    val probes = sh.filter(col("doc_id") < contamProbeMax)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") >= contamProbeMax)
+    corpus
+      .join(broadcast(probes), "shingle")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= contamMinOverlap)
+      .orderBy(col("doc_id"), col("probe_id"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")}
+       |SELECT c.doc_id, p.doc_id AS probe_id, CAST(COUNT(*) AS BIGINT) AS overlap
+       |FROM sh c JOIN sh p ON c.shingle = p.shingle
+       |WHERE p.doc_id < $contamProbeMax AND c.doc_id >= $contamProbeMax
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $contamMinOverlap
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- row 19b: lead-prefix dedup ----
+
+  /** Boilerplate/lead dedup: documents sharing the same first-K-word
+    * prefix (news-wire copies and mirrored pages share lead paragraphs
+    * even when tails diverge) — md5 of the joined 10-word prefix, keep
+    * the lowest doc_id per group. Pure expressions + one keyed
+    * aggregation.
+    */
+  val prefixWords = 10
+
+  def prefixDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val withPrefix = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+      .withColumn("prefix_md5",
+        md5(expr(s"array_join(slice(__ws, 1, $prefixWords), ' ')")))
+    val groups = withPrefix
+      .groupBy(col("prefix_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_n"))
+    withPrefix
+      .select(col("doc_id"), col("prefix_md5"))
+      .join(groups, "prefix_md5")
+      .select(col("doc_id"), col("prefix_md5"), col("keep_id"), col("group_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  val prefixDedupSql: String =
+    s"""WITH $wordsCte,
+       |wp AS (SELECT doc_id, md5(array_to_string(ws[1:$prefixWords], ' ')) AS prefix_md5 FROM w),
+       |g AS (SELECT prefix_md5, MIN(doc_id) AS keep_id, COUNT(*) AS group_n
+       |      FROM wp GROUP BY 1)
+       |SELECT wp.doc_id, wp.prefix_md5, g.keep_id, g.group_n
+       |FROM wp JOIN g USING (prefix_md5)
+       |ORDER BY wp.doc_id""".stripMargin
+
   // ---- row 22: SimHash near-dup pairs ----
 
   val simhashMaxHamming = 3
@@ -603,6 +671,8 @@ object QueriesText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frames" -> (mmFramesQ _),
+    "contamination" -> (contaminationQ _),
+    "prefix_dedup" -> (prefixDedupQ _),
     "exact_dedup" -> (exactDedupQ _),
     "minhash_sig" -> (minhashSigQ _),
     "minhash_lsh_dup" -> (minhashLshDupQ _),
@@ -626,6 +696,8 @@ object QueriesText {
   /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
   val oracleSql: Map[String, String] = Map(
     "mm_frames" -> mmFramesSql,
+    "contamination" -> contaminationSql,
+    "prefix_dedup" -> prefixDedupSql,
     "embed_lsh_ann" -> embedLshAnnSql,
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,

@@ -18,6 +18,7 @@ class EntrySpec extends SparkSpec {
       "naive_est", "hist_est", "mcv_est", "joint_est", "sample_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
+      "contamination", "prefix_dedup",
       "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "ivf_kmeans_ann", "lang_id",
       "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
