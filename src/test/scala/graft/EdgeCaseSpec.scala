@@ -36,6 +36,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cnt == 1L)
   }
 
+  test("Engine turns redundant cycle edges into filters (job-m shape)") {
+    // t.id = mc.movie_id AND t.id = ci.movie_id AND mc.movie_id = ci.movie_id
+    // — the third edge closes a cycle and must become a residual filter,
+    // not a third join.
+    val t = Seq((1L, 2005), (2L, 2012)).toDF("id", "year")
+    val mc = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("movie_id", "company_id")
+    val ci = Seq((1L, 100L), (2L, 101L), (2L, 102L)).toDF("movie_id", "person_id")
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM t, mc, ci WHERE t.id = mc.movie_id" +
+        " AND t.id = ci.movie_id AND mc.movie_id = ci.movie_id AND t.year > 2010")
+    val cnt = Engine.count(q, Map("t" -> t, "mc" -> mc, "ci" -> ci)(_))
+      .collect()(0).getLong(0)
+    // movie 2: 2 mc rows × 2 ci rows = 4
+    assert(cnt == 4L)
+  }
+
   test("queries without WHERE parse to empty joins and predicates") {
     val q = PseudoSql.parse("SELECT COUNT(*) FROM orders")
     assert(q.tables == Seq("orders") && q.joins.isEmpty && q.predicates.isEmpty)
