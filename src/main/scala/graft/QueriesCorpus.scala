@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,26 +22,27 @@ object QueriesCorpus {
 
   private def srcNum = expr("CAST(substring(source, 4) AS INT)")
 
-  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame = {
-    val thresh = when(srcNum % 3 === 0, lit(Corpus.thresholdHex(strataFracs(0))))
+  private def threshCol: Column =
+    when(srcNum % 3 === 0, lit(Corpus.thresholdHex(strataFracs(0))))
       .when(srcNum % 3 === 1, lit(Corpus.thresholdHex(strataFracs(1))))
       .otherwise(lit(Corpus.thresholdHex(strataFracs(2))))
-    Corpus
-      .stratifiedSample(Tables(spark, dir, "documents"), strataSeed, thresh)
-      .orderBy(col("doc_id"))
-  }
 
-  val stratifiedSampleSql: String = {
-    val caseSql =
-      s"""CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN '${Corpus.thresholdHex(strataFracs(0))}'
-         |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN '${Corpus.thresholdHex(strataFracs(1))}'
-         |       ELSE '${Corpus.thresholdHex(strataFracs(2))}' END""".stripMargin
+  private val threshCaseSql: String =
+    s"""CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN '${Corpus.thresholdHex(strataFracs(0))}'
+       |       WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN '${Corpus.thresholdHex(strataFracs(1))}'
+       |       ELSE '${Corpus.thresholdHex(strataFracs(2))}' END""".stripMargin
+
+  def stratifiedSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus
+      .stratifiedSample(Tables(spark, dir, "documents"), strataSeed, threshCol)
+      .orderBy(col("doc_id"))
+
+  val stratifiedSampleSql: String =
     s"""SELECT doc_id, source, substr(md5('$strataSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
        |FROM documents
        |WHERE substr(md5('$strataSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) <
-       |  $caseSql
+       |  $threshCaseSql
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---- row 37: χ² drift between event populations ----
 
@@ -168,7 +169,84 @@ object QueriesCorpus {
        |FROM clusters c JOIN keep k USING (cluster_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---- row 42: end-to-end curation pass ----
+
+  /** The composed keep-list a curation pipeline actually ships: quality
+    * rule filter ∧ lead-prefix dedup winner ∧ near-dup cluster
+    * keep-best ∧ stratified sample — one boolean per stage plus the
+    * final decision, per document. Every stage reuses the session's
+    * materialized frames (cluster labels, quality scores), so the
+    * composition costs joins over already-built state, not recomputed
+    * pipelines.
+    */
+  def curationPassQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val filt = Corpus.docFilter(docs).select(col("doc_id"), col("kept").as("r_filter"))
+    val pfxBase = docs
+      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+      .withColumn("__p",
+        md5(expr(s"array_join(slice(__ws, 1, ${QueriesText.prefixWords}), ' ')")))
+    val pfx = pfxBase
+      .join(pfxBase.groupBy(col("__p")).agg(min(col("doc_id")).as("__keep")), "__p")
+      .select(col("doc_id"), (col("doc_id") === col("__keep")).as("r_prefix"))
+    val clusters = QueriesText.dupComponents(spark, dir)
+    val quality = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("score"))
+    val win = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
+    val keep = clusters.join(quality, "doc_id")
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("__keep_id"))
+    val nd = clusters.join(keep, "cluster_id")
+      .select(col("doc_id"), (col("doc_id") === col("__keep_id")).as("__ndk"))
+    val h8 = substring(md5(concat(lit(s"$strataSeed:"), col("doc_id").cast("string"))), 1, 8)
+    val strat = docs.select(col("doc_id"), (h8 < threshCol).as("r_sample"))
+    filt
+      .join(pfx, "doc_id")
+      .join(nd, Seq("doc_id"), "left")
+      .withColumn("r_neardup", coalesce(col("__ndk"), lit(true)))
+      .join(strat, "doc_id")
+      .select(
+        col("doc_id"), col("r_filter"), col("r_prefix"), col("r_neardup"), col("r_sample"),
+        (col("r_filter") && col("r_prefix") && col("r_neardup") && col("r_sample")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPassSql: String = {
+    import TextAnalysis.{emailPat, phonePat}
+    val pfxSub =
+      s"(SELECT doc_id, md5(array_to_string(ws[1:${QueriesText.prefixWords}], ' ')) AS p FROM w)"
+    s"""WITH RECURSIVE ${QueriesText.clustersCtes},
+       |qs AS (SELECT doc_id, ${QueriesText.scoreSqlExpr.replace("\n", " ")} AS score FROM w),
+       |ranked AS (SELECT c.doc_id, c.cluster_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id ORDER BY qs.score DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN qs USING (doc_id)),
+       |keep AS (SELECT cluster_id, doc_id AS keep_id FROM ranked WHERE rn = 1),
+       |nd AS (SELECT c.doc_id, c.doc_id = k.keep_id AS ndk
+       |       FROM clusters c JOIN keep k USING (cluster_id)),
+       |filt AS (SELECT w.doc_id,
+       |    (len(ws) >= 30) AND ((${QueriesText.stopRatioSqlExpr}) >= 0.02)
+       |      AND ((${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0)
+       |      AND ((len(regexp_extract_all(d.text, '$emailPat'))
+       |            + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS r_filter
+       |  FROM w JOIN documents d USING (doc_id)),
+       |pfx AS (SELECT wp.doc_id, wp.doc_id = g.keep_id AS r_prefix
+       |        FROM $pfxSub wp
+       |        JOIN (SELECT p, MIN(doc_id) AS keep_id FROM $pfxSub z GROUP BY 1) g USING (p)),
+       |strat AS (SELECT doc_id,
+       |    substr(md5('$strataSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) < $threshCaseSql AS r_sample
+       |  FROM documents)
+       |SELECT f.doc_id, f.r_filter, p.r_prefix,
+       |  COALESCE(nd.ndk, TRUE) AS r_neardup, s.r_sample,
+       |  f.r_filter AND p.r_prefix AND COALESCE(nd.ndk, TRUE) AND s.r_sample AS kept
+       |FROM filt f
+       |JOIN pfx p USING (doc_id)
+       |LEFT JOIN nd USING (doc_id)
+       |JOIN strat s USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pass" -> (curationPassQ _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "chi2_drift" -> (chi2DriftQ _),
     "ngram_freq" -> (ngramFreqQ _),
@@ -178,6 +256,7 @@ object QueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "curation_pass" -> curationPassSql,
     "stratified_sample" -> stratifiedSampleSql,
     "chi2_drift" -> chi2DriftSql,
     "ngram_freq" -> ngramFreqSql,

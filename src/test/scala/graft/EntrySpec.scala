@@ -23,7 +23,7 @@ class EntrySpec extends SparkSpec {
       "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
       "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
-      "repetition_ratio", "dedup_keep_best")
+      "repetition_ratio", "dedup_keep_best", "curation_pass")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
