@@ -51,11 +51,14 @@ object PseudoSql {
     val joins = scala.collection.mutable.ListBuffer[(String, String)]()
     val preds = scala.collection.mutable.ListBuffer[Predicate]()
 
-    // Re-stitch BETWEEN x AND y (split by the AND splitter above).
+    // Re-stitch BETWEEN x AND y (split by the AND splitter above) —
+    // only when BETWEEN appears OUTSIDE string literals, so a predicate
+    // like note LIKE '%caught between worlds%' doesn't swallow its
+    // right-hand neighbour.
     val stitched = scala.collection.mutable.ListBuffer[String]()
     var i = 0
     while (i < conds.length) {
-      if (conds(i).matches("(?i).*\\sBETWEEN\\s.*") && i + 1 < conds.length) {
+      if (hasTopLevelBetween(conds(i)) && i + 1 < conds.length) {
         stitched += s"${conds(i)} AND ${conds(i + 1)}"; i += 2
       } else { stitched += conds(i); i += 1 }
     }
@@ -86,6 +89,18 @@ object PseudoSql {
     }
     out += s.substring(start)
     out.toSeq
+  }
+
+  /** True iff ` BETWEEN ` occurs outside single-quoted literals. */
+  private def hasTopLevelBetween(s: String): Boolean = {
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') inQ = !inQ
+      else if (!inQ && s.regionMatches(true, i, " between ", 0, 9)) return true
+      i += 1
+    }
+    false
   }
 
   /** Quote-aware top-level split (for IN lists whose string literals may

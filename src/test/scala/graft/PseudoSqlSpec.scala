@@ -57,6 +57,16 @@ class PseudoSqlSpec extends AnyFunSuite {
       Predicate("n", "BETWEEN", Seq(1L, 5L))))
   }
 
+  test("BETWEEN inside a string literal does not swallow its neighbour") {
+    val q = PseudoSql.parse(
+      "SELECT COUNT(*) FROM t WHERE note LIKE '%caught between worlds%'" +
+        " AND n < 7 AND m BETWEEN 2 AND 3")
+    assert(q.predicates == Seq(
+      Predicate("note", "LIKE", "%caught between worlds%"),
+      Predicate("n", "<", 7L),
+      Predicate("m", "BETWEEN", Seq(2L, 3L))))
+  }
+
   test("round-trips through PredicateSql.render") {
     import graft.query.PredicateSql
     assert(PredicateSql.render(Predicate("a", "BETWEEN", Seq(1L, 2L))) == "a BETWEEN 1 AND 2")
