@@ -129,16 +129,18 @@ object QueriesEstimators {
           memoized(spark, dir, "modelStats:false")(modelStatsRow(eqViaMcv = false)(spark, dir))
         case "mcv" =>
           memoized(spark, dir, "modelStats:true")(modelStatsRow(eqViaMcv = true)(spark, dir))
+        case "cin" => memoized(spark, dir, "cinStats")(cinStatsRow(spark, dir))
       }
-      val estOf: (graft.query.ParsedQuery, Int) => Column = model match {
-        case "naive" => naiveEstCol _
-        case "hist"  => modelEstCol(eqViaMcv = false)
-        case "mcv"   => modelEstCol(eqViaMcv = true)
+      val estOf: (String, graft.query.ParsedQuery, Int) => Column = model match {
+        case "naive" => (_, q, start) => naiveEstCol(q, start)
+        case "hist"  => (_, q, start) => modelEstCol(eqViaMcv = false)(q, start)
+        case "mcv"   => (_, q, start) => modelEstCol(eqViaMcv = true)(q, start)
+        case "cin"   => (id, _, _) => cinEstCol(id)
       }
       val (hid, hq, hstart) = parsedSpecs.head
       val estCase = parsedSpecs.tail.foldLeft(
-        when(col("query_id") === hid, estOf(hq, hstart))) {
-        case (acc, (id, q, start)) => acc.when(col("query_id") === id, estOf(q, start))
+        when(col("query_id") === hid, estOf(hid, hq, hstart))) {
+        case (acc, (id, q, start)) => acc.when(col("query_id") === id, estOf(id, q, start))
       }
       bothsAll(spark, dir)
         .crossJoin(broadcast(statsRow))
@@ -353,6 +355,171 @@ object QueriesEstimators {
             s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
         }
         s"SELECT '$id' AS query_id, ${(j +: factors).mkString(" * ")} AS est"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  // ---- row 11e: CIN-combine estimator (the reference's estimation architecture) ----
+
+  /** One multiplicative factor of a CIN estimate: the inner join of
+    * `tables` along `edges`, filtered by `preds` (a conditional count over
+    * one join-shape traversal); non-root factors are divided by the row
+    * count of the subschema-boundary table `denom` — the deterministic
+    * analogue of the reference's join fanout scaling
+    * (estimators.py:1418-1426 `cards *= fo`).
+    */
+  private final case class CinFactor(
+      tables: Seq[String], edges: Seq[FkEdge],
+      preds: Seq[Predicate], denom: Option[String])
+
+  /** Decompose a query into CIN factors, mirroring
+    * ProgressiveSamplingCIN._estimate_over_models
+    * (estimators.py:1040-1426): query join edges are grouped by their
+    * home subschema (each FK edge belongs to the subschema centered on
+    * its FK table — schema.py's closed in-neighborhood partitioning);
+    * the root group is the one whose subschema covers the most query
+    * tables (hyperedge-size rule, estimators.py:1284-1287; name
+    * tie-break for determinism); remaining groups attach BFS-style via
+    * their single shared boundary table, and each table's predicates are
+    * consumed by the first group covering it
+    * (_extract_matched_predicates_by_tables / rest_of_preds).
+    *
+    * The estimate Π count(J_g ⋉ preds_g) / count(boundary_g) is
+    * conjunction-EXACT within each subschema and independent across
+    * them — precisely the bias/variance profile of the reference's
+    * per-subschema density models combined with fanout scaling.
+    */
+  private def cinDecompose(q: graft.query.ParsedQuery): Seq[CinFactor] = {
+    val stripped = q.predicates.map(p => p.copy(col = p.col.split('.').last))
+    def split(qc: String): (String, String) = {
+      val Array(t, c) = qc.split('.'); (t, c)
+    }
+    var predsLeft = stripped
+    def takePreds(ts: Seq[String]): Seq[Predicate] = {
+      val (mine, rest) =
+        predsLeft.partition(p => ts.contains(CardBenchmark.tableOf(p.col)))
+      predsLeft = rest
+      mine
+    }
+    if (q.joins.isEmpty)
+      return Seq(CinFactor(q.tables.sorted, Seq.empty, takePreds(q.tables), None))
+
+    val qEdges = q.joins.map { case (a, b) =>
+      val ((at, ac), (bt, bc)) = (split(a), split(b))
+      SchemaGraph.tpch.edges
+        .find(e =>
+          (e.pkTable == at && e.pkCol == ac && e.fkTable == bt && e.fkCol == bc) ||
+            (e.pkTable == bt && e.pkCol == bc && e.fkTable == at && e.fkCol == ac))
+        .getOrElse(throw new IllegalArgumentException(s"join $a=$b is not a schema edge"))
+    }
+    def tablesOf(es: Seq[FkEdge]): Seq[String] =
+      es.flatMap(e => Seq(e.pkTable, e.fkTable)).distinct.sorted
+    val queryTables = q.tables.toSet
+    val coverage: Map[String, Int] = SchemaGraph.tpch.cinSubschemas
+      .map(s => s.center -> s.tables.count(queryTables)).toMap
+    val groups = qEdges.groupBy(_.fkTable).toSeq
+      .sortBy { case (center, _) => (-coverage(center), center) }
+
+    val out = scala.collection.mutable.ListBuffer[CinFactor]()
+    val rootTs = tablesOf(groups.head._2)
+    out += CinFactor(rootTs, groups.head._2, takePreds(rootTs), None)
+    var covered = rootTs.toSet
+    val remaining = scala.collection.mutable.ListBuffer(groups.tail: _*)
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere { case (_, es) => tablesOf(es).exists(covered) }
+      require(idx >= 0, s"disconnected CIN groups in ${q.tables}")
+      val (_, es) = remaining.remove(idx)
+      val ts = tablesOf(es)
+      val commons = ts.filter(covered)
+      require(commons.size == 1, s"non-tree CIN boundary: $commons")
+      out += CinFactor(ts, es, takePreds(ts), Some(commons.head))
+      covered ++= ts
+    }
+    out.toSeq
+  }
+
+  private lazy val cinPlan: Seq[(String, Seq[CinFactor])] =
+    parsedSpecs.map { case (id, q, _) => (id, cinDecompose(q)) }
+
+  /** One traversal per distinct join SHAPE (tables+edges): every factor
+    * over that shape lands as a conditional count in the same
+    * aggregation, and boundary-table denominators ride along as plain
+    * counts — 10 specs cost ~8 small join traversals, all memoized into
+    * one broadcast stats row.
+    */
+  private def cinStatsRow(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    def shapeKey(ts: Seq[String], es: Seq[FkEdge]): String =
+      ts.mkString(",") + "|" + es.map(_.joinLabel).sorted.mkString(",")
+    // shape → (tables, edges, conditional-count entries, needs plain count)
+    val shapes = scala.collection.mutable.LinkedHashMap[
+      String, (Seq[String], Seq[FkEdge],
+        scala.collection.mutable.ListBuffer[(String, Int, Seq[Predicate])], Boolean)]()
+    def ensure(ts: Seq[String], es: Seq[FkEdge]) =
+      shapes.getOrElseUpdate(shapeKey(ts, es),
+        (ts, es, scala.collection.mutable.ListBuffer.empty, false))
+    for ((id, fs) <- cinPlan; (f, fi) <- fs.zipWithIndex) {
+      ensure(f.tables, f.edges)._3 += ((id, fi, f.preds))
+      f.denom.foreach { d =>
+        val k = shapeKey(Seq(d), Seq.empty)
+        val cur = ensure(Seq(d), Seq.empty)
+        shapes(k) = (cur._1, cur._2, cur._3, true)
+      }
+    }
+    shapes.values.map { case (ts, es, entries, needCount) =>
+      val base = Engine.plan(
+        graft.query.ParsedQuery(
+          ts,
+          es.map(e => (s"${e.pkTable}.${e.pkCol}", s"${e.fkTable}.${e.fkCol}")),
+          Seq.empty),
+        load)
+      val aggs =
+        entries.toSeq.map { case (id, fi, preds) =>
+          sum(when(Predicate.conjunction(preds), 1L).otherwise(0L))
+            .cast("double").as(s"__cinC_${id}_$fi")
+        } ++
+          (if (needCount) Seq(count(lit(1)).cast("double").as(s"__cinNd_${ts.head}"))
+           else Nil)
+      base.agg(aggs.head, aggs.tail: _*)
+    }.reduce(_.crossJoin(_))
+  }
+
+  /** est = root count × Π (boundary count / boundary-table count). */
+  private def cinEstCol(id: String): Column = {
+    val fs = cinPlan.toMap.apply(id)
+    fs.zipWithIndex.tail.foldLeft(col(s"__cinC_${id}_0"): Column) {
+      case (acc, (f, fi)) =>
+        acc * (col(s"__cinC_${id}_$fi") / col(s"__cinNd_${f.denom.get}"))
+    }
+  }
+
+  private def cinFactorSql(f: CinFactor): String = {
+    val conds = f.edges.map(e => s"${e.pkTable}.${e.pkCol} = ${e.fkTable}.${e.fkCol}") ++
+      f.preds.map(PredicateSql.render)
+    val where = if (conds.isEmpty) "" else " WHERE " + conds.mkString(" AND ")
+    s"CAST((SELECT COUNT(*) FROM ${f.tables.mkString(", ")}$where) AS DOUBLE)"
+  }
+
+  /** Full est expression for one spec — same factor order and same
+    * (num / den) association as [[cinEstCol]], so doubles match
+    * bit-for-bit.
+    */
+  private def cinEstExprSql(id: String): String = {
+    val fs = cinPlan.toMap.apply(id)
+    fs.tail.foldLeft(cinFactorSql(fs.head)) { (acc, f) =>
+      s"$acc * (${cinFactorSql(f)} /" +
+        s" CAST((SELECT COUNT(*) FROM ${f.denom.get}) AS DOUBLE))"
+    }
+  }
+
+  def cinEstQ(spark: SparkSession, dir: String): DataFrame =
+    estFrame(spark, dir, "cin")
+      .select(col("query_id"), col("est"))
+      .orderBy(col("query_id"))
+
+  val cinEstSql: String =
+    cinPlan
+      .map { case (id, _) =>
+        s"SELECT '$id' AS query_id, ${cinEstExprSql(id)} AS est"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
@@ -694,7 +861,7 @@ object QueriesEstimators {
     * join passes.
     */
   def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame =
-    Seq("hist", "mcv", "naive")
+    Seq("cin", "hist", "mcv", "naive")
       .map { model =>
         estFrame(spark, dir, model)
           .select(
@@ -705,16 +872,24 @@ object QueriesEstimators {
       .orderBy(col("model"), col("query_id"))
 
   val qErrorModelsSql: String = {
-    val models: Seq[(String, graft.query.ParsedQuery => Seq[String])] = Seq(
-      "hist" -> StatsSql.factors(eqViaMcv = false) _,
-      "mcv" -> StatsSql.factors(eqViaMcv = true) _,
-      "naive" -> (naiveFactorsSql _))
+    // Each model maps (id, parsed query) → its full est expression; the
+    // stats models are |J| × Π selectivities, cin is its own factor
+    // product (no |J| base).
+    val models: Seq[(String, (String, graft.query.ParsedQuery) => String)] = Seq(
+      "cin" -> ((id: String, _: graft.query.ParsedQuery) => cinEstExprSql(id)),
+      "hist" -> ((id: String, q: graft.query.ParsedQuery) =>
+        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
+          StatsSql.factors(eqViaMcv = false)(q)).mkString(" * ")),
+      "mcv" -> ((id: String, q: graft.query.ParsedQuery) =>
+        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
+          StatsSql.factors(eqViaMcv = true)(q)).mkString(" * ")),
+      "naive" -> ((id: String, q: graft.query.ParsedQuery) =>
+        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")))
     val arms = for {
-      (model, factorsOf) <- models
+      (model, estOf) <- models
       (id, q, _) <- parsedSpecs
     } yield {
-      val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
-      val est = (j +: factorsOf(q)).mkString(" * ")
+      val est = estOf(id, q)
       val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
       // est is a large generated expression: bind it (and tru) once in a
       // derived table so the CASE references are cheap.
@@ -939,6 +1114,7 @@ object QueriesEstimators {
     "hist_est" -> (histEstQ _),
     "mcv_est" -> (mcvEstQ _),
     "joint_est" -> (jointEstQ _),
+    "cin_est" -> (cinEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
     "q_error_models" -> (qErrorModelsQ _),
@@ -958,6 +1134,7 @@ object QueriesEstimators {
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
     "joint_est" -> jointEstSql,
+    "cin_est" -> cinEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql,
     "q_error_models" -> qErrorModelsSql,
