@@ -1107,6 +1107,76 @@ object QueriesEstimators {
       .orderBy(col("query_id"))
   }
 
+  // ---- row 14b: encoded training batch (the reference pipeline's end product) ----
+
+  /** The reference's training-data generation END-TO-END: weighted join
+    * sample → dictionary discretization (0=MASK, 1=NULL reserved; padded
+    * slots encode to the NULL token) → per-edge fanout column forced to 1
+    * on padded rows — one row per sample slot, exactly the matrix
+    * datasets.py:_prepare_data + common.py:discretize_values feed the
+    * autoencoder. Dictionaries come from the BASE tables (not the
+    * sample), are tiny, and broadcast onto the sample; the whole batch is
+    * sample-sized, never base-table-sized.
+    */
+  def trainingBatchQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Encoding
+    val sample = chainSample(spark, dir)
+    def dict(t: String, c: String) =
+      broadcast(
+        Encoding.dictionary(Tables(spark, dir, t), c)
+          .withColumnRenamed(c, s"__v_$c")
+          .withColumnRenamed("code", s"__code_$c"))
+    val fan = Fanouts
+      .fkCount(Tables(spark, dir, "lineitem"), "l_orderkey")
+      .withColumnRenamed("l_orderkey", "__fan_key")
+      .withColumnRenamed("cnt", "__fan")
+    sample
+      .join(dict("customer", "c_mktsegment"),
+        col("c_mktsegment") === col("__v_c_mktsegment"), "left")
+      .join(dict("orders", "o_orderstatus"),
+        col("o_orderstatus") === col("__v_o_orderstatus"), "left")
+      .join(dict("lineitem", "l_returnflag"),
+        col("l_returnflag") === col("__v_l_returnflag"), "left")
+      .join(broadcast(fan), col("o_orderkey") === col("__fan_key"), "left")
+      .select(
+        col("__slot__").as("slot"),
+        coalesce(col("__code_c_mktsegment"), lit(1)).cast("int").as("c_code"),
+        coalesce(col("__code_o_orderstatus"), lit(1)).cast("int").as("o_code"),
+        coalesce(col("__code_l_returnflag"), lit(1)).cast("int").as("l_code"),
+        when(!col("__in__:orders"), lit(1L))
+          .otherwise(coalesce(col("__fan"), lit(1L)))
+          .cast("bigint").as("lo_fanout"),
+        col("__in__:orders").as("in_orders"),
+        col("__in__:lineitem").as("in_lineitem"))
+      .orderBy(col("slot"))
+  }
+
+  /** Dictionary CTE: code = 1-based rank of the sorted distinct non-null
+    * values + 1 (i.e. the reference's index+2). `lw` (lineitem counts per
+    * order) is reused straight from the sample CTE chain.
+    */
+  private def dictCte(name: String, t: String, c: String): String =
+    s"$name AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) + 1 AS INTEGER) AS code" +
+      s" FROM (SELECT DISTINCT $c AS v FROM $t WHERE $c IS NOT NULL))"
+
+  val trainingBatchSql: String =
+    s"""WITH $sampleCtes,
+       |${dictCte("dict_c", "customer", "c_mktsegment")},
+       |${dictCte("dict_o", "orders", "o_orderstatus")},
+       |${dictCte("dict_l", "lineitem", "l_returnflag")}
+       |SELECT s.slot,
+       |  CAST(COALESCE(dc.code, 1) AS INTEGER) AS c_code,
+       |  CAST(COALESCE(dd.code, 1) AS INTEGER) AS o_code,
+       |  CAST(COALESCE(dl.code, 1) AS INTEGER) AS l_code,
+       |  CAST(CASE WHEN NOT s.in_orders THEN 1 ELSE COALESCE(lw.cnt, 1) END AS BIGINT) AS lo_fanout,
+       |  s.in_orders, s.in_lineitem
+       |FROM samp s
+       |LEFT JOIN dict_c dc ON s.c_mktsegment = dc.v
+       |LEFT JOIN dict_o dd ON s.o_orderstatus = dd.v
+       |LEFT JOIN dict_l dl ON s.l_returnflag = dl.v
+       |LEFT JOIN lw ON s.o_orderkey = lw.l_orderkey
+       |ORDER BY slot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pred_eval" -> (predEvalQ _),
     "true_card" -> (trueCardQ _),
@@ -1120,7 +1190,8 @@ object QueriesEstimators {
     "q_error_models" -> (qErrorModelsQ _),
     "q_error_model_quantiles" -> (qErrorModelQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
-    "sample_est" -> (sampleEstQ _)
+    "sample_est" -> (sampleEstQ _),
+    "training_batch" -> (trainingBatchQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -1140,6 +1211,7 @@ object QueriesEstimators {
     "q_error_models" -> qErrorModelsSql,
     "q_error_model_quantiles" -> qErrorModelQuantilesSql,
     "join_sample" -> joinSampleSql,
-    "sample_est" -> sampleEstSql
+    "sample_est" -> sampleEstSql,
+    "training_batch" -> trainingBatchSql
   )
 }
