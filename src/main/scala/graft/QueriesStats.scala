@@ -227,7 +227,140 @@ object QueriesStats {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---- row 15b: exact column quantiles (nearest interpolation) ----
+
+  /** Columns for the exact-quantile report. Exact quantiles need a
+    * per-column sort (the semantics demand it); the 100 TB path swaps in
+    * approx_percentile with the same output shape.
+    */
+  val quantCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+    ("orders", "o_totalprice"))
+
+  def colQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.quantilesNearestBy(
+      quantCols
+        .map { case (t, c) =>
+          Tables(spark, dir, t)
+            .filter(col(c).isNotNull)
+            .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
+        }
+        .reduce(_.unionAll(_)),
+      "col_name", "v")
+
+  val colQuantilesSql: String = {
+    val vals = quantCols
+      .map { case (t, c) =>
+        s"SELECT '$t.$c' AS col_name, CAST($c AS DOUBLE) AS v FROM $t WHERE $c IS NOT NULL"
+      }
+      .mkString("\nUNION ALL\n")
+    val arms = graft.operators.Metrics.quantiles
+      .map(q =>
+        s"SELECT col_name, $q AS quantile, v AS value FROM ranked" +
+          s" WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
+      .mkString("\nUNION ALL\n")
+    s"""WITH vals AS MATERIALIZED (
+       |$vals
+       |),
+       |ranked AS MATERIALIZED (SELECT col_name, v,
+       |    ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY col_name) AS n
+       |  FROM vals)
+       |$arms
+       |ORDER BY col_name, quantile""".stripMargin
+  }
+
+  // ---- row 18d: bloom filter (portable md5 hash family) ----
+
+  /** m bits / k hashes. The bit set is carried as ≤ m distinct set-bit
+    * positions — bounded by m however large the build side grows, so the
+    * probe-side membership join broadcasts a fixed-size structure (the
+    * relational twin of shipping a bitmap to every executor).
+    */
+  val bloomM = 8192L
+  val bloomK = 3
+
+  /** Build a bloom filter over partkeys with p_size ≤ 20, probe every
+    * lineitem row, and report the sketch's confusion counts: bloom can
+    * only err positive (no false negatives), so
+    * bloom_positive = exact_positive + false_positive.
+    */
+  def bloomFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val depths = (0 until bloomK).toDF("i")
+    def pos(i: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      pmod(
+        conv(substring(md5(concat_ws(":", i.cast("string"), v)), 1, 8), 16, 10)
+          .cast("long"),
+        lit(bloomM))
+    val build = Tables(spark, dir, "part")
+      .filter(col("p_size") <= 20)
+      .select(col("p_partkey").cast("string").as("v")).distinct()
+    val bits = build.crossJoin(depths)
+      .select(pos(col("i"), col("v")).as("pos")).distinct()
+    val probes = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("v")).distinct()
+    val member = probes.crossJoin(depths)
+      .select(col("v"), pos(col("i"), col("v")).as("pos"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("v"))
+      .agg((min(coalesce(col("__hit"), lit(0))) === 1).as("bloom_pos"))
+    val counts = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("string").as("v"))
+      .join(member, Seq("v"))
+      .join(build.withColumn("__ex", lit(1)), Seq("v"), "left")
+      .agg(
+        count(lit(1)).as("probe_rows"),
+        sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("bloom_positive_rows"),
+        sum(when(col("__ex") === 1, 1L).otherwise(0L)).as("exact_positive_rows"),
+        sum(when(col("bloom_pos") && col("__ex").isNull, 1L).otherwise(0L))
+          .as("false_positive_rows"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+    counts
+      .select(explode(map(
+        lit("bits_set"), col("bits_set"),
+        lit("bloom_positive_rows"), col("bloom_positive_rows"),
+        lit("exact_positive_rows"), col("exact_positive_rows"),
+        lit("false_positive_rows"), col("false_positive_rows"),
+        lit("probe_rows"), col("probe_rows"))))
+      .select(col("key").as("metric"), col("value").cast("long").as("cnt"))
+      .orderBy(col("metric"))
+  }
+
+  val bloomFilterSql: String = {
+    def posSql(v: String): String =
+      s"CAST(('0x' || substr(md5(i || ':' || $v), 1, 8)) AS BIGINT) % $bloomM"
+    s"""WITH depths AS (SELECT UNNEST([${(0 until bloomK).mkString(", ")}]) AS i),
+       |build AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS v FROM part WHERE p_size <= 20),
+       |bits AS (SELECT DISTINCT ${posSql("v")} AS pos FROM build, depths),
+       |probes AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+       |member AS (
+       |  SELECT c.v, MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 1 AS bloom_pos
+       |  FROM (SELECT v, ${posSql("v")} AS pos FROM probes, depths) c
+       |  LEFT JOIN bits b ON c.pos = b.pos
+       |  GROUP BY c.v
+       |),
+       |agg AS (
+       |  SELECT COUNT(*) AS probe_rows,
+       |    SUM(CASE WHEN m.bloom_pos THEN 1 ELSE 0 END) AS bloom_positive_rows,
+       |    SUM(CASE WHEN bu.v IS NOT NULL THEN 1 ELSE 0 END) AS exact_positive_rows,
+       |    SUM(CASE WHEN m.bloom_pos AND bu.v IS NULL THEN 1 ELSE 0 END) AS false_positive_rows
+       |  FROM lineitem l
+       |  JOIN member m ON CAST(l.l_partkey AS VARCHAR) = m.v
+       |  LEFT JOIN build bu ON CAST(l.l_partkey AS VARCHAR) = bu.v
+       |)
+       |SELECT 'bits_set' AS metric, CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS cnt
+       |UNION ALL SELECT 'bloom_positive_rows', CAST(bloom_positive_rows AS BIGINT) FROM agg
+       |UNION ALL SELECT 'exact_positive_rows', CAST(exact_positive_rows AS BIGINT) FROM agg
+       |UNION ALL SELECT 'false_positive_rows', CAST(false_positive_rows AS BIGINT) FROM agg
+       |UNION ALL SELECT 'probe_rows', CAST(probe_rows AS BIGINT) FROM agg
+       |ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "col_quantiles" -> (colQuantilesQ _),
+    "bloom_filter" -> (bloomFilterQ _),
     "col_stats" -> (colStatsQ _),
     "histogram" -> (histogramQ _),
     "mcv" -> (mcvQ _),
@@ -240,6 +373,8 @@ object QueriesStats {
     * SQL-checked portable companion.
     */
   val oracleSql: Map[String, String] = Map(
+    "col_quantiles" -> colQuantilesSql,
+    "bloom_filter" -> bloomFilterSql,
     "col_stats" -> colStatsSql,
     "histogram" -> histogramSql,
     "mcv" -> mcvSql,

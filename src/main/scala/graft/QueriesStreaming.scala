@@ -90,7 +90,47 @@ object QueriesStreaming {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def asofJoinQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .asofJoin(Tables(spark, dir, "events"))
+      .orderBy(col("purchase_id"))
+
+  val asofJoinSql: String =
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), m AS (
+      |  SELECT user_id, ts, event_id, kind,
+      |    LAST_VALUE(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS c_id,
+      |    LAST_VALUE(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS c_ts
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+      |               ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+      |  CASE WHEN c_ts >= ts - INTERVAL 30 MINUTE THEN c_id END AS click_id,
+      |  CASE WHEN c_ts >= ts - INTERVAL 30 MINUTE THEN c_ts END AS click_ts
+      |FROM m WHERE kind = 1
+      |ORDER BY purchase_id""".stripMargin
+
+  def latestSnapshotQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .latestSnapshot(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
+  val latestSnapshotSql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoinQ _),
+    "latest_snapshot" -> (latestSnapshotQ _),
     "window_agg" -> (windowAggQ _),
     "sessionize" -> (sessionizeQ _),
     "topk_events" -> (topkEventsQ _),
@@ -99,6 +139,8 @@ object QueriesStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "asof_join" -> asofJoinSql,
+    "latest_snapshot" -> latestSnapshotSql,
     "window_agg" -> windowAggSql,
     "sessionize" -> sessionizeSql,
     "topk_events" -> topkEventsSql,

@@ -669,7 +669,38 @@ object QueriesText {
        |        FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3))
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- row 22b: winnowing fingerprints (MOSS) ----
+
+  /** Winnowing document fingerprints: 52-bit md5 hashes of word 4-grams,
+    * min over each sliding window of 4 consecutive hashes, distinct
+    * minima per doc — the localized substring-match fingerprint scheme
+    * (any shared run of ≥ 7 words shares a fingerprint). All per-doc
+    * array expressions: the only shuffle is the output sort.
+    */
+  def winnowFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    TextOps
+      .winnowFingerprints(Tables(spark, dir, "documents"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  val winnowFingerprintSql: String =
+    s"""WITH $wordsCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(ws) - 2, 1)),
+       |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 13)) AS BIGINT)) AS hs
+       |  FROM w
+       |)
+       |SELECT doc_id, fp FROM (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(hs) - 3, 1) + 1),
+       |      p -> list_min(list_slice(hs, p, p + 3))))) AS fp
+       |  FROM hs
+       |) WHERE fp IS NOT NULL
+       |ORDER BY doc_id, fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winnow_fingerprint" -> (winnowFingerprintQ _),
     "mm_frames" -> (mmFramesQ _),
     "contamination" -> (contaminationQ _),
     "prefix_dedup" -> (prefixDedupQ _),
@@ -695,6 +726,7 @@ object QueriesText {
 
   /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
   val oracleSql: Map[String, String] = Map(
+    "winnow_fingerprint" -> winnowFingerprintSql,
     "mm_frames" -> mmFramesSql,
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,

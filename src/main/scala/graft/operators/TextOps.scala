@@ -37,6 +37,38 @@ object TextOps {
         |                 i -> concat_ws(' ', __ws[i-1], __ws[i]))
         |  ELSE array() END""".stripMargin)
 
+  /** 52-bit md5 hashes of word 4-grams, in document order (winnowing
+    * input). Empty for docs under 4 words.
+    */
+  val gramHashes4Expr: Column =
+    expr(
+      """CASE WHEN size(__ws) >= 4
+        |  THEN transform(sequence(1, size(__ws) - 3),
+        |    i -> cast(conv(substring(md5(concat_ws(' ',
+        |           __ws[i-1], __ws[i], __ws[i+1], __ws[i+2])), 1, 13), 16, 10) as bigint))
+        |  ELSE array() END""".stripMargin)
+
+  /** Winnowing (the MOSS fingerprint scheme): distinct minima over every
+    * sliding window of 4 consecutive gram hashes — guarantees any match
+    * of ≥ k+w−1 = 7 words shares a fingerprint. Short docs (1..3 grams)
+    * contribute the min of what they have. Pure per-document array
+    * expressions over `__hs` — codegen'd, zero shuffle.
+    */
+  val winnowExpr: Column =
+    expr(
+      """CASE WHEN size(__hs) = 0 THEN array()
+        |  ELSE array_distinct(transform(
+        |    sequence(1, greatest(size(__hs) - 3, 1)),
+        |    p -> array_min(slice(__hs, p, 4))))
+        |  END""".stripMargin)
+
+  /** Per-doc winnowing fingerprints: (doc_id, fp) rows. */
+  def winnowFingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokensExpr.as("__ws"))
+      .select(col("doc_id"), gramHashes4Expr.as("__hs"))
+      .select(col("doc_id"), explode(winnowExpr).as("fp"))
+
   /** Distinct (doc_id, shingle) pairs for word k-shingles, k ∈ {2,3}. */
   def docShingles(documents: DataFrame, k: Int): DataFrame = {
     val sh = k match {

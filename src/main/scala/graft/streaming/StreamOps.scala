@@ -174,6 +174,64 @@ object StreamOps {
       clicks.withWatermark("click_ts", "1 hour"),
       purchases.withWatermark("purchase_ts", "1 hour"))
 
+  // ---- as-of join (row 34b) ----
+
+  val asofBound = "INTERVAL 30 MINUTES"
+
+  /** Left as-of join: every purchase matched to the same user's most
+    * recent click at-or-before it (within 30 min), NULL when none.
+    *
+    * Scale-correct formulation: instead of a range join (which explodes
+    * into per-pair candidates before picking the latest), both sides are
+    * UNIONED and a single running `last(click, ignoreNulls)` window per
+    * user carries the most recent click forward — one shuffle on
+    * user_id, state O(1) per row, no pair blow-up however many clicks
+    * precede a purchase. Clicks sort before purchases at equal ts
+    * (kind 0 < 1) so a same-instant click is visible, and event_id
+    * breaks remaining ties deterministically.
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", 0).otherwise(1).as("__kind"))
+    val run = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("__kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBound = col("__click_ts") >= col("ts") - expr(asofBound)
+    tagged
+      .withColumn("__click_id",
+        last(when(col("__kind") === 0, col("event_id")), ignoreNulls = true).over(run))
+      .withColumn("__click_ts",
+        last(when(col("__kind") === 0, col("ts")), ignoreNulls = true).over(run))
+      .filter(col("__kind") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        when(inBound, col("__click_id")).as("click_id"),
+        when(inBound, col("__click_ts")).as("click_ts"))
+  }
+
+  // ---- latest-snapshot compaction (row 35b) ----
+
+  /** CDC-style compaction: the latest event per user (ts desc, event_id
+    * desc tie-break) — the argmax-per-key plan every changelog→snapshot
+    * materialization needs. One shuffle on the key; at scale this is the
+    * standard log-compaction job (and the streaming twin is
+    * `mapGroupsWithState` keeping one row per key).
+    */
+  def latestSnapshot(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("__rn", row_number().over(byUser))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+  }
+
   // ---- per-window top-k (row 33) ----
 
   /** Per-day top-k users by summed value; decimal-exact ranking with a

@@ -16,6 +16,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bloom_filter: no false negatives, positives = exact + false") {
+    val m = QueriesStats.bloomFilterQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a bloom filter can only err positive
+    assert(m("bloom_positive_rows") >= m("exact_positive_rows"))
+    assert(m("bloom_positive_rows") ===
+      m("exact_positive_rows") + m("false_positive_rows"))
+    assert(m("bits_set") <= QueriesStats.bloomM)
+    assert(m("probe_rows") > 0)
+  }
+
+  test("winnowing guarantees shared fingerprints for long shared runs") {
+    import spark.implicits._
+    // two docs sharing a 9-word run (> k+w-1 = 7) must share a fingerprint
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota unique tail one"),
+      (2L, "different head alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "completely unrelated words with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.TextOps.winnowFingerprints(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs should not collide")
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

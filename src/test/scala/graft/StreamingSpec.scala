@@ -113,6 +113,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoin picks the latest prior click within the bound, else NULL") {
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0),
+      (2L, ts(5), 7L, "click", 1.0),   // latest prior click for p=3
+      (3L, ts(20), 7L, "purchase", 9.0),
+      (4L, ts(100), 7L, "purchase", 9.0), // nearest click 95 min back → NULL
+      (5L, ts(10), 8L, "view", 0.0),   // other kinds are ignored
+      (6L, ts(10), 8L, "purchase", 9.0) // user 8 has no clicks at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.asofJoin(events)
+      .orderBy("purchase_id")
+      .select("purchase_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got === Seq((3L, Some(2L)), (4L, None), (6L, None)))
+  }
+
+  test("latestSnapshot compacts to one newest row per key") {
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0),
+      (2L, ts(5), 7L, "view", 2.0),   // newest for user 7
+      (3L, ts(5), 8L, "click", 3.0),
+      (4L, ts(5), 8L, "view", 4.0)    // same ts: event_id desc wins
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.latestSnapshot(events)
+      .orderBy("user_id").select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 2L), (8L, 4L)))
+  }
+
   test("topkEvents ranks users per day by decimal-exact sums") {
     val got = StreamOps.topkEvents(eventsDf, 1)
       .as[(Timestamp, Int, Long, Double)].collect().toSeq
