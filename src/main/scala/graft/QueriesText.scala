@@ -677,30 +677,124 @@ object QueriesText {
     * (any shared run of ≥ 7 words shares a fingerprint). All per-doc
     * array expressions: the only shuffle is the output sort.
     */
-  def winnowFingerprintQ(spark: SparkSession, dir: String): DataFrame =
-    TextOps
-      .winnowFingerprints(Tables(spark, dir, "documents"))
-      .orderBy(col("doc_id"), col("fp"))
+  /** Per-doc winnow fingerprints, materialized once — shared by
+    * winnow_fingerprint and winnow_dup.
+    */
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "winnowFps")(
+      TextOps.winnowFingerprints(Tables(spark, dir, "documents")))
 
-  val winnowFingerprintSql: String =
-    s"""WITH $wordsCte,
+  def winnowFingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    winnowFps(spark, dir).orderBy(col("doc_id"), col("fp"))
+
+  /** CTE chain ending in `fp` (doc_id, fp) — the SQL twin of
+    * [[TextOps.winnowFingerprints]].
+    */
+  private val winnowFpCtes: String =
+    s"""$wordsCte,
        |hs AS (
        |  SELECT doc_id,
        |    list_transform(range(1, greatest(len(ws) - 2, 1)),
        |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 13)) AS BIGINT)) AS hs
        |  FROM w
-       |)
-       |SELECT doc_id, fp FROM (
-       |  SELECT doc_id,
-       |    unnest(list_distinct(list_transform(
-       |      range(1, greatest(len(hs) - 3, 1) + 1),
-       |      p -> list_min(list_slice(hs, p, p + 3))))) AS fp
-       |  FROM hs
-       |) WHERE fp IS NOT NULL
+       |),
+       |fp AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id,
+       |      unnest(list_distinct(list_transform(
+       |        range(1, greatest(len(hs) - 3, 1) + 1),
+       |        p -> list_min(list_slice(hs, p, p + 3))))) AS fp
+       |    FROM hs
+       |  ) WHERE fp IS NOT NULL
+       |)""".stripMargin
+
+  val winnowFingerprintSql: String =
+    s"""WITH $winnowFpCtes
+       |SELECT doc_id, fp FROM fp
        |ORDER BY doc_id, fp""".stripMargin
+
+  // ---- row 22c: winnowing near-dup candidate pairs ----
+
+  /** Stop-fingerprint document-frequency cap: a fingerprint shared by
+    * more docs than this is boilerplate, and — crucially at scale —
+    * would otherwise explode the pair join quadratically on its bucket.
+    */
+  val winnowMaxDf = 20
+  /** Minimum shared (rare) fingerprints for a candidate pair. */
+  val winnowMinShared = 3
+
+  /** Candidate near-dup pairs by shared winnow fingerprints — the
+    * localized-overlap dedup path (catches long verbatim runs that
+    * whole-document MinHash misses when the rest of the docs differ).
+    * Same plan shape as LSH: groupBy bucket, self-join co-partitioned on
+    * the fingerprint, hot buckets capped by the stop-fingerprint filter.
+    */
+  def winnowDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(spark, dir)
+    val rare = fps
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= winnowMaxDf)
+      .select(col("fp"))
+    val f2 = fps.join(rare, "fp")
+    f2.alias("a")
+      .join(f2.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowDupSql: String =
+    s"""WITH $winnowFpCtes,
+       |rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $winnowMaxDf),
+       |f2 AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $winnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- row 20b: minhash estimate accuracy vs exact Jaccard ----
+
+  /** Sketch-accuracy report: for every verified near-dup pair, the
+    * MinHash similarity estimate (fraction of agreeing signature
+    * components) next to the exact Jaccard — the measured error of the
+    * sketch the LSH path banks on. Costs two broadcast joins of the
+    * 16-wide signature table onto the tiny verified-pair list.
+    */
+  def minhashJaccardEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val wide = mhWide(spark, dir)
+    val agree = (0 until TextOps.numPerms)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    lshPairs(spark, dir)
+      .join(broadcast(wide.alias("a")), col("doc_a") === col("a.doc_id"))
+      .join(broadcast(wide.alias("b")), col("doc_b") === col("b.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (agree.cast("double") / lit(TextOps.numPerms.toDouble)).as("mh_est"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashJaccardEstSql: String = {
+    val agree = (0 until TextOps.numPerms)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $lshPairsCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(($agree) AS DOUBLE) / ${TextOps.numPerms}.0 AS mh_est,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN sigs a ON p.doc_a = a.doc_id
+       |JOIN sigs b ON p.doc_b = b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "winnow_fingerprint" -> (winnowFingerprintQ _),
+    "winnow_dup" -> (winnowDupQ _),
+    "minhash_jaccard_est" -> (minhashJaccardEstQ _),
     "mm_frames" -> (mmFramesQ _),
     "contamination" -> (contaminationQ _),
     "prefix_dedup" -> (prefixDedupQ _),
@@ -727,6 +821,8 @@ object QueriesText {
   /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
   val oracleSql: Map[String, String] = Map(
     "winnow_fingerprint" -> winnowFingerprintSql,
+    "winnow_dup" -> winnowDupSql,
+    "minhash_jaccard_est" -> minhashJaccardEstSql,
     "mm_frames" -> mmFramesSql,
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,

@@ -19,6 +19,17 @@ final case class Session(
   */
 final case class SessionState(startUs: Long, endUs: Long, n: Long)
 
+/** Streaming as-of output row (asofJoinStream). */
+final case class AsofRow(
+    user_id: Long,
+    purchase_id: Long,
+    purchase_ts: Timestamp,
+    click_id: Option[Long],
+    click_ts: Option[Timestamp])
+
+/** Most-recent-click state for one user (asofJoinStream). */
+final case class ClickState(clickId: Long, clickUs: Long)
+
 /** Event-stream operators. Batch and streaming share the same transform
   * bodies, so the DuckDB oracle (batch) verifies the semantics of the
   * Structured Streaming variants too.
@@ -213,6 +224,46 @@ object StreamOps {
         col("ts").as("purchase_ts"),
         when(inBound, col("__click_id")).as("click_id"),
         when(inBound, col("__click_ts")).as("click_ts"))
+  }
+
+  /** Streaming as-of join via flatMapGroupsWithState: state is ONE
+    * (click_id, click_ts) record per user — the most recent click seen —
+    * against which each purchase matches immediately. Within a
+    * micro-batch events are walked in event order (clicks before
+    * purchases at equal ts), so streaming output equals the batch
+    * [[asofJoin]] when batches arrive in event-time order.
+    */
+  def asofJoinStream(spark: SparkSession, events: DataFrame): Dataset[AsofRow] = {
+    import spark.implicits._
+    val boundUs = 30L * 60 * 1000000
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id").cast("long"), col("event_id").cast("long"), col("ts"),
+        (col("event_type") === "click").as("is_click"))
+      .as[(Long, Long, Timestamp, Boolean)]
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Timestamp, Boolean)],
+         state: GroupState[ClickState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (micros(r._3), if (r._4) 0 else 1, r._2))
+          val out = scala.collection.mutable.ListBuffer[AsofRow]()
+          var cur = state.getOption
+          for ((_, eid, ts, isClick) <- sorted) {
+            if (isClick) cur = Some(ClickState(eid, micros(ts)))
+            else {
+              val m = cur.filter(_.clickUs >= micros(ts) - boundUs)
+              out += AsofRow(userId, eid, ts,
+                m.map(_.clickId), m.map(c => new Timestamp(c.clickUs / 1000)))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
   }
 
   // ---- latest-snapshot compaction (row 35b) ----

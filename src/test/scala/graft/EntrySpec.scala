@@ -17,7 +17,8 @@ class EntrySpec extends SparkSpec {
       "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
       "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
-      "col_quantiles", "bloom_filter", "winnow_fingerprint", "asof_join", "latest_snapshot",
+      "col_quantiles", "bloom_filter", "winnow_fingerprint", "winnow_dup",
+      "minhash_jaccard_est", "asof_join", "latest_snapshot",
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
       "contamination", "prefix_dedup",
       "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "ivf_kmeans_ann", "lang_id",

@@ -129,6 +129,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((3L, Some(2L)), (4L, None), (6L, None)))
   }
 
+  test("streaming asofJoin matches batch semantics across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = StreamOps.asofJoinStream(
+      spark, in.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = out.writeStream
+      .format("memory").queryName("asof").outputMode("append").start()
+    try {
+      // batch 1: click then purchase; batch 2: stale purchase (95 min
+      // after the click in state) then a fresh click+purchase
+      in.addData((1L, ts(0), 7L, "click", 0.0), (2L, ts(20), 7L, "purchase", 0.0))
+      q.processAllAvailable()
+      in.addData(
+        (3L, ts(95), 7L, "purchase", 0.0),
+        (4L, ts(100), 7L, "click", 0.0), (5L, ts(110), 7L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof")
+        .select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got === Map(2L -> Some(1L), 3L -> None, 5L -> Some(4L)))
+    } finally q.stop()
+  }
+
   test("latestSnapshot compacts to one newest row per key") {
     val events = Seq(
       (1L, ts(0), 7L, "click", 1.0),
