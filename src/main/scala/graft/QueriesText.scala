@@ -444,6 +444,38 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---- row 25d: product-quantization encode ----
+
+  val pqNSub = 4
+  val pqCentLo = 100L
+  val pqNCent = 8
+
+  def embedPqQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity
+      .pqEncode(
+        Tables(spark, dir, "embeddings"),
+        col("vec_id") >= pqCentLo && col("vec_id") < pqCentLo + pqNCent,
+        pqNSub)
+      .orderBy(col("vec_id"), col("m"))
+
+  val embedPqSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS code, qv AS cv FROM q
+       |         WHERE vec_id >= $pqCentLo AND vec_id < ${pqCentLo + pqNCent}),
+       |geom AS (SELECT vec_id, qv, CAST(FLOOR(len(qv) / $pqNSub.0) AS BIGINT) AS w FROM q),
+       |pex AS (SELECT g.vec_id, c.code, g.qv, c.cv, g.w, ms.m, unnest(range(1, g.w + 1)) AS i
+       |        FROM geom g, cent c, (SELECT unnest(range(0, $pqNSub)) AS m) ms),
+       |d2s AS (SELECT vec_id, code, m,
+       |          CAST(SUM((qv[m*w+i] - cv[m*w+i]) * (qv[m*w+i] - cv[m*w+i])) AS BIGINT) AS d2
+       |        FROM pex GROUP BY 1, 2, 3),
+       |best AS (SELECT vec_id, m, code, d2,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+       |         FROM d2s)
+       |SELECT vec_id, CAST(m AS INT) AS m, code, d2 FROM best WHERE rn = 1
+       |ORDER BY vec_id, m""".stripMargin
+
   /** Rows-only (k-means is not reproducible in the oracle): the MLlib
     * leg — IVF search over k-means-trained centroids.
     */
@@ -807,6 +839,7 @@ object QueriesText {
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
+    "embed_pq" -> (embedPqQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
@@ -835,6 +868,7 @@ object QueriesText {
     "ngram_jaccard" -> ngramJaccardSql,
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,
+    "embed_pq" -> embedPqSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,

@@ -179,6 +179,32 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("cand_id"), col("cos"), col("list_id"))
   }
 
+  /** Product-quantization encode: the vector splits into nSub contiguous
+    * subvectors (width = ⌊dim/nSub⌋), each assigned its nearest codebook
+    * entry by EXACT integer L2 over the quantized components (zip_with +
+    * aggregate — codegen'd, no UDF). The codebook is a deterministic
+    * corpus slice (like the IVF index) so the oracle rebuilds it; a
+    * trained codebook table slots in unchanged. Long-format output
+    * (vec_id, m, code, d2) — the ANN compression layer that stores nSub
+    * small codes per vector instead of dim floats, which is what makes
+    * billion-vector indexes fit in memory at 100 TB corpus scale.
+    */
+  def pqEncode(embeddings: DataFrame, centPred: Column, nSub: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+    val cents = q.filter(centPred)
+      .select(col("vec_id").as("code"), col("qv").as("cv"))
+    val win = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d2"), col("code"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
+      .withColumn("w", expr(s"CAST(FLOOR(size(qv) / $nSub.0) AS INT)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(slice(qv, m * w + 1, w), slice(cv, m * w + 1, w)," +
+          " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("code"), col("d2"))
+  }
+
   /** Bucketed approximate NN: probes only compare against same-bucket
     * vectors — the 100 TB scale path (bucket join instead of full scan).
     */
