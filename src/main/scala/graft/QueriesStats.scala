@@ -358,7 +358,110 @@ object QueriesStats {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---- row 18e: per-group KMV ndv sketch ----
+
+  /** Approx distinct users per event_type via per-group KMV — the
+    * grouped form of kmv_ndv. The sketch is mergeable (k smallest
+    * hashes union-merge), which is what makes it maintainable
+    * per-partition at scale; here the per-group k-th minimum comes from
+    * one window over the distinct (group, hash) pairs.
+    */
+  def kmvGroupNdvQ(spark: SparkSession, dir: String): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val hashed = Tables(spark, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("v"))
+      .distinct()
+      .select(
+        col("event_type"),
+        conv(substring(md5(concat(lit("kmv:"), col("v"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+    val exact = Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_ndv"))
+    hashed
+      .withColumn("rn", row_number().over(byGroup))
+      .filter(col("rn") <= kmvK)
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+      .join(exact, Seq("event_type"))
+      .select(
+        col("event_type"),
+        when(col("m") < kmvK, col("m").cast("double"))
+          .otherwise(lit((kmvK - 1).toDouble) /
+            (col("hk").cast("double") / lit(4503599627370496.0)))
+          .as("kmv_est"),
+        col("exact_ndv"))
+      .orderBy(col("event_type"))
+  }
+
+  val kmvGroupNdvSql: String =
+    s"""WITH hashed AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL)
+       |),
+       |topk AS (
+       |  SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hashed
+       |),
+       |sk AS (
+       |  SELECT event_type, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM topk WHERE rn <= $kmvK GROUP BY 1
+       |),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv FROM events GROUP BY 1)
+       |SELECT sk.event_type,
+       |  CASE WHEN m < $kmvK THEN CAST(m AS DOUBLE)
+       |       ELSE CAST(${kmvK - 1} AS DOUBLE) / (CAST(hk AS DOUBLE) / 4503599627370496.0) END AS kmv_est,
+       |  CAST(ex.exact_ndv AS BIGINT) AS exact_ndv
+       |FROM sk JOIN ex ON sk.event_type = ex.event_type
+       |ORDER BY 1""".stripMargin
+
+  // ---- row 15c: mergeable per-partition stats (incremental maintenance) ----
+
+  /** Stats maintained the way a 100 TB lake maintains them: one partial
+    * row per data partition (here: per source), merged into the global
+    * row by pure algebra (counts/sums add, min/max fold) — never
+    * rescanning the whole corpus. The query emits both levels; the spec
+    * asserts merged == direct.
+    */
+  def mergeableStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val partials = d
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val merged = partials
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_chars")).as("sum_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"))
+      .select(lit("__merged__").as("source"),
+        col("cnt"), col("sum_chars"), col("min_chars"), col("max_chars"))
+    partials.unionAll(merged).orderBy(col("source"))
+  }
+
+  val mergeableStatsSql: String =
+    """SELECT source, COUNT(*) AS cnt,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT '__merged__', COUNT(*),
+      |  CAST(SUM(n_chars) AS BIGINT),
+      |  MIN(n_chars), MAX(n_chars)
+      |FROM documents
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmv_group_ndv" -> (kmvGroupNdvQ _),
+    "mergeable_stats" -> (mergeableStatsQ _),
     "col_quantiles" -> (colQuantilesQ _),
     "bloom_filter" -> (bloomFilterQ _),
     "col_stats" -> (colStatsQ _),
@@ -373,6 +476,8 @@ object QueriesStats {
     * SQL-checked portable companion.
     */
   val oracleSql: Map[String, String] = Map(
+    "kmv_group_ndv" -> kmvGroupNdvSql,
+    "mergeable_stats" -> mergeableStatsSql,
     "col_quantiles" -> colQuantilesSql,
     "bloom_filter" -> bloomFilterSql,
     "col_stats" -> colStatsSql,

@@ -451,15 +451,18 @@ object QueriesText {
   val pqNCent = 8
 
   def embedPqQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity
-      .pqEncode(
+    Memo(spark, dir, "pqCodes")(
+      Similarity.pqEncode(
         Tables(spark, dir, "embeddings"),
         col("vec_id") >= pqCentLo && col("vec_id") < pqCentLo + pqNCent,
-        pqNSub)
+        pqNSub))
       .orderBy(col("vec_id"), col("m"))
 
-  val embedPqSql: String =
-    s"""WITH q AS (SELECT vec_id,
+  /** CTE chain ending in `best` (the PQ assignment) — shared by
+    * embed_pq and pq_adc_topk.
+    */
+  private val pqCtes: String =
+    s"""q AS (SELECT vec_id,
        |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS code, qv AS cv FROM q
@@ -472,9 +475,74 @@ object QueriesText {
        |        FROM pex GROUP BY 1, 2, 3),
        |best AS (SELECT vec_id, m, code, d2,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
-       |         FROM d2s)
+       |         FROM d2s)""".stripMargin
+
+  val embedPqSql: String =
+    s"""WITH $pqCtes
        |SELECT vec_id, CAST(m AS INT) AS m, code, d2 FROM best WHERE rn = 1
        |ORDER BY vec_id, m""".stripMargin
+
+  // ---- row 25e: PQ asymmetric-distance top-k search ----
+
+  /** The PQ SEARCH path: candidates are represented only by their nSub
+    * codes; each probe precomputes a (code, subspace) → exact-integer-L2
+    * lookup table against the codebook, and the estimated distance is
+    * Σ LUT hits — candidates never ship their vectors, which is the
+    * whole point of PQ at billion-vector scale (the LUT join replaces
+    * dim multiplications per candidate with nSub lookups).
+    */
+  def pqAdcTopkQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val centPred = col("vec_id") >= pqCentLo && col("vec_id") < pqCentLo + pqNCent
+    val codes = Memo(spark, dir, "pqCodes")(
+      Similarity.pqEncode(emb, centPred, pqNSub))
+    val q = emb.select(col("vec_id"), Similarity.quantExpr.as("qv"))
+    val cents = q.filter(centPred).select(col("vec_id").as("code"), col("qv").as("cv"))
+    val lut = q.filter(col("vec_id") < probeMax)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("m", explode(sequence(lit(0), lit(pqNSub - 1))))
+      .withColumn("w", expr(s"CAST(FLOOR(size(pv) / $pqNSub.0) AS INT)"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(slice(pv, m * w + 1, w), slice(cv, m * w + 1, w)," +
+          " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select(col("probe_id"), col("m"), col("code"), col("d2"))
+    val win = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("cand_id"))
+    codes
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= topK)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("adc"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val pqAdcTopkSql: String =
+    s"""WITH $pqCtes,
+       |codes AS (SELECT vec_id AS cand_id, m, code FROM best WHERE rn = 1),
+       |probes AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < $probeMax),
+       |lex AS (SELECT p.probe_id, c.code, p.pv, c.cv,
+       |          CAST(FLOOR(len(p.pv) / $pqNSub.0) AS BIGINT) AS w, ms.m,
+       |          unnest(range(1, CAST(FLOOR(len(p.pv) / $pqNSub.0) AS BIGINT) + 1)) AS i
+       |        FROM probes p, cent c, (SELECT unnest(range(0, $pqNSub)) AS m) ms),
+       |lut AS (SELECT probe_id, m, code,
+       |          CAST(SUM((pv[m*w+i] - cv[m*w+i]) * (pv[m*w+i] - cv[m*w+i])) AS BIGINT) AS d2
+       |        FROM lex GROUP BY 1, 2, 3),
+       |adc AS (SELECT l.probe_id, k.cand_id, CAST(SUM(l.d2) AS BIGINT) AS adc
+       |        FROM codes k JOIN lut l ON k.m = l.m AND k.code = l.code
+       |        WHERE k.cand_id != l.probe_id
+       |        GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT probe_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc, cand_id) AS INT) AS rnk,
+       |    cand_id, adc
+       |  FROM adc
+       |) WHERE rnk <= $topK
+       |ORDER BY probe_id, rnk""".stripMargin
 
   /** Rows-only (k-means is not reproducible in the oracle): the MLlib
     * leg — IVF search over k-means-trained centroids.
@@ -840,6 +908,7 @@ object QueriesText {
     "embed_lsh_ann" -> (embedLshAnnQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
     "embed_pq" -> (embedPqQ _),
+    "pq_adc_topk" -> (pqAdcTopkQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
@@ -869,6 +938,7 @@ object QueriesText {
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,
     "embed_pq" -> embedPqSql,
+    "pq_adc_topk" -> pqAdcTopkSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,

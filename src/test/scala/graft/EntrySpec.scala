@@ -17,11 +17,12 @@ class EntrySpec extends SparkSpec {
       "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
       "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
-      "col_quantiles", "bloom_filter", "winnow_fingerprint", "winnow_dup",
+      "col_quantiles", "bloom_filter", "kmv_group_ndv", "mergeable_stats",
+      "winnow_fingerprint", "winnow_dup",
       "minhash_jaccard_est", "asof_join", "latest_snapshot",
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
       "contamination", "prefix_dedup",
-      "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "embed_pq", "ivf_kmeans_ann", "lang_id",
+      "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "embed_pq", "pq_adc_topk", "ivf_kmeans_ann", "lang_id",
       "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
       "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
