@@ -239,7 +239,7 @@ object QueriesStats {
     ("orders", "o_totalprice"))
 
   def colQuantilesQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Metrics.quantilesNearestBy(
+    graft.operators.Metrics.quantilesNearestBucketed(
       quantCols
         .map { case (t, c) =>
           Tables(spark, dir, t)

@@ -50,4 +50,58 @@ object Metrics {
       .filter(col("__rn") === expr("CAST(bround(quantile * (__n - 1), 0) AS BIGINT) + 1"))
       .select(col(group), col("quantile"), col("__v").as("value"))
       .orderBy(col(group), col("quantile"))
+
+  /** EXACT per-group quantiles without a per-group global sort — the
+    * scale formulation of [[quantilesNearestBy]] (identical output).
+    *
+    * A global sort puts each group on ONE reducer; at 100 TB that
+    * reducer is the job. Instead: (1) one scan for count/min/max,
+    * (2) one scan for 256 equi-width bucket counts, whose running sum
+    * locates the bucket holding each target rank and the exact number
+    * of rows below it, (3) one scan keeps only rows in located buckets
+    * (~n/256 each) — the final rank pick sorts only those. Three cheap
+    * codegen'd scans replace the sort; no sketch error bounds involved,
+    * so the result is exact by construction.
+    */
+  def quantilesNearestBucketed(
+      df: DataFrame, group: String, valueCol: String,
+      qs: Seq[Double] = quantiles, buckets: Int = 256): DataFrame = {
+    val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
+    val mm = base.groupBy(col(group)).agg(
+      count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    // same expression in the count pass and the keep pass — bit-identical
+    val bucket =
+      when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(least(
+          floor((col("__v") - col("__mn")) * lit(buckets.toDouble) /
+            (col("__mx") - col("__mn"))).cast("long"),
+          lit((buckets - 1).toLong)))
+    val counts = base.join(broadcast(mm), group)
+      .groupBy(col(group), bucket.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(group)).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // target rank r per (group, q); its bucket is the first with cum ≥ r
+    val targets = mm
+      .withColumn("quantile", explode(array(qs.map(lit): _*)))
+      .select(col(group), col("quantile"),
+        (expr("CAST(bround(quantile * (__n - 1), 0) AS BIGINT)") + 1L).as("__r"))
+    val located = targets
+      .join(cum, group)
+      .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
+      .select(col(group), col("quantile"), col("__r"),
+        col("__b"), (col("__cum") - col("__c")).as("__below"))
+    // keep only rows in located buckets; rank within = __below + local rank
+    val narrowed = base.join(broadcast(mm), group)
+      .withColumn("__b", bucket)
+      .join(broadcast(located), Seq(group, "__b"))
+    narrowed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(group), col("quantile")).orderBy(col("__v"))))
+      .filter(col("__below") + col("__rn") === col("__r"))
+      .select(col(group), col("quantile"), col("__v").as("value"))
+      .orderBy(col(group), col("quantile"))
+  }
 }

@@ -121,7 +121,7 @@ object Similarity {
       org.apache.spark.ml.functions.array_to_vector(
         expr("transform(embedding, v -> CAST(v AS DOUBLE))")).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20).fit(feats)
+      .setK(k).setSeed(seed).setMaxIter(10).fit(feats)
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) =>
         (i.toLong, v.toArray.map(d => math.floor(d * 1000000.0 + 0.5).toLong))

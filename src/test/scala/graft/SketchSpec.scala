@@ -42,6 +42,20 @@ class SketchSpec extends SparkSpec {
     assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs should not collide")
   }
 
+  test("bucketed exact quantiles equal the sorted formulation") {
+    val base = QueriesStats.quantCols
+      .map { case (t, c) =>
+        Tables(spark, sf, t).filter(col(c).isNotNull)
+          .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
+      }
+      .reduce(_.unionAll(_))
+    val sorted = graft.operators.Metrics
+      .quantilesNearestBy(base, "col_name", "v").collect().toSeq
+    val bucketed = graft.operators.Metrics
+      .quantilesNearestBucketed(base, "col_name", "v").collect().toSeq
+    assert(bucketed.map(_.toSeq) === sorted.map(_.toSeq))
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
