@@ -55,6 +55,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("asof_join is one shuffle on user_id — no join operator at all") {
+    // the union+running-window formulation must not produce a Join node
+    // (a range join would explode per-pair candidates before picking)
+    val p = graft.streaming.StreamOps
+      .asofJoin(Tables(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("winnow fingerprints are computed with zero shuffle") {
+    val p = graft.operators.TextOps
+      .winnowFingerprints(Tables(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("bloom_filter probes via broadcast of the bounded bit set") {
+    assert(plan("bloom_filter").contains("BroadcastExchange"))
+  }
+
+  test("pq_adc_topk broadcasts the LUT onto the code table") {
+    assert(plan("pq_adc_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("latest_snapshot reads all its output columns but shuffles once") {
+    val p = graft.streaming.StreamOps
+      .latestSnapshot(Tables(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("exact_dedup reads only the columns it needs") {
     val p = plan("exact_dedup")
     // ReadSchema on the documents scan must not include the wide columns
