@@ -459,7 +459,89 @@ object QueriesStats {
       |FROM documents
       |ORDER BY source""".stripMargin
 
+  // ---- row 16b: equi-depth histogram ----
+
+  /** Equi-depth histogram over o_totalprice: boundaries are the exact
+    * nearest-rank quantiles at i/B (computed by the bucket-locate plan,
+    * no global sort), bins are [b_{i-1}, b_i) with the last bin closed.
+    * The depth histogram is the estimator-grade structure equi-width
+    * can't replace under skew — bin populations stay ~n/B regardless of
+    * the value distribution.
+    */
+  val eqdepthBins = 8
+
+  def eqdepthHistQ(spark: SparkSession, dir: String): DataFrame = {
+    val qs = (1 until eqdepthBins).map(_.toDouble / eqdepthBins)
+    val vals = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(lit("orders.o_totalprice").as("col_name"),
+        col("o_totalprice").cast("double").as("v"))
+    val bounds = graft.operators.Metrics
+      .quantilesNearestBucketed(vals, "col_name", "v", qs)
+      .agg(sort_array(collect_list(col("value"))).as("bs"))
+    val binCol = (1 until eqdepthBins)
+      .foldLeft(lit(0)) { (acc, i) =>
+        when(col("v") >= expr(s"bs[${i - 1}]"), lit(i)).otherwise(acc)
+      }
+    vals.crossJoin(broadcast(bounds))
+      .groupBy(col("col_name"), binCol.as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("col_name"), col("bin"))
+  }
+
+  val eqdepthHistSql: String = {
+    val qs = (1 until eqdepthBins).map(_.toDouble / eqdepthBins)
+    val arms = qs
+      .map(q => s"SELECT $q AS q, v FROM ranked WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
+      .mkString("\nUNION ALL\n")
+    val binExpr = (1 until eqdepthBins)
+      .foldLeft("0") { (acc, i) =>
+        s"CASE WHEN v >= bs[$i] THEN $i ELSE $acc END"
+      }
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT 'orders.o_totalprice' AS col_name, CAST(o_totalprice AS DOUBLE) AS v
+       |  FROM orders WHERE o_totalprice IS NOT NULL
+       |),
+       |ranked AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+       |    COUNT(*) OVER () AS n FROM vals),
+       |bounds AS (SELECT list_sort(list(v ORDER BY q)) AS bs FROM (
+       |$arms
+       |))
+       |SELECT col_name, CAST(($binExpr) AS INT) AS bin,
+       |  COUNT(*) AS cnt, MIN(v) AS lo, MAX(v) AS hi
+       |FROM vals, bounds
+       |GROUP BY 1, 2
+       |ORDER BY col_name, bin""".stripMargin
+  }
+
+  // ---- row 31b: pivot report (the DataFrame pivot surface) ----
+
+  /** Per-day event_type pivot: one count column per type, explicit value
+    * list so the plan is a single groupBy (no extra distinct-values job)
+    * with a fixed output schema the oracle mirrors as CASE sums.
+    */
+  val pivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventPivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, pivotTypes)
+      .orderBy(col("day"))
+
+  val eventPivotSql: String = {
+    val cols = pivotTypes
+      .map(t => s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT date_trunc('day', ts) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eqdepth_hist" -> (eqdepthHistQ _),
+    "event_pivot" -> (eventPivotQ _),
     "kmv_group_ndv" -> (kmvGroupNdvQ _),
     "mergeable_stats" -> (mergeableStatsQ _),
     "col_quantiles" -> (colQuantilesQ _),
@@ -476,6 +558,8 @@ object QueriesStats {
     * SQL-checked portable companion.
     */
   val oracleSql: Map[String, String] = Map(
+    "eqdepth_hist" -> eqdepthHistSql,
+    "event_pivot" -> eventPivotSql,
     "kmv_group_ndv" -> kmvGroupNdvSql,
     "mergeable_stats" -> mergeableStatsSql,
     "col_quantiles" -> colQuantilesSql,

@@ -18,6 +18,7 @@ class EntrySpec extends SparkSpec {
       "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
       "col_quantiles", "bloom_filter", "kmv_group_ndv", "mergeable_stats",
+      "eqdepth_hist", "event_pivot",
       "winnow_fingerprint", "winnow_dup",
       "minhash_jaccard_est", "asof_join", "latest_snapshot",
       "exact_dedup", "minhash_sig", "minhash_lsh_dup", "dup_clusters", "simhash_dup",
