@@ -128,7 +128,46 @@ object QueriesStreaming {
       |) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  def funnelCountQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.funnel(Tables(spark, dir, "events"))
+
+  val funnelCountSql: String =
+    """WITH u1 AS (SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+      |            FROM events GROUP BY 1),
+      |u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN u1 ON u1.user_id = e.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+      |u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN u2 ON u2.user_id = e.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+      |c AS (SELECT
+      |  (SELECT COUNT(t1) FROM u1) AS view_users,
+      |  (SELECT COUNT(*) FROM u2) AS click_users,
+      |  (SELECT COUNT(*) FROM u3) AS purchase_users)
+      |SELECT view_users, click_users, purchase_users,
+      |  CAST(click_users AS DOUBLE) / CAST(view_users AS DOUBLE) AS click_rate,
+      |  CAST(purchase_users AS DOUBLE) / CAST(view_users AS DOUBLE) AS purchase_rate
+      |FROM c""".stripMargin
+
+  val retentionMaxOffset = 7
+
+  def cohortRetentionQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .cohortRetention(Tables(spark, dir, "events"), retentionMaxOffset)
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  val cohortRetentionSql: String =
+    s"""WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+       |SELECT c.cohort_day, CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       |  COUNT(*) AS users
+       |FROM a JOIN c ON a.user_id = c.user_id
+       |WHERE date_diff('day', c.cohort_day, a.day) <= $retentionMaxOffset
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_count" -> (funnelCountQ _),
+    "cohort_retention" -> (cohortRetentionQ _),
     "asof_join" -> (asofJoinQ _),
     "latest_snapshot" -> (latestSnapshotQ _),
     "window_agg" -> (windowAggQ _),
@@ -139,6 +178,8 @@ object QueriesStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "funnel_count" -> funnelCountSql,
+    "cohort_retention" -> cohortRetentionSql,
     "asof_join" -> asofJoinSql,
     "latest_snapshot" -> latestSnapshotSql,
     "window_agg" -> windowAggSql,

@@ -613,6 +613,54 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---- row 25f: embedding-cosine near-dup ----
+
+  /** Calibrated to the synthetic corpus spread (max pairwise cosine
+    * ≈ 0.52); at a real corpus the same operator runs at 0.9+.
+    */
+  val embedDupTau = 0.35
+
+  def embedDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val planes = Similarity.hyperplanes(spark, lshDim)
+    Similarity
+      .cosineDupPairs(emb, Similarity.lshBuckets(emb, planes), embedDupTau)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embedDupSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |planes AS (SELECT plane, d,
+       |    (strpos('0123456789abcdef',
+       |            substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) - 1) * 2 - 15 AS w
+       |  FROM (SELECT unnest(range(0, ${Similarity.numPlanes})) AS plane),
+       |       (SELECT unnest(range(0, $lshDim)) AS d)),
+       |proj AS (SELECT e.vec_id, p.plane, CAST(SUM(e.qv[e.d + 1] * p.w) AS BIGINT) AS proj
+       |         FROM (SELECT vec_id, qv, unnest(range(0, len(qv))) AS d FROM q) e
+       |         JOIN planes p ON p.d = e.d
+       |         GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |          CAST(SUM((CASE WHEN proj > 0 THEN 1 ELSE 0 END) * CAST(pow(2.0, plane) AS BIGINT)) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY 1),
+       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, qa.qv AS pv, qb.qv AS cv
+       |          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |          JOIN q qa ON qa.vec_id = a.vec_id
+       |          JOIN q qb ON qb.vec_id = b.vec_id),
+       |pex AS (SELECT vec_a, vec_b, pv, cv, unnest(range(1, len(pv) + 1)) AS i FROM pairs),
+       |dots AS (SELECT vec_a, vec_b, CAST(SUM(pv[i] * cv[i]) AS BIGINT) AS dot
+       |         FROM pex GROUP BY 1, 2),
+       |cs AS (SELECT vec_a, vec_b,
+       |         CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE)) AS cos
+       |       FROM dots
+       |       JOIN norms na ON na.vec_id = vec_a
+       |       JOIN norms nb ON nb.vec_id = vec_b)
+       |SELECT vec_a, vec_b, cos FROM cs WHERE cos >= $embedDupTau
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   // ---- rows 26-29: text analysis ----
 
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
@@ -906,6 +954,7 @@ object QueriesText {
     "ngram_jaccard" -> (ngramJaccardQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
+    "embed_dup" -> (embedDupQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
     "embed_pq" -> (embedPqQ _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
@@ -929,6 +978,7 @@ object QueriesText {
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,
     "embed_lsh_ann" -> embedLshAnnSql,
+    "embed_dup" -> embedDupSql,
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,
     "minhash_lsh_dup" -> minhashLshDupSql,

@@ -205,6 +205,32 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("code"), col("d2"))
   }
 
+  /** Embedding-cosine near-dup pairs: candidate pairs share a
+    * random-hyperplane LSH bucket (the blocking step — at corpus scale
+    * the self-join is per-bucket, never all-pairs), then each candidate
+    * is verified by the EXACT quantized cosine and kept at ≥ tau. Same
+    * exactness story as the ANN ops: integer projections make the
+    * bucketing oracle-reproducible, integer dots make the verdict
+    * bit-for-bit. One bucket per vector (single signature), so each
+    * pair appears at most once.
+    */
+  def cosineDupPairs(embeddings: DataFrame, buckets: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings
+      .select(col("vec_id"), quantExpr.as("qv"))
+      .withColumn("nn", dot(col("qv"), col("qv")))
+      .join(buckets, "vec_id")
+    val a = q.select(col("vec_id").as("vec_a"), col("qv").as("pv"), col("nn").as("np"), col("bucket"))
+    val b = q.select(col("vec_id").as("vec_b"), col("qv").as("cv"), col("nn").as("nc"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("pv"), col("cv")).cast("double") /
+          sqrt(col("np").cast("double")) / sqrt(col("nc").cast("double")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** Bucketed approximate NN: probes only compare against same-bucket
     * vectors — the 100 TB scale path (bucket join instead of full scan).
     */

@@ -283,6 +283,59 @@ object StreamOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
   }
 
+  // ---- funnel analysis (row 43) ----
+
+  /** Strict-sequence funnel view → click → purchase: per user, the
+    * earliest view, then the earliest click AFTER that view, then the
+    * earliest purchase AFTER that click; output = per-stage user counts
+    * with conversion rates off the first stage.
+    *
+    * Three window passes over the SAME user_id partitioning — Catalyst
+    * plans one shuffle (the unbounded min frames need no sort), then a
+    * single global rollup of 1 row per user. At 100 TB the per-user
+    * reduction is the classic funnel job shape.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"), col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"), col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"), first(col("t3")).as("t3"))
+      .agg(
+        count(col("t1")).as("view_users"),
+        count(col("t2")).as("click_users"),
+        count(col("t3")).as("purchase_users"))
+    staged.select(
+      col("view_users"), col("click_users"), col("purchase_users"),
+      (col("click_users").cast("double") / col("view_users").cast("double")).as("click_rate"),
+      (col("purchase_users").cast("double") / col("view_users").cast("double")).as("purchase_rate"))
+  }
+
+  // ---- cohort retention (row 44) ----
+
+  /** Day-offset retention matrix: cohort = each user's first active day,
+    * cell (cohort_day, day_offset) = distinct users of that cohort active
+    * day_offset days later (0..maxOffset). Two aggregations sharing the
+    * user_id partitioning plus one join of the (small) per-user cohort
+    * frame back onto per-user-day activity.
+    */
+  def cohortRetention(events: DataFrame, maxOffset: Int): DataFrame = {
+    val activity = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    activity
+      .join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   // ---- per-window top-k (row 33) ----
 
   /** Per-day top-k users by summed value; decimal-exact ranking with a

@@ -79,6 +79,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._4) == got.map(_._4).sorted.reverse)
   }
 
+  test("cosineDupPairs keeps only same-bucket pairs at/above the threshold") {
+    // two near-parallel families; scaling never changes hyperplane signs
+    val vecs = (0L until 6L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.2f, -0.3f, 0.5f) else Array(-0.7f, 0.9f, 0.1f, -0.4f)
+      (i, base.map(_ * (1.0f + 0.001f * i)))
+    }.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(spark, 4)
+    val buckets = Similarity.lshBuckets(vecs, planes)
+    val got = Similarity.cosineDupPairs(vecs, buckets, 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    // near-parallel same-family pairs all survive; cross-family never blocks together
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && (a % 2) == (b % 2) && c >= 0.99 })
+    assert(got.map(p => (p._1, p._2)).distinct.size == got.size)
+    // an impossible threshold yields nothing
+    assert(Similarity.cosineDupPairs(vecs, buckets, 1.1).count() == 0)
+  }
+
   test("native quantized_dot matches the higher-order-function formulation") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

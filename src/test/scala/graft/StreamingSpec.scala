@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("funnel enforces strict view → click → purchase ordering per user") {
+    // user 1 completes in order; user 2's purchase PRECEDES its click
+    // (must not count); user 3 clicks before its first view (no click
+    // stage); user 4 never views (out of the funnel entirely).
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "click", 0.0), (3L, ts(2), 1L, "purchase", 0.0),
+      (4L, ts(0), 2L, "view", 0.0), (5L, ts(2), 2L, "click", 0.0), (6L, ts(1), 2L, "purchase", 0.0),
+      (7L, ts(1), 3L, "view", 0.0), (8L, ts(0), 3L, "click", 0.0),
+      (9L, ts(0), 4L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.funnel(ev)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((3L, 2L, 1L, 2.0 / 3.0, 1.0 / 3.0)))
+  }
+
+  test("cohortRetention buckets activity by days since each user's first day") {
+    def day(d: Long, min: Long): Timestamp = new Timestamp(((1440 * (d + 1)) + min) * 60000)
+    val ev = Seq(
+      (1L, day(0, 0), 1L, "view", 0.0), // cohort day 0
+      (2L, day(0, 30), 1L, "view", 0.0), // same user+day → one activity row
+      (3L, day(2, 0), 1L, "view", 0.0), // offset 2
+      (4L, day(1, 0), 2L, "view", 0.0), // cohort day 1
+      (5L, day(9, 0), 1L, "view", 0.0) // offset 9 > maxOffset → dropped
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.cohortRetention(ev, maxOffset = 7)
+      .orderBy("cohort_day", "day_offset")
+      .select("day_offset", "users").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (2L, 1L), (0L, 1L)))
+  }
+
   test("streaming intervalJoin joins two watermarked streams with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
