@@ -239,8 +239,55 @@ object QueriesCore {
       |FROM geom
       |ORDER BY l_orderkey, l_linenumber, fact_idx""".stripMargin
 
+  /** Skewed fact⋈dim join through the salted replicate plan
+    * (operators.Skew.saltedJoin) — the oracle is the PLAIN join + agg:
+    * salting must not change a single row.
+    */
+  def skewJoinQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew
+      .saltedJoin(
+        Tables(spark, dir, "lineitem"), Tables(spark, dir, "part"),
+        "l_partkey", "p_partkey", buckets = 32)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  val skewJoinSql: String =
+    """SELECT p_brand, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val zorderBits = 16
+  val zorderBucketShift = 16
+
+  /** Z-order layout summary of lineitem over (l_partkey, l_suppkey):
+    * per z-bucket row counts and min/max key ranges — the file-level
+    * stats a z-sorted writer would give a pruning reader.
+    */
+  def zorderLayoutQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout
+      .zorderSummary(
+        Tables(spark, dir, "lineitem"), "l_partkey", "l_suppkey",
+        zorderBits, zorderBucketShift)
+      .orderBy(col("bucket"))
+
+  val zorderLayoutSql: String = {
+    val z = graft.operators.Layout.zValueSql("l_partkey", "l_suppkey", zorderBits)
+    s"""WITH z AS (SELECT l_partkey, l_suppkey, CAST($z AS BIGINT) AS z FROM lineitem)
+       |SELECT z >> $zorderBucketShift AS bucket, COUNT(*) AS cnt,
+       |  MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+       |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey,
+       |  MIN(z) AS z_lo, MAX(z) AS z_hi
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
+    "skew_join" -> (skewJoinQ _),
+    "zorder_layout" -> (zorderLayoutQ _),
     "fk_count" -> (fkCountQ _),
     "adj_fanout" -> (adjFanoutQ _),
     "fanout_weight" -> (fanoutWeightQ _),
@@ -253,6 +300,8 @@ object QueriesCore {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "skew_join" -> skewJoinSql,
+    "zorder_layout" -> zorderLayoutSql,
     "fk_count" -> fkCountSql,
     "adj_fanout" -> adjFanoutSql,
     "fanout_weight" -> fanoutWeightSql,

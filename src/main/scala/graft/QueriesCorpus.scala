@@ -44,6 +44,54 @@ object QueriesCorpus {
        |  $threshCaseSql
        |ORDER BY doc_id""".stripMargin
 
+  // ---- row 36b: uniform source-mix rebalancing ----
+
+  val mixSeed = "mix42"
+
+  def sourceMixSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus
+      .sourceMixSample(Tables(spark, dir, "documents"), mixSeed)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin: the 8-hex-digit uniform is rebuilt digit-by-digit
+    * (strpos over the hex alphabet) and the threshold product runs in
+    * HUGEINT — same exact integers as Spark's DECIMAL(38,0) path.
+    */
+  val sourceMixSampleSql: String = {
+    val digits = (1 to 8)
+      .map(i =>
+        s"(strpos('0123456789abcdef', substr(h8, $i, 1)) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n_src) AS min_src FROM counts),
+       |d AS (SELECT doc_id, source,
+       |        substr(md5('$mixSeed:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+       |      FROM documents)
+       |SELECT d.doc_id, d.source, c.n_src, m.min_src,
+       |  CAST($digits AS HUGEINT) * c.n_src < CAST(m.min_src AS HUGEINT) * 4294967296 AS kept
+       |FROM d JOIN counts c ON c.source = d.source, m
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- row 36c: deterministic k-per-group sample ----
+
+  val groupSampleSeed = "pick7"
+  val groupSampleK = 3
+
+  def perGroupSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus
+      .perGroupSample(Tables(spark, dir, "documents"), groupSampleSeed, groupSampleK)
+      .orderBy(col("source"), col("rnk"))
+
+  val perGroupSampleSql: String =
+    s"""SELECT doc_id, source, h, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT doc_id, source, md5('$groupSampleSeed:' || CAST(doc_id AS VARCHAR)) AS h,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY md5('$groupSampleSeed:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+       |  FROM documents
+       |) WHERE rnk <= $groupSampleK
+       |ORDER BY source, rnk""".stripMargin
+
   // ---- row 37: χ² drift between event populations ----
 
   def chi2DriftQ(spark: SparkSession, dir: String): DataFrame =
@@ -247,6 +295,8 @@ object QueriesCorpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pass" -> (curationPassQ _),
+    "source_mix_sample" -> (sourceMixSampleQ _),
+    "per_group_sample" -> (perGroupSampleQ _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "chi2_drift" -> (chi2DriftQ _),
     "ngram_freq" -> (ngramFreqQ _),
@@ -257,6 +307,8 @@ object QueriesCorpus {
 
   val oracleSql: Map[String, String] = Map(
     "curation_pass" -> curationPassSql,
+    "source_mix_sample" -> sourceMixSampleSql,
+    "per_group_sample" -> perGroupSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "chi2_drift" -> chi2DriftSql,
     "ngram_freq" -> ngramFreqSql,

@@ -165,7 +165,20 @@ object QueriesStreaming {
        |WHERE date_diff('day', c.cohort_day, a.day) <= $retentionMaxOffset
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  def scd2HistoryQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .scd2History(Tables(spark, dir, "events"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  val scd2HistorySql: String =
+    """SELECT user_id, event_id, event_type, value, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM events
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_history" -> (scd2HistoryQ _),
     "funnel_count" -> (funnelCountQ _),
     "cohort_retention" -> (cohortRetentionQ _),
     "asof_join" -> (asofJoinQ _),
@@ -178,6 +191,7 @@ object QueriesStreaming {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scd2_history" -> scd2HistorySql,
     "funnel_count" -> funnelCountSql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join" -> asofJoinSql,

@@ -32,6 +32,48 @@ object Corpus {
         substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 8).as("h8"))
       .filter(col("h8") < threshold)
 
+  /** Rebalance the corpus toward a uniform source mix: each source is
+    * downsampled to (approximately) the smallest source's size with the
+    * same deterministic md5-threshold filter as stratifiedSample — keep
+    * iff u · n_src < min_src · 2³², where u is the 32-bit uniform from
+    * md5(seed:doc_id). The per-source counts are one keyed aggregation
+    * broadcast back onto the scan; the keep decision itself is a pure
+    * row-local filter (reproducible at any scale and partitioning).
+    * Products go through DECIMAL(38,0) so the comparison stays exact
+    * even when a source holds billions of documents.
+    */
+  def sourceMixSample(documents: DataFrame, seed: String): DataFrame = {
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minCnt = counts.agg(min(col("n_src")).as("min_src"))
+    val u = conv(
+      substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    documents
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(minCnt))
+      .withColumn("__u", u)
+      .withColumn("kept",
+        col("__u").cast("decimal(38,0)") * col("n_src").cast("decimal(38,0)") <
+          col("min_src").cast("decimal(38,0)") * lit(4294967296L).cast("decimal(38,0)"))
+      .select(col("doc_id"), col("source"), col("n_src"), col("min_src"), col("kept"))
+  }
+
+  /** Deterministic k-per-group sample: rank rows inside each group by
+    * md5(seed:doc_id) (doc_id tie-break) and keep the first k — the
+    * "give me k random-but-reproducible examples per source/language"
+    * primitive every curation review loop needs. One shuffle on the
+    * group key; at scale the per-group heap is bounded by k.
+    */
+  def perGroupSample(documents: DataFrame, seed: String, k: Int): DataFrame = {
+    val h = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+  }
+
   /** χ² homogeneity test between two event populations (deterministic
     * split g = event_id % 2): per event_type the observed counts and the
     * χ² contribution Σ_g (o_g − e_g)²/e_g with e_g = rowTot × colTot/N.

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering keys for writing
+  * 100 TB tables so that range predicates on EITHER key prune files.
+  * A table sorted by z-value keeps rows close in both dimensions close
+  * in the file order, so per-file min/max stats stay tight on both
+  * columns — the standard lakehouse OPTIMIZE ZORDER BY layout, here as
+  * a pure codegen'd expression (no shuffle beyond the final sort the
+  * writer would do anyway).
+  */
+object Layout {
+
+  /** Z-value (Morton code) of two non-negative keys over their low
+    * `bits` bits: output bit 2i+1 = bit i of a, bit 2i = bit i of b.
+    * A flat sum of shift/mask terms — whole-stage-codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+      }
+      .reduce(_ + _)
+
+  /** The same z-value as engine-portable SQL text (DuckDB oracle). */
+  def zValueSql(a: String, b: String, bits: Int): String =
+    (0 until bits)
+      .map(i => s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** Z-order layout summary: rows bucketed by the top bits of their
+    * z-value (= the files a z-sorted writer would produce), per-bucket
+    * row count and min/max of both keys — the per-file stats a reader
+    * would prune on. Tight per-bucket ranges on BOTH keys are exactly
+    * what makes the layout work; the oracle checks them value-for-value.
+    */
+  def zorderSummary(
+      df: DataFrame, aCol: String, bCol: String, bits: Int, bucketShift: Int): DataFrame =
+    df.withColumn("z", zValue(col(aCol).cast("long"), col(bCol).cast("long"), bits))
+      .withColumn("bucket", shiftright(col("z"), bucketShift))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col(aCol)).as(s"min_$aCol"),
+        max(col(aCol)).as(s"max_$aCol"),
+        min(col(bCol)).as(s"min_$bCol"),
+        max(col(bCol)).as(s"max_$bCol"),
+        min(col("z")).as("z_lo"),
+        max(col("z")).as("z_hi"))
+}

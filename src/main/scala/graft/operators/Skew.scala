@@ -52,4 +52,25 @@ object Skew {
       merge = Seq(
         sum(col("__pcnt")).as("cnt"),
         sum(col("__psum")).cast("double").as(s"sum_$valueCol")))
+
+  /** Salted replicate join — the skewed-JOIN counterpart of the salted
+    * aggregation, for when the build side is too big to broadcast and
+    * one fact key is hot enough to sink a reducer. The fact side gets a
+    * round-robin salt (any assignment is correct: each fact row still
+    * meets every matching dim row exactly once), the dim side is
+    * replicated once per salt bucket, and the join key becomes
+    * (key, salt) so a hot key's rows spread over `buckets` reducers.
+    * Result is row-identical to the plain equi-join.
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      buckets: Int): DataFrame = {
+    val salted = fact.withColumn(
+      "__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val repl = dim.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted
+      .join(repl, salted(factKey) === repl(dimKey) && salted("__salt") === repl("__salt"))
+      .drop("__salt")
+  }
 }

@@ -283,6 +283,24 @@ object StreamOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
   }
 
+  // ---- SCD2 history (row 45) ----
+
+  /** Changelog → slowly-changing-dimension type-2 history: each event
+    * opens a version valid from its own timestamp until the key's next
+    * event (NULL = still current). One lead() window per key — the same
+    * single user_id shuffle as latestSnapshot, producing the full
+    * validity-interval table instead of just the newest row.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("ts")
+  }
+
   // ---- funnel analysis (row 43) ----
 
   /** Strict-sequence funnel view → click → purchase: per user, the

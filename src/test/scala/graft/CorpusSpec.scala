@@ -27,6 +27,35 @@ class CorpusSpec extends SparkSpec {
       again.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("sourceMixSample downsamples every source toward the smallest") {
+    // src0: 3000 docs, src1: 300 → src0 keeps ~10%, src1 keeps ~100%
+    val docs = ((0L until 3000L).map(i => (i, "src0", "t")) ++
+      (3000L until 3300L).map(i => (i, "src1", "t")))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sourceMixSample(docs, "m").cache()
+    assert(out.count() == 3300) // keep-list form: every doc, flagged
+    val kept = out.filter(col("kept")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(kept("src0") - 300.0) < 60, kept)
+    assert(kept("src1") > 250, kept) // rate 1.0 keeps (nearly) everything
+    // deterministic: same seed → same keep-list
+    val again = Corpus.sourceMixSample(docs, "m")
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(again == out.filter(col("kept")).select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("perGroupSample returns exactly k deterministic rows per group") {
+    val docs = (0L until 500L).map(i => (i, s"src${i % 4}", "t"))
+      .toDF("doc_id", "source", "text")
+    val s = Corpus.perGroupSample(docs, "p", 5).cache()
+    val by = s.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by.values.forall(_ == 5) && by.size == 4)
+    // ranks are 1..k and the pick is stable across runs
+    assert(s.select("rnk").as[Int].collect().sorted.toSeq == Seq.fill(4)(1 to 5).flatten.sorted)
+    val again = Corpus.perGroupSample(docs, "p", 5).select("doc_id").as[Long].collect().toSet
+    assert(again == s.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("chi2Drift is exactly zero for homogeneous populations") {
     // consecutive (even, odd) event_id pairs share a type → 50/50 split
     val ev = (0L until 400L).map(i => (i, s"t${(i / 2) % 4}"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, Skew}
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits (known Morton codes)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (7L, 0L), (0L, 7L), (5L, 3L))
+      .toDF("a", "b")
+    val got = df.select(Layout.zValue(col("a"), col("b"), 8).as("z")).as[Long].collect().toSeq
+    // z(a=1,b=0)=2, z(0,1)=1, z(1,1)=3, z(7,0)=42 (101010b), z(0,7)=21,
+    // z(5,3)=39 (101|011 interleaved = 100111b)
+    assert(got == Seq(0L, 2L, 1L, 3L, 42L, 21L, 39L))
+  }
+
+  test("zValue and zValueSql agree on random keys") {
+    val df = (0L until 256L).map(i => (i * 37 % 1000, i * 91 % 1000)).toDF("a", "b")
+    val got = df.select(Layout.zValue(col("a"), col("b"), 10).as("z")).as[Long].collect().toSeq
+    val viaSql = df.selectExpr(s"${Layout.zValueSql("a", "b", 10)} AS z").as[Long].collect().toSeq
+    assert(got == viaSql)
+  }
+
+  test("zorderSummary buckets keep tight ranges on both keys") {
+    // 32×32 grid: dropping the low 6 z-bits (= 3 bits per key) makes
+    // each bucket an 8×8 tile — 16 buckets of 64 rows, both key ranges
+    // spanning exactly 8 values.
+    val df = (0L until 1024L).map(i => (i / 32, i % 32)).toDF("a", "b")
+    val s = Layout.zorderSummary(df, "a", "b", 8, 6).cache()
+    assert(s.count() == 16)
+    val rows = s.select("cnt", "min_a", "max_a", "min_b", "max_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.forall { case (c, la, ha, lb, hb) =>
+      c == 64 && ha - la == 7 && hb - lb == 7
+    })
+  }
+
+  test("saltedJoin returns exactly the plain equi-join rows") {
+    // skewed fact: one hot key holds half the rows
+    val fact = (0L until 400L).map(i => (if (i < 200) 1L else i % 37, i)).toDF("fk", "payload")
+    val dim = (0L until 40L).map(i => (i, s"d$i")).toDF("pk", "name")
+    val plain = fact.join(dim, col("fk") === col("pk"))
+      .select("fk", "payload", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    val salted = Skew.saltedJoin(fact, dim, "fk", "pk", 8)
+      .select("fk", "payload", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    assert(salted == plain)
+  }
+}

@@ -187,6 +187,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("scd2History tiles each key's timeline with half-open validity intervals") {
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 1.0),
+      (2L, ts(10), 7L, "view", 2.0),
+      (3L, ts(20), 7L, "buy", 3.0),
+      (4L, ts(5), 8L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamOps.scd2History(ev)
+      .orderBy("user_id", "valid_from", "event_id")
+      .select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (7L, 1L, ts(0), Some(ts(10)), false),
+      (7L, 2L, ts(10), Some(ts(20)), false),
+      (7L, 3L, ts(20), None, true),
+      (8L, 4L, ts(5), None, true)))
+  }
+
   test("funnel enforces strict view → click → purchase ordering per user") {
     // user 1 completes in order; user 2's purchase PRECEDES its click
     // (must not count); user 3 clicks before its first view (no click
