@@ -27,7 +27,10 @@ class EntrySpec extends SparkSpec {
       "quality_score", "token_count", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
       "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
-      "repetition_ratio", "dedup_keep_best", "curation_pass")
+      "repetition_ratio", "dedup_keep_best", "curation_pass",
+      "embed_dup", "funnel_count", "cohort_retention",
+      "skew_join", "zorder_layout", "scd2_history",
+      "source_mix_sample", "per_group_sample")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
