@@ -271,6 +271,58 @@ object QueriesStats {
        |ORDER BY col_name, quantile""".stripMargin
   }
 
+  // ---- row 15d: distribution-skew profile (run.py:45 calc_entropy analogue) ----
+
+  def colSkewProfileQ(spark: SparkSession, dir: String): DataFrame =
+    statCols
+      .map { case (t, c, _) =>
+        Stats.skewProfile(Tables(spark, dir, t), c, s"$t.$c")
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+
+  val colSkewProfileSql: String =
+    statCols
+      .map { case (t, c, _) =>
+        s"""SELECT '$t.$c' AS col_name, n, ndv,
+           |  CAST(pairs AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS collision_prob,
+           |  CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+           |FROM (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS ndv, MAX(c) AS mx,
+           |        SUM(c * (c - 1)) AS pairs
+           |      FROM (SELECT COUNT(*) AS c FROM $t WHERE $c IS NOT NULL GROUP BY $c))""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---- row 15e: per-group exact quantiles ----
+
+  /** Exact per-event_type value quantiles through the same bucket-locate
+    * plan as col_quantiles (no global sort; only located buckets are
+    * ranked).
+    */
+  def groupQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Metrics.quantilesNearestBucketed(
+      Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v")),
+      "event_type", "v")
+
+  val groupQuantilesSql: String = {
+    val arms = graft.operators.Metrics.quantiles
+      .map(q =>
+        s"SELECT event_type, $q AS quantile, v AS value FROM ranked" +
+          s" WHERE rn = CAST(roundbankers($q * (n - 1), 0) AS BIGINT) + 1")
+      .mkString("\nUNION ALL\n")
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+       |),
+       |ranked AS MATERIALIZED (SELECT event_type, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM vals)
+       |$arms
+       |ORDER BY event_type, quantile""".stripMargin
+  }
+
   // ---- row 18d: bloom filter (portable md5 hash family) ----
 
   /** m bits / k hashes. The bit set is carried as ≤ m distinct set-bit
@@ -540,6 +592,8 @@ object QueriesStats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "col_skew_profile" -> (colSkewProfileQ _),
+    "group_quantiles" -> (groupQuantilesQ _),
     "eqdepth_hist" -> (eqdepthHistQ _),
     "event_pivot" -> (eventPivotQ _),
     "kmv_group_ndv" -> (kmvGroupNdvQ _),
@@ -558,6 +612,8 @@ object QueriesStats {
     * SQL-checked portable companion.
     */
   val oracleSql: Map[String, String] = Map(
+    "col_skew_profile" -> colSkewProfileSql,
+    "group_quantiles" -> groupQuantilesSql,
     "eqdepth_hist" -> eqdepthHistSql,
     "event_pivot" -> eventPivotSql,
     "kmv_group_ndv" -> kmvGroupNdvSql,

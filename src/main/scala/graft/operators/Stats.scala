@@ -40,6 +40,34 @@ object Stats {
       minStr.as("min_str"), maxStr.as("max_str"))
   }
 
+  /** Distribution-skew profile of one column — the Spark-exact stand-in
+    * for the reference's entropy profiling hook (run.py:45 calc_entropy).
+    * Shannon entropy needs float logs whose last-ulp behavior is
+    * engine-specific, so the profile reports exact-rational skew
+    * statistics instead: collision probability Σc(c−1)/(n(n−1))
+    * (the Rényi-2 / Simpson index — 1/ndv for uniform, →1 for
+    * single-value) and the modal share max(c)/n. One keyed count plus a
+    * tiny aggregation; the pair sum runs in DECIMAL(38,0) so it cannot
+    * overflow at any corpus size.
+    */
+  def skewProfile(df: DataFrame, colName: String, label: String): DataFrame = {
+    val counts = df
+      .filter(col(colName).isNotNull)
+      .groupBy(col(colName))
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("ndv"),
+        max(col("__c")).as("__mx"),
+        sum((col("__c") * (col("__c") - 1L)).cast("decimal(38,0)")).as("__pairs"))
+      .select(
+        lit(label).as("col_name"), col("n"), col("ndv"),
+        (col("__pairs").cast("double") / col("n").cast("double") /
+          (col("n") - 1L).cast("double")).as("collision_prob"),
+        (col("__mx").cast("double") / col("n").cast("double")).as("top_share"))
+  }
+
   /** Equi-width histogram with `bins` buckets; the top edge closes into
     * the last bucket (LEAST(..., bins-1)), mirroring the SQL oracle
     * expression exactly so double arithmetic matches bit-for-bit.

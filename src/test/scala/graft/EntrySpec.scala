@@ -30,7 +30,8 @@ class EntrySpec extends SparkSpec {
       "repetition_ratio", "dedup_keep_best", "curation_pass",
       "embed_dup", "funnel_count", "cohort_retention",
       "skew_join", "zorder_layout", "scd2_history",
-      "source_mix_sample", "per_group_sample")
+      "source_mix_sample", "per_group_sample",
+      "col_skew_profile", "group_quantiles")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

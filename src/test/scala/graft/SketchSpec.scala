@@ -56,6 +56,24 @@ class SketchSpec extends SparkSpec {
     assert(bucketed.map(_.toSeq) === sorted.map(_.toSeq))
   }
 
+  test("skewProfile: uniform column hits 1/ndv collision, constant column hits 1") {
+    import spark.implicits._
+    // 4 values × 25 rows each — perfectly uniform
+    val uniform = (0 until 100).map(i => i % 4).toDF("v")
+    val u = graft.operators.Stats.skewProfile(uniform, "v", "u")
+      .select("n", "ndv", "collision_prob", "top_share")
+      .as[(Long, Long, Double, Double)].head()
+    assert(u._1 == 100 && u._2 == 4)
+    assert(math.abs(u._3 - 24.0 / 99.0) < 1e-12) // Σ25·24 / (100·99)
+    assert(u._4 == 0.25)
+    // single-value column: collision probability exactly 1, nulls ignored
+    val const = (Seq.fill(50)(Some(7)) ++ Seq(None, None)).toDF("v")
+    val k = graft.operators.Stats.skewProfile(const, "v", "k")
+      .select("n", "ndv", "collision_prob", "top_share")
+      .as[(Long, Long, Double, Double)].head()
+    assert(k == ((50L, 1L, 1.0, 1.0)))
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
