@@ -358,6 +358,99 @@ object QueriesEstimators {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
+  // ---- row 11f: pessimistic (degree-bound) estimator ----
+
+  /** Each spec's join tree oriented away from its FROM-list root: the
+    * join-key column on the child side of every edge, in edge order.
+    */
+  private lazy val specChildCols: Seq[(String, String, Seq[(String, String)])] =
+    parsedSpecs.map { case (id, q, _) =>
+      val root = q.tables.head
+      var covered = Set(root)
+      var remaining = q.joins
+      val children = scala.collection.mutable.ListBuffer[(String, String)]()
+      while (remaining.nonEmpty) {
+        val (ready, later) = remaining.partition { case (a, b) =>
+          covered(a.split('.').head) || covered(b.split('.').head)
+        }
+        require(ready.nonEmpty, s"disconnected join graph in $id")
+        ready.foreach { case (a, b) =>
+          val (ta, ca) = (a.split('.').head, a.split('.').last)
+          val (tb, cb) = (b.split('.').head, b.split('.').last)
+          val (ct, cc) = if (covered(ta)) (tb, cb) else (ta, ca)
+          children += ((ct, cc))
+          covered ++= Set(ta, tb)
+        }
+        remaining = later
+      }
+      (id, root, children.toSeq)
+    }
+
+  /** Max join-key degree per child column (one tiny two-level agg each),
+    * collapsed into a single broadcastable stats row.
+    */
+  private def pessStatsRow(spark: SparkSession, dir: String): DataFrame =
+    specChildCols
+      .flatMap(_._3).distinct.sorted
+      .map { case (t, c) =>
+        Tables(spark, dir, t)
+          .groupBy(col(c))
+          .agg(count(lit(1)).as("__c"))
+          .agg(max(col("__c")).cast("double").as(s"__md_${t}_$c"))
+      }
+      .reduce(_.crossJoin(_))
+
+  /** Pessimistic cardinality estimator: upper-bounds each spec by
+    * (root rows passing the root table's own predicates) × Π over tree
+    * edges of the child join key's maximum degree — the classic
+    * degree-based join bound (the guarantee-style counterpoint to the
+    * reference's learned point estimates; cf. bound-based estimation in
+    * the pessimistic-cardinality literature). `bound_holds` asserts
+    * est ≥ true on every spec — the oracle re-derives both sides.
+    */
+  def pessEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val statsRow = memoized(spark, dir, "pessStats")(
+      pessStatsRow(spark, dir).crossJoin(
+        memoized(spark, dir, "jointStats")(jointStatsRow(spark, dir))))
+    val conjByTable: Map[String, Map[String, Seq[Predicate]]] =
+      specTableConj.map { case (id, groups) => id -> groups.toMap }.toMap
+    def estOf(id: String, root: String, children: Seq[(String, String)]): Column = {
+      val rootCnt =
+        if (conjByTable(id).contains(root)) col(s"__c_${id}_$root")
+        else col(s"__jn_$root")
+      children.foldLeft(rootCnt) { case (acc, (t, c)) => acc * col(s"__md_${t}_$c") }
+    }
+    val (hid, hroot, hch) = specChildCols.head
+    val estCase = specChildCols.tail.foldLeft(
+      when(col("query_id") === hid, estOf(hid, hroot, hch))) {
+      case (acc, (id, root, ch)) => acc.when(col("query_id") === id, estOf(id, root, ch))
+    }
+    bothsAll(spark, dir)
+      .crossJoin(broadcast(statsRow))
+      .select(
+        col("query_id"), estCase.as("est"), col("__card").as("card"),
+        (estCase >= col("__card")).as("bound_holds"))
+      .orderBy(col("query_id"))
+  }
+
+  val pessEstSql: String =
+    specChildCols
+      .map { case (id, root, children) =>
+        val rootConj = specTableConj.toMap.apply(id).toMap.get(root)
+          .map(ps => ps.map(PredicateSql.render).mkString(" AND "))
+        val rootCnt = rootConj match {
+          case Some(w) => s"CAST((SELECT COUNT(*) FROM $root WHERE $w) AS DOUBLE)"
+          case None    => s"CAST((SELECT COUNT(*) FROM $root) AS DOUBLE)"
+        }
+        val factors = children.map { case (t, c) =>
+          s"CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM $t GROUP BY $c)) AS DOUBLE)"
+        }
+        val est = (rootCnt +: factors).mkString(" * ")
+        val card = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
+        s"SELECT '$id' AS query_id, $est AS est, $card AS card, $est >= $card AS bound_holds"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   // ---- row 11e: CIN-combine estimator (the reference's estimation architecture) ----
 
   /** One multiplicative factor of a CIN estimate: the inner join of
@@ -1184,6 +1277,7 @@ object QueriesEstimators {
     "hist_est" -> (histEstQ _),
     "mcv_est" -> (mcvEstQ _),
     "joint_est" -> (jointEstQ _),
+    "pess_est" -> (pessEstQ _),
     "cin_est" -> (cinEstQ _),
     "q_error" -> (qErrorQ _),
     "q_error_quantiles" -> (qErrorQuantilesQ _),
@@ -1205,6 +1299,7 @@ object QueriesEstimators {
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
     "joint_est" -> jointEstSql,
+    "pess_est" -> pessEstSql,
     "cin_est" -> cinEstSql,
     "q_error" -> qErrorSql,
     "q_error_quantiles" -> qErrorQuantilesSql,

@@ -323,6 +323,62 @@ object QueriesStats {
        |ORDER BY event_type, quantile""".stripMargin
   }
 
+  // ---- row 16c: joint (2-D) histogram ----
+
+  val hist2dBins = 8
+
+  def hist2dQ(spark: SparkSession, dir: String): DataFrame =
+    Stats
+      .hist2d(Tables(spark, dir, "lineitem"), "l_quantity", "l_discount",
+        hist2dBins, "lineitem.l_quantity:l_discount")
+      .orderBy(col("bucket_a"), col("bucket_b"))
+
+  val hist2dSql: String =
+    s"""WITH s AS (SELECT
+       |  CAST(MIN(l_quantity) AS DOUBLE) AS mna, CAST(MAX(l_quantity) AS DOUBLE) AS mxa,
+       |  CAST(MIN(l_discount) AS DOUBLE) AS mnb, CAST(MAX(l_discount) AS DOUBLE) AS mxb
+       |  FROM lineitem)
+       |SELECT 'lineitem.l_quantity:l_discount' AS col_pair,
+       |  LEAST(CAST(FLOOR((CAST(l_quantity AS DOUBLE) - mna) * $hist2dBins.0 / (mxa - mna)) AS BIGINT),
+       |        ${hist2dBins - 1}) AS bucket_a,
+       |  LEAST(CAST(FLOOR((CAST(l_discount AS DOUBLE) - mnb) * $hist2dBins.0 / (mxb - mnb)) AS BIGINT),
+       |        ${hist2dBins - 1}) AS bucket_b,
+       |  COUNT(*) AS cnt
+       |FROM lineitem, s GROUP BY 2, 3 ORDER BY 2, 3""".stripMargin
+
+  // ---- row 15f: exact-moment correlation matrix ----
+
+  val corrCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount")
+  val corrScale = 100L // the columns carry exactly 2 decimals
+
+  def corrMatrixQ(spark: SparkSession, dir: String): DataFrame =
+    Stats
+      .corrMatrix(Tables(spark, dir, "lineitem"), corrCols, corrScale, "lineitem")
+      .orderBy(col("col_pair"))
+
+  val corrMatrixSql: String = {
+    def d(c: String) =
+      s"CAST(FLOOR(CAST($c AS DOUBLE) * $corrScale.0 + 0.5) AS BIGINT)"
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    val sums = corrCols.map(c => s"SUM(${d(c)}) AS s_$c") ++
+      corrCols.map(c => s"SUM(${d(c)} * ${d(c)}) AS q_$c") ++
+      pairs.map { case (x, y) => s"SUM(${d(x)} * ${d(y)}) AS p_${x}_$y" }
+    val arms = pairs
+      .map { case (x, y) =>
+        val n = "CAST(n AS DOUBLE)"
+        val num = s"$n * CAST(p_${x}_$y AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)"
+        val den = s"sqrt($n * CAST(q_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))" +
+          s" * sqrt($n * CAST(q_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))"
+        s"SELECT 'lineitem.$x:$y' AS col_pair, n, ($num) / ($den) AS corr FROM m"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT COUNT(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+       |$arms
+       |ORDER BY col_pair""".stripMargin
+  }
+
   // ---- row 18d: bloom filter (portable md5 hash family) ----
 
   /** m bits / k hashes. The bit set is carried as ≤ m distinct set-bit
@@ -593,6 +649,8 @@ object QueriesStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "col_skew_profile" -> (colSkewProfileQ _),
+    "hist2d" -> (hist2dQ _),
+    "corr_matrix" -> (corrMatrixQ _),
     "group_quantiles" -> (groupQuantilesQ _),
     "eqdepth_hist" -> (eqdepthHistQ _),
     "event_pivot" -> (eventPivotQ _),
@@ -613,6 +671,8 @@ object QueriesStats {
     */
   val oracleSql: Map[String, String] = Map(
     "col_skew_profile" -> colSkewProfileSql,
+    "hist2d" -> hist2dSql,
+    "corr_matrix" -> corrMatrixSql,
     "group_quantiles" -> groupQuantilesSql,
     "eqdepth_hist" -> eqdepthHistSql,
     "event_pivot" -> eventPivotSql,

@@ -165,6 +165,25 @@ object QueriesStreaming {
        |WHERE date_diff('day', c.cohort_day, a.day) <= $retentionMaxOffset
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  def slidingAggQ(spark: SparkSession, dir: String): DataFrame =
+    StreamOps
+      .slidingAgg(Tables(spark, dir, "events"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Each event belongs to exactly two 1h/30min hop windows: the one
+    * starting at its 30-min bucket and the one 30 min earlier (both
+    * engines' window origins are 30-min-aligned to the epoch).
+    */
+  val slidingAggSql: String =
+    """SELECT w_start, event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS w_start, event_type, value FROM events
+      |)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def scd2HistoryQ(spark: SparkSession, dir: String): DataFrame =
     StreamOps
       .scd2History(Tables(spark, dir, "events"))
@@ -179,6 +198,7 @@ object QueriesStreaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_history" -> (scd2HistoryQ _),
+    "sliding_agg" -> (slidingAggQ _),
     "funnel_count" -> (funnelCountQ _),
     "cohort_retention" -> (cohortRetentionQ _),
     "asof_join" -> (asofJoinQ _),
@@ -192,6 +212,7 @@ object QueriesStreaming {
 
   val oracleSql: Map[String, String] = Map(
     "scd2_history" -> scd2HistorySql,
+    "sliding_agg" -> slidingAggSql,
     "funnel_count" -> funnelCountSql,
     "cohort_retention" -> cohortRetentionSql,
     "asof_join" -> asofJoinSql,

@@ -118,14 +118,112 @@ object QueriesText {
   def minhashLshDupQ(spark: SparkSession, dir: String): DataFrame =
     lshPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  // ---- row 21d: incremental (ingest-batch) dedup ----
+
+  /** Deterministic batch split: docs with doc_id % 10 == 9 play the
+    * newly-ingested batch, the rest the standing corpus.
+    */
+  private val isNewDoc = col("doc_id") % 10 === 9
+
+  /** Dedup of an ingest batch AGAINST the standing corpus — the
+    * incremental form every 100 TB pipeline actually runs (the corpus
+    * side's signatures/bands are already materialized; only the batch is
+    * fresh work). Per new doc: exact_dup (content hash seen in the
+    * corpus), near_dup (an LSH-band candidate verified at jaccard ≥ τ),
+    * and the band-candidate count. Asymmetric band join — new×corpus
+    * only, never corpus×corpus.
+    */
+  def incrementalDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bands = TextOps.lshBands(mhWide(spark, dir))
+    val cand = bands.filter(isNewDoc)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+      .join(
+        bands.filter(!isNewDoc)
+          .select(col("doc_id").as("old_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val sets = shArr3(spark, dir)
+    val near = cand
+      .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(sets.select(col("doc_id").as("old_id"), col("sh").as("shb")), "old_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(
+        col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double") >= lshTau)
+      .select(col("new_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val candCnt = cand.groupBy(col("new_id")).agg(count(lit(1)).as("n_band_cands"))
+    val exact = docs.filter(isNewDoc)
+      .select(col("doc_id").as("new_id"), md5(col("text")).as("__h"))
+      .join(
+        docs.filter(!isNewDoc).select(md5(col("text")).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+      .select(col("new_id")).distinct()
+      .withColumn("exact_dup", lit(true))
+    docs.filter(isNewDoc)
+      .select(col("doc_id").as("new_id"))
+      .join(candCnt, Seq("new_id"), "left")
+      .join(near, Seq("new_id"), "left")
+      .join(exact, Seq("new_id"), "left")
+      .select(
+        col("new_id").as("doc_id"),
+        coalesce(col("n_band_cands"), lit(0L)).as("n_band_cands"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalDedupSql: String =
+    s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")},
+       |$sigsCte,
+       |bands AS (
+       |$bandArms
+       |),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |         FROM bands n JOIN bands o
+       |           ON n.band = o.band AND n.band_key = o.band_key
+       |         WHERE n.doc_id % 10 = 9 AND o.doc_id % 10 != 9),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.new_id, c.old_id, COUNT(*) AS inter
+       |          FROM sh a
+       |          JOIN cand c ON c.new_id = a.doc_id
+       |          JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+       |          GROUP BY 1, 2),
+       |near AS (SELECT DISTINCT new_id FROM inter
+       |         JOIN sizes sa ON sa.doc_id = new_id
+       |         JOIN sizes sb ON sb.doc_id = old_id
+       |         WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $lshTau),
+       |cand_cnt AS (SELECT new_id, COUNT(*) AS n_band_cands FROM cand GROUP BY 1),
+       |ex AS (SELECT DISTINCT n.doc_id AS new_id
+       |       FROM documents n
+       |       JOIN documents o ON md5(n.text) = md5(o.text) AND o.doc_id % 10 != 9
+       |       WHERE n.doc_id % 10 = 9)
+       |SELECT d.doc_id,
+       |  COALESCE(cc.n_band_cands, 0) AS n_band_cands,
+       |  ex.new_id IS NOT NULL AS exact_dup,
+       |  nr.new_id IS NOT NULL AS near_dup
+       |FROM documents d
+       |LEFT JOIN cand_cnt cc ON cc.new_id = d.doc_id
+       |LEFT JOIN ex ON ex.new_id = d.doc_id
+       |LEFT JOIN near nr ON nr.new_id = d.doc_id
+       |WHERE d.doc_id % 10 = 9
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** LSH band arms (doc_id, band, band_key) — shared by the corpus-wide
+    * pair CTEs and the incremental (new-batch × corpus) variant.
+    */
+  private val bandArms: String =
+    (0 until TextOps.numBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS band_key FROM sigs")
+      .mkString("\nUNION ALL\n")
+
   /** Shared CTE block ending in `pairs` (verified near-dup pairs) —
     * minhash_lsh_dup selects from it directly, dup_clusters closes over
     * it transitively.
     */
   private[graft] val lshPairsCtes: String = {
-    val bandArms = (0 until TextOps.numBands)
-      .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS band_key FROM sigs")
-      .mkString("\nUNION ALL\n")
     s"""$wordsCte,
        |${shinglesCte(3, "sh")},
        |$sigsCte,
@@ -949,6 +1047,7 @@ object QueriesText {
     "exact_dedup" -> (exactDedupQ _),
     "minhash_sig" -> (minhashSigQ _),
     "minhash_lsh_dup" -> (minhashLshDupQ _),
+    "incremental_dedup" -> (incrementalDedupQ _),
     "dup_clusters" -> (dupClustersQ _),
     "simhash_dup" -> (simhashDupQ _),
     "ngram_jaccard" -> (ngramJaccardQ _),
@@ -982,6 +1081,7 @@ object QueriesText {
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,
     "minhash_lsh_dup" -> minhashLshDupSql,
+    "incremental_dedup" -> incrementalDedupSql,
     "dup_clusters" -> dupClustersSql,
     "simhash_dup" -> simhashDupSql,
     "ngram_jaccard" -> ngramJaccardSql,

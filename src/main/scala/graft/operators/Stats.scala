@@ -40,6 +40,64 @@ object Stats {
       minStr.as("min_str"), maxStr.as("max_str"))
   }
 
+  /** Joint equi-width histogram over two numeric columns — the
+    * correlation-aware statistic the per-column histograms cannot give
+    * an estimator (the reference's learned models capture exactly this
+    * joint structure). Same LEAST/floor bucket expression as the 1-D
+    * histogram on each axis; one scan + one keyed count.
+    */
+  def hist2d(df: DataFrame, colA: String, colB: String, bins: Int, label: String): DataFrame = {
+    val (a, b) = (col(colA).cast("double"), col(colB).cast("double"))
+    val stats = df.agg(
+      min(a).as("__mna"), max(a).as("__mxa"),
+      min(b).as("__mnb"), max(b).as("__mxb"))
+    def bucket(v: Column, mn: Column, mx: Column): Column =
+      least(floor((v - mn) * lit(bins.toDouble) / (mx - mn)), lit((bins - 1).toLong))
+    df.select(a.as("__a"), b.as("__b"))
+      .crossJoin(broadcast(stats))
+      .groupBy(
+        bucket(col("__a"), col("__mna"), col("__mxa")).as("bucket_a"),
+        bucket(col("__b"), col("__mnb"), col("__mxb")).as("bucket_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(label).as("col_pair"), col("bucket_a"), col("bucket_b"), col("cnt"))
+  }
+
+  /** Pearson correlation of column pairs with EXACT integer moment sums:
+    * values are quantized once to integer units (⌊v·scale + 0.5⌋ — the
+    * same double op in every engine), so Σx, Σxy, Σx² are exact integers
+    * (associative — partition order cannot perturb them) and the final
+    * fixed-order double formula matches the oracle bit-for-bit. Pearson
+    * correlation is invariant under the positive scaling. One scan
+    * computes every pair's moments at once; element products stay within
+    * BIGINT while the sums accumulate in DECIMAL(38,0).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Long, label: String): DataFrame = {
+    def ic(c: String) =
+      floor(col(c).cast("double") * lit(scale.toDouble) + lit(0.5)).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      count(lit(1)).as("__n") +:
+        (cols.map(c => sum(dec(ic(c))).as(s"__s_$c")) ++
+          cols.map(c => sum(dec(ic(c) * ic(c))).as(s"__q_$c")) ++
+          pairs.map { case (x, y) => sum(dec(ic(x) * ic(y))).as(s"__p_${x}_$y") })
+    val m = df.agg(moments.head, moments.tail: _*)
+    def dd(c: Column): Column = c.cast("double")
+    pairs
+      .map { case (x, y) =>
+        val n = dd(col("__n"))
+        val num = n * dd(col(s"__p_${x}_$y")) - dd(col(s"__s_$x")) * dd(col(s"__s_$y"))
+        val den = sqrt(n * dd(col(s"__q_$x")) - dd(col(s"__s_$x")) * dd(col(s"__s_$x"))) *
+          sqrt(n * dd(col(s"__q_$y")) - dd(col(s"__s_$y")) * dd(col(s"__s_$y")))
+        m.select(
+          lit(s"$label.$x:$y").as("col_pair"), col("__n").as("n"),
+          (num / den).as("corr"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
   /** Distribution-skew profile of one column — the Spark-exact stand-in
     * for the reference's entropy profiling hook (run.py:45 calc_entropy).
     * Shannon entropy needs float logs whose last-ulp behavior is

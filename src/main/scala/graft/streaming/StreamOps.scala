@@ -61,6 +61,21 @@ object StreamOps {
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Sliding (hopping) 1h windows every 30 min: each event lands in
+    * exactly two windows. Same shape on batch and streaming inputs;
+    * state per (window, key) stays bounded by the watermark.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
   // ---- sessionization (row 32) ----
 
   /** Batch sessionization: a session breaks after a >30 min silence.

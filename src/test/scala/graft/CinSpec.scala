@@ -24,6 +24,21 @@ class CinSpec extends SparkSpec {
     assert(Seq("b07", "b08", "b09").exists(id => est(id) !== tru(id)))
   }
 
+  test("pessimistic degree bound dominates the true cardinality on every spec") {
+    val rows = QueriesEstimators.pessEstQ(spark, sf)
+      .select("query_id", "est", "card", "bound_holds")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, est, card, holds) =>
+      assert(holds && est >= card, s"$id: bound $est < true $card")
+    }
+    // single-table specs have no join factors: the bound IS the
+    // conjunction-exact count, so it is tight there
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m("b01")._2 == m("b01")._3 && m("b02")._2 == m("b02")._3)
+  }
+
   test("CIN combine is |root| x fanout-scaled boundary factors (b08 by hand)") {
     // b08: customer⋈nation⋈region, preds c_acctbal>0 (customer group),
     // r_name='ASIA' (nation group). Root = customer's subschema.

@@ -31,7 +31,8 @@ class EntrySpec extends SparkSpec {
       "embed_dup", "funnel_count", "cohort_retention",
       "skew_join", "zorder_layout", "scd2_history",
       "source_mix_sample", "per_group_sample",
-      "col_skew_profile", "group_quantiles")
+      "col_skew_profile", "group_quantiles",
+      "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -56,6 +56,27 @@ class SketchSpec extends SparkSpec {
     assert(bucketed.map(_.toSeq) === sorted.map(_.toSeq))
   }
 
+  test("corrMatrix: exact ±1 on linearly dependent columns, 2-decimal quantization") {
+    import spark.implicits._
+    val df = (1 to 200)
+      .map(i => (i * 0.25, i * 0.5, 100.0 - i * 0.25)).toDF("x", "y", "z")
+    val got = graft.operators.Stats.corrMatrix(df, Seq("x", "y", "z"), 100L, "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got("t.x:y") - 1.0) < 1e-12) // y = 2x
+    assert(math.abs(got("t.x:z") + 1.0) < 1e-12) // z = c − x
+    assert(math.abs(got("t.y:z") + 1.0) < 1e-12)
+  }
+
+  test("hist2d concentrates diagonal data on diagonal buckets") {
+    import spark.implicits._
+    val df = (0 until 80).map(i => (i.toDouble, i.toDouble)).toDF("a", "b")
+    val got = graft.operators.Stats.hist2d(df, "a", "b", 8, "t")
+      .select("bucket_a", "bucket_b", "cnt")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall { case (a, b, _) => a == b })
+    assert(got.map(_._3).sum == 80 && got.size == 8)
+  }
+
   test("skewProfile: uniform column hits 1/ndv collision, constant column hits 1") {
     import spark.implicits._
     // 4 values × 25 rows each — perfectly uniform

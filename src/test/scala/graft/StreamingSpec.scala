@@ -187,6 +187,18 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("slidingAgg puts every event in exactly two 1h/30min hop windows") {
+    val got = StreamOps.slidingAgg(eventsDf)
+      .orderBy("w_start", "event_type")
+      .select("w_start", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSeq
+    // each event contributes twice; window starts are 30-min aligned
+    assert(got.map(_._3).sum == 2L * sample.size)
+    assert(got.forall(_._1.getTime % (30 * 60000) == 0))
+    // the ts(0) and ts(10) clicks share the [−30, 30) and [0, 60) windows
+    assert(got.contains((ts(-30), "click", 2L)) && got.contains((ts(0), "click", 2L)))
+  }
+
   test("scd2History tiles each key's timeline with half-open validity intervals") {
     val ev = Seq(
       (1L, ts(0), 7L, "click", 1.0),

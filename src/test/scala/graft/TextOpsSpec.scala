@@ -74,6 +74,14 @@ class TextOpsSpec extends SparkSpec {
       (2L, 1, "cherry", 2.0), (2L, 2, "banana", 1.0)))
   }
 
+  test("incremental dedup flags only batch docs, candidates gate near-dups") {
+    val got = QueriesText.incrementalDedupQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.nonEmpty && got.forall(_._1 % 10 == 9))
+    // a near-dup verdict requires at least one LSH band candidate
+    assert(got.forall { case (_, cands, _, near) => !near || cands > 0 })
+  }
+
   test("connectedComponents resolves transitive chains to the min label") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 6L), (9L, 9L))
       .toDF("doc_a", "doc_b")
