@@ -111,17 +111,40 @@ object QueriesCore {
     * sort-merge joins, each co-partitioned on its key — one shuffle per
     * edge, the unavoidable minimum for padded joins.
     */
+  /** Universal-relation size by aggregation algebra, not by building the
+    * join: every hop of the reference's UR spanning tree lands on a
+    * unique-PK side, so each chained full join preserves existing rows
+    * 1:1 and only ADDS the dim rows whose key no upstream row carries —
+    * ur = |lineitem| + Σ unreferenced-dim counts. Each addend is a tiny
+    * anti-join against a distinct-FK frame; the 7-table outer-join
+    * shuffle the naive plan pays (the whole UR!) never happens. The
+    * oracle still counts the literal FULL JOIN chain — equality is the
+    * correctness statement. (Spec cross-checks the algebra against the
+    * materialized join, including padding in both directions.)
+    */
   def urSizeQ(spark: SparkSession, dir: String): DataFrame = {
     val load = Fanouts.loader(spark, dir)
-    load("lineitem")
-      .join(load("orders"), col("l_orderkey") === col("o_orderkey"), "full_outer")
-      .join(load("customer"), col("o_custkey") === col("c_custkey"), "full_outer")
-      .join(load("nation"), col("c_nationkey") === col("n_nationkey"), "full_outer")
-      .join(load("region"), col("n_regionkey") === col("r_regionkey"), "full_outer")
-      .join(load("part"), col("l_partkey") === col("p_partkey"), "full_outer")
-      .join(load("supplier"), col("l_suppkey") === col("s_suppkey"), "full_outer")
-      .agg(count(lit(1)).as("size"))
-      .select(lit("ur").as("name"), col("size"))
+    def adds(dim: String, dimKey: String, src: DataFrame, srcKey: String, a: String) =
+      load(dim)
+        .join(
+          src.select(col(srcKey)).filter(col(srcKey).isNotNull).distinct(),
+          col(dimKey) === col(srcKey), "left_anti")
+        .agg(count(lit(1)).as(a))
+    val li = load("lineitem")
+    val o = load("orders")
+    val c = load("customer")
+    val n = load("nation")
+    li.agg(count(lit(1)).as("__base"))
+      .crossJoin(adds("orders", "o_orderkey", li, "l_orderkey", "__a1"))
+      .crossJoin(adds("customer", "c_custkey", o, "o_custkey", "__a2"))
+      .crossJoin(adds("nation", "n_nationkey", c, "c_nationkey", "__a3"))
+      .crossJoin(adds("region", "r_regionkey", n, "n_regionkey", "__a4"))
+      .crossJoin(adds("part", "p_partkey", li, "l_partkey", "__a5"))
+      .crossJoin(adds("supplier", "s_suppkey", li, "l_suppkey", "__a6"))
+      .select(
+        lit("ur").as("name"),
+        (col("__base") + col("__a1") + col("__a2") + col("__a3") +
+          col("__a4") + col("__a5") + col("__a6")).as("size"))
   }
 
   val urSizeSql: String =
@@ -134,12 +157,17 @@ object QueriesCore {
       |FULL JOIN part ON l_partkey = p_partkey
       |FULL JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
 
-  /** Full-outer-join sizes of every CIN subschema (schema.py:85-183). */
+  /** Full-outer-join sizes of every CIN subschema (schema.py:85-183),
+    * through the add-only count algebra where the subschema shape allows
+    * (all five do: FK center → unique-PK dims) — see urSizeQ.
+    */
   def subschemaSizesQ(spark: SparkSession, dir: String): DataFrame = {
     val load = Fanouts.loader(spark, dir)
     SchemaGraph.tpch.cinSubschemas
       .map(sub =>
-        Fanouts.subschemaSize(sub, load).select(lit(sub.name).as("name"), col("size")))
+        Fanouts.subschemaSizeFast(sub, load)
+          .getOrElse(Fanouts.subschemaSize(sub, load))
+          .select(lit(sub.name).as("name"), col("size")))
       .reduce(_.unionAll(_))
       .orderBy(col("name"))
   }

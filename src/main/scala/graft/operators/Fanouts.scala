@@ -92,6 +92,34 @@ object Fanouts {
     joined.agg(count(lit(1)).as("size"))
   }
 
+  /** COUNT of the padded full-outer subschema join WITHOUT materializing
+    * it: when every edge joins the center's FK to a unique-PK dimension,
+    * each full join keeps every existing row exactly once (unique match
+    * or NULL pad) and only ADDS the dimension rows no center row
+    * references — so size = |center| + Σ_d |d ⟂ center.fk_d| (anti-join
+    * counts over the distinct FK values). The 100 TB plan: per-FK
+    * distinct + tiny anti-joins instead of shuffling the full
+    * multi-table outer join. Falls back to None when an edge's far side
+    * is not the PK side (the add-only algebra needs uniqueness).
+    */
+  def subschemaSizeFast(sub: Subschema, load: String => DataFrame): Option[DataFrame] = {
+    if (!sub.edges.forall(_.fkTable == sub.center)) return None
+    val center = load(sub.center)
+    val base = center.agg(count(lit(1)).as("__base"))
+    val adds = sub.edges.sortBy(_.joinLabel).zipWithIndex.map { case (e, i) =>
+      load(e.pkTable)
+        .join(
+          center.select(col(e.fkCol)).filter(col(e.fkCol).isNotNull).distinct(),
+          col(e.pkCol) === col(e.fkCol), "left_anti")
+        .agg(count(lit(1)).as(s"__a$i"))
+    }
+    val joined = adds.foldLeft(base)(_.crossJoin(_))
+    val total = sub.edges.indices
+      .map(i => col(s"__a$i"))
+      .foldLeft(col("__base"))(_ + _)
+    Some(joined.select(total.as("size")))
+  }
+
   /** Convenience loader bound to an sf directory. */
   def loader(spark: SparkSession, dir: String): String => DataFrame =
     name => Tables(spark, dir, name)

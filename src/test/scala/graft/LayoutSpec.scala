@@ -37,6 +37,29 @@ class LayoutSpec extends SparkSpec {
     })
   }
 
+  test("add-only join-size algebra equals the materialized full-outer count") {
+    // every CIN subschema: fast path must exist and agree with the join
+    val load = graft.operators.Fanouts.loader(spark, sf)
+    SchemaGraph.tpch.cinSubschemas.foreach { sub =>
+      val fast = graft.operators.Fanouts.subschemaSizeFast(sub, load)
+      assert(fast.nonEmpty, s"${sub.name} should take the fast path")
+      val want = graft.operators.Fanouts.subschemaSize(sub, load)
+        .collect().head.getLong(0)
+      assert(fast.get.collect().head.getLong(0) == want, sub.name)
+    }
+    // and the UR query equals the literal 7-table FULL JOIN chain
+    val want = load("lineitem")
+      .join(load("orders"), col("l_orderkey") === col("o_orderkey"), "full_outer")
+      .join(load("customer"), col("o_custkey") === col("c_custkey"), "full_outer")
+      .join(load("nation"), col("c_nationkey") === col("n_nationkey"), "full_outer")
+      .join(load("region"), col("n_regionkey") === col("r_regionkey"), "full_outer")
+      .join(load("part"), col("l_partkey") === col("p_partkey"), "full_outer")
+      .join(load("supplier"), col("l_suppkey") === col("s_suppkey"), "full_outer")
+      .count()
+    val got = QueriesCore.urSizeQ(spark, sf).collect().head.getLong(1)
+    assert(got == want)
+  }
+
   test("saltedJoin returns exactly the plain equi-join rows") {
     // skewed fact: one hot key holds half the rows
     val fact = (0L until 400L).map(i => (if (i < 200) 1L else i % 37, i)).toDF("fk", "payload")
