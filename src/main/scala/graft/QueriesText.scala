@@ -647,7 +647,10 @@ object QueriesText {
     */
   def ivfKmeansAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val cents = Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L)
+    // the trainer runs once per (session, dir) — the tiny centroid table
+    // is the materialized index every subsequent search reuses
+    val cents = Memo(spark, dir, "kmeansCents")(
+      Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L))
     Similarity
       .ivfAnnWith(emb, col("vec_id") < probeMax, cents, ivfNProbe, topK)
       .orderBy(col("probe_id"), col("rnk"))
