@@ -92,6 +92,35 @@ object QueriesCorpus {
        |) WHERE rnk <= $groupSampleK
        |ORDER BY source, rnk""".stripMargin
 
+  // ---- row 36f: corpus summary (the dataset-card aggregate) ----
+
+  /** Per (lang, source) corpus roll-up: docs, token/char totals, mean
+    * doc length — the dataset-card numbers every corpus release ships.
+    * One groupBy; token counts are row-local array sizes.
+    */
+  def corpusSummaryQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("lang"), col("source"), col("n_chars"),
+        size(graft.operators.TextOps.tokensExpr).cast("long").as("__nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val corpusSummarySql: String =
+    s"""WITH ${QueriesText.wordsCte}
+       |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(w.ws)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(d.n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+       |FROM documents d JOIN w ON w.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- row 37: χ² drift between event populations ----
 
   def chi2DriftQ(spark: SparkSession, dir: String): DataFrame =
@@ -296,6 +325,7 @@ object QueriesCorpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_pass" -> (curationPassQ _),
     "source_mix_sample" -> (sourceMixSampleQ _),
+    "corpus_summary" -> (corpusSummaryQ _),
     "per_group_sample" -> (perGroupSampleQ _),
     "stratified_sample" -> (stratifiedSampleQ _),
     "chi2_drift" -> (chi2DriftQ _),
@@ -308,6 +338,7 @@ object QueriesCorpus {
   val oracleSql: Map[String, String] = Map(
     "curation_pass" -> curationPassSql,
     "source_mix_sample" -> sourceMixSampleSql,
+    "corpus_summary" -> corpusSummarySql,
     "per_group_sample" -> perGroupSampleSql,
     "stratified_sample" -> stratifiedSampleSql,
     "chi2_drift" -> chi2DriftSql,

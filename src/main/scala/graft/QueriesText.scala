@@ -822,6 +822,44 @@ object QueriesText {
        |  CAST(len(list_distinct(ws)) AS INT) AS n_unique
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---- row 28c: training-sequence packing ----
+
+  val packCapacity = 512
+
+  /** Greedy contiguous sequence packing — the concat-then-chunk layout a
+    * training pipeline uses to fill fixed context windows: per lang
+    * stream in doc_id order, each doc starts at the running token
+    * offset; pack_id = ⌊offset / capacity⌋ (a doc whose tokens straddle
+    * the boundary overflows its pack — the standard contiguous-packing
+    * convention). One running-sum window per stream, no state.
+    */
+  def seqPackQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), size(TextOps.tokensExpr).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("lang"), col("doc_id"), col("n_tokens"),
+        floor(col("offset") / packCapacity).cast("long").as("pack_id"),
+        (col("offset") % packCapacity).as("pack_offset"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    s"""WITH $wordsCte,
+       |t AS (SELECT d.lang, w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens
+       |      FROM w JOIN documents d ON d.doc_id = w.doc_id),
+       |o AS (SELECT lang, doc_id, n_tokens,
+       |        COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+       |      FROM t)
+       |SELECT lang, doc_id, n_tokens,
+       |  CAST(FLOOR(off / $packCapacity.0) AS BIGINT) AS pack_id,
+       |  off % $packCapacity AS pack_offset
+       |FROM o ORDER BY lang, doc_id""".stripMargin
+
   def docFingerprintQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1064,6 +1102,7 @@ object QueriesText {
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
+    "seq_pack" -> (seqPackQ _),
     "tfidf_terms" -> (tfidfTermsQ _),
     "doc_fingerprint" -> (docFingerprintQ _),
     "pii_scrub" -> (piiScrubQ _),
@@ -1095,6 +1134,7 @@ object QueriesText {
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
+    "seq_pack" -> seqPackSql,
     "tfidf_terms" -> tfidfTermsSql,
     "doc_fingerprint" -> docFingerprintSql,
     "pii_scrub" -> piiScrubSql,

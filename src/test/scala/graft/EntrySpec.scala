@@ -32,7 +32,8 @@ class EntrySpec extends SparkSpec {
       "skew_join", "zorder_layout", "scd2_history",
       "source_mix_sample", "per_group_sample",
       "col_skew_profile", "group_quantiles",
-      "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup")
+      "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup",
+      "seq_pack", "corpus_summary")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

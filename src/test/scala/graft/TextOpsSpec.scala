@@ -74,6 +74,23 @@ class TextOpsSpec extends SparkSpec {
       (2L, 1, "cherry", 2.0), (2L, 2, "banana", 1.0)))
   }
 
+  test("seq_pack tiles each lang stream contiguously in doc_id order") {
+    val got = QueriesText.seqPackQ(spark, sf)
+      .select("lang", "n_tokens", "pack_id", "pack_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // offsets reconstruct the running sum: pack_id*cap + pack_offset is
+    // nondecreasing per lang and each doc starts where the previous ended
+    got.groupBy(_._1).values.foreach { docs =>
+      val starts = docs.map(d => d._3 * QueriesText.packCapacity + d._4)
+      assert(starts.zip(starts.drop(1)).zip(docs.map(_._2)).forall {
+        case ((s0, s1), n) => s1 == s0 + n
+      })
+    }
+    assert(got.forall(d => d._4 >= 0 && d._4 < QueriesText.packCapacity))
+  }
+
   test("incremental dedup flags only batch docs, candidates gate near-dups") {
     val got = QueriesText.incrementalDedupQ(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
