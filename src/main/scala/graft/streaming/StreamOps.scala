@@ -30,6 +30,14 @@ final case class AsofRow(
 /** Most-recent-click state for one user (asofJoinStream). */
 final case class ClickState(clickId: Long, clickUs: Long)
 
+/** Newest-row state/output for one key (latestSnapshotStream). */
+final case class SnapRow(
+    user_id: Long,
+    event_id: Long,
+    ts: Timestamp,
+    event_type: String,
+    value: Double)
+
 /** Event-stream operators. Batch and streaming share the same transform
   * bodies, so the DuckDB oracle (batch) verifies the semantics of the
   * Structured Streaming variants too.
@@ -296,6 +304,31 @@ object StreamOps {
       .withColumn("__rn", row_number().over(byUser))
       .filter(col("__rn") === 1)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+  }
+
+  /** Streaming twin of latestSnapshot: one SnapRow of state per key,
+    * replaced whenever a newer (ts, event_id) arrives; each micro-batch
+    * emits the key's current snapshot row (Update output mode).
+    */
+  def latestSnapshotStream(
+      spark: SparkSession, events: DataFrame): Dataset[SnapRow] = {
+    import spark.implicits._
+    events
+      .select(
+        col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"), col("value").cast("double"))
+      .as[SnapRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[SnapRow], state: GroupState[SnapRow]) =>
+          def newer(a: SnapRow, b: SnapRow): SnapRow =
+            if (a.ts.getTime > b.ts.getTime ||
+              (a.ts.getTime == b.ts.getTime && a.event_id >= b.event_id)) a
+            else b
+          val best = (state.getOption.iterator ++ rows).reduce(newer)
+          state.update(best)
+          best
+      }
   }
 
   // ---- SCD2 history (row 45) ----

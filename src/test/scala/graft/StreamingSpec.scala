@@ -199,6 +199,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((ts(-30), "click", 2L)) && got.contains((ts(0), "click", 2L)))
   }
 
+  test("streaming slidingAgg over MemoryStream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.slidingAggStream(sdf).writeStream
+      .format("memory").queryName("slagg").outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val got = spark.table("slagg")
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      val want = StreamOps.slidingAgg(eventsDf)
+        .orderBy("w_start", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming latestSnapshot keeps one newest row of state per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.latestSnapshotStream(spark, sdf).writeStream
+      .format("memory").queryName("snap").outputMode("update").start()
+    try {
+      mem.addData((1L, ts(0), 7L, "click", 1.0), (3L, ts(5), 8L, "click", 3.0))
+      q.processAllAvailable()
+      // a newer event for 7 and a same-ts higher-id event for 8
+      mem.addData((2L, ts(9), 7L, "view", 2.0), (4L, ts(5), 8L, "view", 4.0))
+      q.processAllAvailable()
+      // last emitted update per key is the batch semantics' newest row
+      val got = spark.table("snap")
+        .groupBy("user_id").agg(max(struct(col("ts"), col("event_id"))).as("s"))
+        .select("user_id", "s.event_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(7L -> 2L, 8L -> 4L))
+    } finally q.stop()
+  }
+
   test("scd2History tiles each key's timeline with half-open validity intervals") {
     val ev = Seq(
       (1L, ts(0), 7L, "click", 1.0),
