@@ -87,6 +87,49 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("ur_size never materializes a full-outer join") {
+    val p = plan("ur_size")
+    assert(!p.contains("FullOuter"), p)
+  }
+
+  test("subschema_sizes never materializes a full-outer join") {
+    assert(!plan("subschema_sizes").contains("FullOuter"))
+  }
+
+  test("zorder summary is one scan + one aggregation exchange") {
+    val p = graft.operators.Layout
+      .zorderSummary(Tables(spark, sf, "lineitem"), "l_partkey", "l_suppkey", 16, 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("source_mix_sample broadcasts its per-source counts and the min row") {
+    val p = plan("source_mix_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("scd2_history is one shuffle on the key, no join") {
+    val p = graft.streaming.StreamOps
+      .scd2History(Tables(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("funnel's three stage windows share one user_id shuffle") {
+    val p = graft.streaming.StreamOps
+      .funnel(Tables(spark, sf, "events"))
+      .queryExecution.executedPlan.toString
+    // one shuffle into the windows (+1 for the global 1-row rollup)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("seq_pack reads only lang/doc_id/text and shuffles once") {
+    val p = plan("seq_pack")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")))
+  }
+
   test("exact_dedup reads only the columns it needs") {
     val p = plan("exact_dedup")
     // ReadSchema on the documents scan must not include the wide columns
