@@ -365,12 +365,15 @@ object QueriesStats {
     val sums = corrCols.map(c => s"SUM(${d(c)}) AS s_$c") ++
       corrCols.map(c => s"SUM(${d(c)} * ${d(c)}) AS q_$c") ++
       pairs.map { case (x, y) => s"SUM(${d(x)} * ${d(y)}) AS p_${x}_$y" }
+    // exact int128 covariances, cast to double only at the end — mirrors
+    // the Spark side's exact-decimal arithmetic (no cancellation drift)
+    def cov(p: String, sa: String, sb: String): String =
+      s"CAST(CAST(n AS HUGEINT) * $p - CAST($sa AS HUGEINT) * $sb AS DOUBLE)"
     val arms = pairs
       .map { case (x, y) =>
-        val n = "CAST(n AS DOUBLE)"
-        val num = s"$n * CAST(p_${x}_$y AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)"
-        val den = s"sqrt($n * CAST(q_$x AS DOUBLE) - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))" +
-          s" * sqrt($n * CAST(q_$y AS DOUBLE) - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))"
+        val num = cov(s"p_${x}_$y", s"s_$x", s"s_$y")
+        val den = s"sqrt(${cov(s"q_$x", s"s_$x", s"s_$x")})" +
+          s" * sqrt(${cov(s"q_$y", s"s_$y", s"s_$y")})"
         s"SELECT 'lineitem.$x:$y' AS col_pair, n, ($num) / ($den) AS corr FROM m"
       }
       .mkString("\nUNION ALL\n")

@@ -956,6 +956,40 @@ object QueriesText {
        |        FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3))
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- row 30c: multimodal resize planning ----
+
+  val resizeMaxDim = 48L
+
+  def mmResizeQ(spark: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .resizePlan(Tables(spark, dir, "documents"), resizeMaxDim)
+      .orderBy(col("doc_id"))
+
+  val mmResizeSql: String =
+    s"""SELECT doc_id, width, height, needs_resize,
+       |  CASE WHEN needs_resize
+       |       THEN CAST(FLOOR(CAST(width * $resizeMaxDim AS DOUBLE) / CAST(lng AS DOUBLE)) AS BIGINT)
+       |       ELSE width END AS out_width,
+       |  CASE WHEN needs_resize
+       |       THEN CAST(FLOOR(CAST(height * $resizeMaxDim AS DOUBLE) / CAST(lng AS DOUBLE)) AS BIGINT)
+       |       ELSE height END AS out_height,
+       |  md5(md5(text) || ':' ||
+       |      CAST(CASE WHEN needs_resize
+       |           THEN CAST(FLOOR(CAST(width * $resizeMaxDim AS DOUBLE) / CAST(lng AS DOUBLE)) AS BIGINT)
+       |           ELSE width END AS VARCHAR) || 'x' ||
+       |      CAST(CASE WHEN needs_resize
+       |           THEN CAST(FLOOR(CAST(height * $resizeMaxDim AS DOUBLE) / CAST(lng AS DOUBLE)) AS BIGINT)
+       |           ELSE height END AS VARCHAR)) AS out_md5
+       |FROM (
+       |  SELECT doc_id, text, width, height,
+       |    GREATEST(width, height) AS lng,
+       |    GREATEST(width, height) > $resizeMaxDim AS needs_resize
+       |  FROM (SELECT doc_id, text,
+       |          16 + n_chars % 64 AS width,
+       |          16 + CAST(FLOOR(n_chars / 64.0) AS BIGINT) % 64 AS height
+       |        FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 1))
+       |ORDER BY doc_id""".stripMargin
+
   // ---- row 22b: winnowing fingerprints (MOSS) ----
 
   /** Winnowing document fingerprints: 52-bit md5 hashes of word 4-grams,
@@ -1083,6 +1117,7 @@ object QueriesText {
     "winnow_dup" -> (winnowDupQ _),
     "minhash_jaccard_est" -> (minhashJaccardEstQ _),
     "mm_frames" -> (mmFramesQ _),
+    "mm_resize" -> (mmResizeQ _),
     "contamination" -> (contaminationQ _),
     "prefix_dedup" -> (prefixDedupQ _),
     "exact_dedup" -> (exactDedupQ _),
@@ -1116,6 +1151,7 @@ object QueriesText {
     "winnow_dup" -> winnowDupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,
     "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql,
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,
     "embed_lsh_ann" -> embedLshAnnSql,

@@ -64,6 +64,35 @@ object Multimodal {
         md5(concat(md5(col("text")), lit(":"), col("frame_idx").cast("string")))
           .as("frame_md5"))
 
+  /** Resize planning for image payloads: clamp each image into a
+    * max-dimension box preserving aspect ratio — the exact integer
+    * geometry (scaled dims, scale numerator/denominator, skip flag) a
+    * batched resampling kernel consumes. All the decision logic is
+    * engine-checkable arithmetic; only the pixel resample itself is the
+    * stubbed codec step (out_md5 stands in for the resized payload).
+    */
+  def resizePlan(documents: DataFrame, maxDim: Long): DataFrame =
+    withPayload(documents)
+      .filter(col("mime") === "image/png")
+      .withColumn("__long", greatest(col("width"), col("height")))
+      .withColumn("needs_resize", col("__long") > maxDim)
+      .withColumn("out_width",
+        when(col("needs_resize"),
+          floor((col("width") * maxDim).cast("double") / col("__long").cast("double"))
+            .cast("long"))
+          .otherwise(col("width")))
+      .withColumn("out_height",
+        when(col("needs_resize"),
+          floor((col("height") * maxDim).cast("double") / col("__long").cast("double"))
+            .cast("long"))
+          .otherwise(col("height")))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        col("needs_resize"), col("out_width"), col("out_height"),
+        // STUB resample: a codec writes the resized payload here
+        md5(concat(md5(col("text")), lit(":"), col("out_width").cast("string"),
+          lit("x"), col("out_height").cast("string"))).as("out_md5"))
+
   /** Batched "decode": the mapPartitions shape a real codec would use
     * (one iterator per partition → reuse a decoder instance across rows).
     * The per-row body is the deterministic stub: a codec would replace

@@ -84,13 +84,19 @@ object Stats {
           cols.map(c => sum(dec(ic(c) * ic(c))).as(s"__q_$c")) ++
           pairs.map { case (x, y) => sum(dec(ic(x) * ic(y))).as(s"__p_${x}_$y") })
     val m = df.agg(moments.head, moments.tail: _*)
-    def dd(c: Column): Column = c.cast("double")
+    // covariance/variance numerators stay EXACT integers (decimal
+    // arithmetic) until the very last cast: subtracting two separately
+    // rounded ~1e25 doubles would amplify their last-ulp rounding into
+    // the visible digits (classic cancellation), and the oracle's
+    // independently computed doubles would drift
+    def nd = col("__n").cast("decimal(38,0)")
+    def cov(p: Column, sa: Column, sb: Column): Column =
+      (nd * p - sa * sb).cast("double")
     pairs
       .map { case (x, y) =>
-        val n = dd(col("__n"))
-        val num = n * dd(col(s"__p_${x}_$y")) - dd(col(s"__s_$x")) * dd(col(s"__s_$y"))
-        val den = sqrt(n * dd(col(s"__q_$x")) - dd(col(s"__s_$x")) * dd(col(s"__s_$x"))) *
-          sqrt(n * dd(col(s"__q_$y")) - dd(col(s"__s_$y")) * dd(col(s"__s_$y")))
+        val num = cov(col(s"__p_${x}_$y"), col(s"__s_$x"), col(s"__s_$y"))
+        val den = sqrt(cov(col(s"__q_$x"), col(s"__s_$x"), col(s"__s_$x"))) *
+          sqrt(cov(col(s"__q_$y"), col(s"__s_$y"), col(s"__s_$y")))
         m.select(
           lit(s"$label.$x:$y").as("col_pair"), col("__n").as("n"),
           (num / den).as("corr"))
