@@ -956,6 +956,40 @@ object QueriesText {
        |        FROM documents WHERE CAST(doc_id % 3 AS INT) + 1 = 3))
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- row 23b: edit-distance fuzzy match (entity resolution) ----
+
+  val fuzzyPrefixLen = 40
+  val fuzzyMaxDist = 16
+
+  /** Character-level fuzzy matching — the entity-resolution counterpart
+    * to the token-set similarity ops: doc pairs inside a source block
+    * whose lead prefixes sit within a bounded edit distance
+    * (`levenshtein` has identical unit-cost semantics in Spark and
+    * DuckDB). Blocking by source keeps the candidate set per-block; at
+    * corpus scale the block key would also fold in a length bucket or
+    * sorted-neighborhood window.
+    */
+  def fuzzyMatchQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, fuzzyPrefixLen).as("pre"))
+    val a = p.select(col("source"), col("doc_id").as("doc_a"), col("pre").as("pa"))
+    val b = p.select(col("source"), col("doc_id").as("doc_b"), col("pre").as("pb"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("int"))
+      .filter(col("dist") <= fuzzyMaxDist)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val fuzzyMatchSql: String =
+    s"""WITH p AS (SELECT doc_id, source, substr(text, 1, $fuzzyPrefixLen) AS pre FROM documents)
+       |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.pre, b.pre) AS INT) AS dist
+       |FROM p a JOIN p b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.pre, b.pre) <= $fuzzyMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- row 30c: multimodal resize planning ----
 
   val resizeMaxDim = 48L
@@ -1118,6 +1152,7 @@ object QueriesText {
     "minhash_jaccard_est" -> (minhashJaccardEstQ _),
     "mm_frames" -> (mmFramesQ _),
     "mm_resize" -> (mmResizeQ _),
+    "fuzzy_match" -> (fuzzyMatchQ _),
     "contamination" -> (contaminationQ _),
     "prefix_dedup" -> (prefixDedupQ _),
     "exact_dedup" -> (exactDedupQ _),
@@ -1152,6 +1187,7 @@ object QueriesText {
     "minhash_jaccard_est" -> minhashJaccardEstSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,
+    "fuzzy_match" -> fuzzyMatchSql,
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,
     "embed_lsh_ann" -> embedLshAnnSql,

@@ -33,7 +33,7 @@ class EntrySpec extends SparkSpec {
       "source_mix_sample", "per_group_sample",
       "col_skew_profile", "group_quantiles",
       "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup",
-      "seq_pack", "corpus_summary", "mm_resize")
+      "seq_pack", "corpus_summary", "mm_resize", "fuzzy_match")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
