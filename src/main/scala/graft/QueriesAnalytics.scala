@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 analytics wave: event-stream rollups (range-frame windows,
+  * distinct-over-sliding-window, anomaly vs trailing stats, decayed
+  * counts, JSON props), KMV set-operation sketches, referential-integrity
+  * audit over the SchemaGraph, and corpus split/search primitives.
+  *
+  * Scale notes: every op is at most one keyed shuffle plus tiny post-agg
+  * windows; `sliding_dau` uses the offset-explode trick (each (user, day)
+  * row fans out to the ≤7 window anchors it serves) instead of a
+  * distinct-in-window, which Spark cannot partial-aggregate; `kmv_setops`
+  * ships at most k=64 hashes per population through the final stage.
+  */
+object QueriesAnalytics {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  // ---- rolling_agg: per-user 7-day trailing window (RANGE frame) ----
+
+  /** Trailing 7-day count/sum of `value` per user at every event — the
+    * range-frame (not row-frame) window: peers at the same instant land
+    * in the same frame in both engines. Sum goes through DECIMAL(38,6)
+    * so partition order can't drift the double.
+    */
+  def rollingAggQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-604800000000L, 0L)
+    events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("roll_cnt"),
+        sum(col("value").cast("decimal(38,6)")).over(w).cast("double").as("roll_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val rollingAggSql: String =
+    """SELECT user_id, event_id, ts, roll_cnt, roll_sum FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |) ORDER BY user_id, event_id""".stripMargin
+
+  // ---- user_growth: daily active / new / cumulative users ----
+
+  def userGrowthQ(spark: SparkSession, dir: String): DataFrame = {
+    val a = events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val d = a.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val n = a.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    // post-agg series is one row per day — the global cumulative window
+    // runs over at most a few thousand rows regardless of input scale
+    val wc = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    d.join(n, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(wc))
+      .orderBy(col("day"))
+  }
+
+  val userGrowthSql: String =
+    """WITH a AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY 1),
+      |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users FROM a GROUP BY 1),
+      |n AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+      |SELECT d.day, d.active_users, COALESCE(n.new_users, 0) AS new_users,
+      |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM d LEFT JOIN n ON d.day = n.day ORDER BY d.day""".stripMargin
+
+  // ---- sliding_dau: trailing-7-day distinct users per day ----
+
+  /** Rolling distinct can't be partial-aggregated inside a window, so the
+    * scalable plan fans each (user, day) out to the ≤7 window anchors it
+    * serves and runs a plain count_distinct per anchor — one shuffle,
+    * linear in |active-days| × 7. The oracle is the naive range join.
+    */
+  def slidingDauQ(spark: SparkSession, dir: String): DataFrame = {
+    val a = events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = a.select(col("day")).distinct()
+    a.select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("o"))
+      .select(expr("timestampadd(DAY, o, day)").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("dau7"))
+      .join(days, Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  val slidingDauSql: String =
+    """WITH a AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |d AS (SELECT DISTINCT day FROM a)
+      |SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS dau7
+      |FROM d JOIN a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- spike_detect: day-count anomaly vs trailing-7-day mean ----
+
+  /** Flags (event_type, day) cells whose count exceeds 2× the trailing
+    * 7-day mean — kept fully integral (cnt·n_prev > 2·Σprev) so the
+    * comparison is exact in both engines. Missing days simply shrink the
+    * trailing frame (RANGE over the day ordinal, not ROWS).
+    */
+  def spikeDetectQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(expr("unix_micros(day) div 86400000000"))
+      .rangeBetween(-7, -1)
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("day"), col("event_type"), col("cnt"),
+        count(lit(1)).over(w).as("n_prev"),
+        coalesce(sum(col("cnt")).over(w), lit(0L)).as("prev_sum"))
+      .withColumn(
+        "is_spike",
+        col("n_prev") > 0 && col("cnt") * col("n_prev") > lit(2) * col("prev_sum"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val spikeDetectSql: String =
+    """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+      |             CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, cnt, n_prev, prev_sum,
+      |  (n_prev > 0 AND cnt * n_prev > 2 * prev_sum) AS is_spike
+      |FROM (
+      |  SELECT day, event_type, cnt,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+      |    CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS prev_sum
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(day) // 86400000000
+      |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |ORDER BY day, event_type""".stripMargin
+
+  // ---- props_extract: typed stats over the JSON props column ----
+
+  /** Semi-structured surface: `events.props` is a JSON string; extract
+    * `$.k` with the codegen'd JSON path expression (no UDF) and profile
+    * it per event_type in one scan.
+    */
+  def propsExtractQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count_distinct(col("k")).as("ndv_k"))
+      .orderBy(col("event_type"))
+
+  val propsExtractSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(k) AS BIGINT) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+      |  CAST(COUNT(DISTINCT k) AS BIGINT) AS ndv_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- decay_count: half-life-decayed event counts ----
+
+  /** Exponentially decayed count per event_type with a 7-day half-life at
+    * week granularity: weight = 2^-floor(age_days/7). Weights are exact
+    * DECIMAL literals (2^-n terminates in decimal), so the aggregate is
+    * partial-aggregatable AND bit-identical across engines — the trick
+    * that makes a decayed counter maintainable at 100 TB without floats.
+    */
+  val decayMaxWeeks = 8
+
+  private def decayWeight(age: Column): Column = {
+    val base = java.math.BigDecimal.ONE.setScale(10)
+    (0 until decayMaxWeeks).foldLeft(when(lit(false), lit(null)): Column) {
+      case (acc, n) =>
+        val wt = base.divide(java.math.BigDecimal.valueOf(1L << n))
+        acc.when(age === n, lit(wt))
+    }.otherwise(lit(java.math.BigDecimal.ZERO.setScale(10)))
+      .cast("decimal(38,10)")
+  }
+
+  private def decayWeightSqlCase: String = {
+    val base = java.math.BigDecimal.ONE.setScale(10)
+    val whens = (0 until decayMaxWeeks)
+      .map { n =>
+        val wt = base.divide(java.math.BigDecimal.valueOf(1L << n))
+        s"WHEN $n THEN CAST($wt AS DECIMAL(38,10))"
+      }
+      .mkString(" ")
+    s"CASE age_w $whens ELSE CAST(0 AS DECIMAL(38,10)) END"
+  }
+
+  def decayCountQ(spark: SparkSession, dir: String): DataFrame = {
+    val mx = events(spark, dir).agg(max(date_trunc("day", col("ts"))).as("max_day"))
+    events(spark, dir)
+      .crossJoin(broadcast(mx))
+      .select(
+        col("event_type"),
+        expr("(unix_micros(max_day) - unix_micros(date_trunc('DAY', ts))) div 604800000000")
+          .as("age_w"))
+      .select(col("event_type"), decayWeight(col("age_w")).as("wt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).cast("double").as("decayed"))
+      .orderBy(col("event_type"))
+  }
+
+  val decayCountSql: String =
+    s"""WITH mx AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+       |e AS (SELECT event_type,
+       |  (epoch_us(mx.max_day) - epoch_us(date_trunc('day', ts))) // 604800000000 AS age_w
+       |  FROM events, mx)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM($decayWeightSqlCase) AS DOUBLE) AS decayed
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- kmv_setops: sketch union/intersection NDV across populations ----
+
+  /** KMV sketches are mergeable under set union: the k smallest hashes of
+    * A ∪ B are computable from the two k-sets alone, and the fraction of
+    * the union sketch present in both sides estimates Jaccard — giving
+    * |A∩B| without ever co-locating the raw sets. Population A = click
+    * users, B = purchase users; exact values ride along for comparison.
+    */
+  val kmvSetK = 64
+
+  private def kmvEst(hk: Column, m: Column): Column =
+    when(m < kmvSetK, m.cast("double"))
+      .otherwise(lit((kmvSetK - 1).toDouble) /
+        (hk.cast("double") / lit(4503599627370496.0)))
+
+  def kmvSetopsQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("in_b"))
+      .select(
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("h"),
+        col("in_a"), col("in_b"))
+    def sketch(flag: Option[String], names: (String, String)): DataFrame = {
+      val base = flag.map(f => m.filter(col(f) === 1)).getOrElse(m)
+      base.orderBy(col("h")).limit(kmvSetK)
+        .agg(max(col("h")).as(names._1), count(lit(1)).as(names._2))
+    }
+    val ska = sketch(Some("in_a"), ("hk_a", "m_a"))
+    val skb = sketch(Some("in_b"), ("hk_b", "m_b"))
+    val sku = m.orderBy(col("h")).limit(kmvSetK)
+      .agg(
+        max(col("h")).as("hk_u"), count(lit(1)).as("m_u"),
+        sum(col("in_a") * col("in_b")).cast("long").as("both"))
+    val ex = m.agg(
+      sum(col("in_a")).cast("long").as("exact_a"),
+      sum(col("in_b")).cast("long").as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("in_a") * col("in_b")).cast("long").as("exact_intersect"))
+    ska.crossJoin(skb).crossJoin(sku).crossJoin(ex)
+      .select(
+        kmvEst(col("hk_a"), col("m_a")).as("est_a"),
+        kmvEst(col("hk_b"), col("m_b")).as("est_b"),
+        kmvEst(col("hk_u"), col("m_u")).as("est_union"),
+        (col("both").cast("double") / col("m_u").cast("double") *
+          kmvEst(col("hk_u"), col("m_u"))).as("est_intersect"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"))
+  }
+
+  val kmvSetopsSql: String = {
+    val k = kmvSetK
+    def est(p: String) =
+      s"CASE WHEN $p.m < $k THEN CAST($p.m AS DOUBLE) ELSE ${k - 1}.0 / (CAST($p.hk AS DOUBLE) / 4503599627370496.0) END"
+    s"""WITH m AS (
+       |  SELECT user_id,
+       |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h,
+       |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+       |),
+       |ska AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM (SELECT h FROM m WHERE in_a = 1 ORDER BY h LIMIT $k) z),
+       |skb AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM (SELECT h FROM m WHERE in_b = 1 ORDER BY h LIMIT $k) z),
+       |sku AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(in_a * in_b) AS BIGINT) AS both FROM (SELECT h, in_a, in_b FROM m ORDER BY h LIMIT $k) z),
+       |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a, CAST(SUM(in_b) AS BIGINT) AS exact_b,
+       |  CAST(COUNT(*) AS BIGINT) AS exact_union, CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect FROM m)
+       |SELECT ${est("ska")} AS est_a, ${est("skb")} AS est_b, ${est("sku")} AS est_union,
+       |  (CAST(sku.both AS DOUBLE) / CAST(sku.m AS DOUBLE)) * ${est("sku")} AS est_intersect,
+       |  ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect
+       |FROM ska, skb, sku, ex""".stripMargin
+  }
+
+  // ---- ri_audit: referential-integrity audit over the SchemaGraph ----
+
+  /** Per-FK-edge child count / NULL-FK count / orphan count (child rows
+    * whose FK misses every parent PK). One left-anti join per edge —
+    * exactly the data-quality scan a lakehouse runs before trusting its
+    * join graph. Edge list comes from the same SchemaGraph that drives
+    * CIN partitioning (schema.py analogue).
+    */
+  def riAuditQ(spark: SparkSession, dir: String): DataFrame =
+    SchemaGraph.tpch.edges
+      .map { e =>
+        val c = Tables(spark, dir, e.fkTable)
+        val p = Tables(spark, dir, e.pkTable).select(col(e.pkCol))
+        val base = c.agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col(e.fkCol).isNull, 1).otherwise(0)).cast("long").as("n_null"))
+        val orph = c.filter(col(e.fkCol).isNotNull)
+          .join(p, col(e.fkCol) === col(e.pkCol), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        base.crossJoin(orph).select(
+          lit(e.fkTable).as("child_table"), lit(e.fkCol).as("fk_col"),
+          lit(e.pkTable).as("parent_table"),
+          col("n_child"), col("n_null"), col("n_orphan"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("child_table"), col("fk_col"))
+
+  val riAuditSql: String =
+    SchemaGraph.tpch.edges
+      .map { e =>
+        s"""SELECT '${e.fkTable}' AS child_table, '${e.fkCol}' AS fk_col,
+           |  '${e.pkTable}' AS parent_table,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${e.fkTable}) AS n_child,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${e.fkTable} WHERE ${e.fkCol} IS NULL) AS n_null,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ${e.fkTable} c WHERE c.${e.fkCol} IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM ${e.pkTable} p WHERE p.${e.pkCol} = c.${e.fkCol})) AS n_orphan""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
+
+  // ---- train_split: deterministic hash split assignment ----
+
+  /** 80/10/10 train/valid/test assignment by a salted md5 of the doc key —
+    * reproducible at any scale, any partitioning, any insert order; the
+    * integer thresholds are ⌊f·2^52⌋ so both engines compare exact ints.
+    */
+  val splitThresholds: (Long, Long) = (3602879701896396L, 4053239664633446L)
+
+  def trainSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    Tables(spark, dir, "documents")
+      .select(
+        col("source"),
+        when(u < splitThresholds._1, "train")
+          .when(u < splitThresholds._2, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val trainSplitSql: String =
+    s"""SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       |  SELECT source,
+       |    CASE WHEN u < ${splitThresholds._1} THEN 'train'
+       |         WHEN u < ${splitThresholds._2} THEN 'valid' ELSE 'test' END AS split
+       |  FROM (SELECT source,
+       |          CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+       |        FROM documents)
+       |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- term_search: inverted-index conjunctive term search ----
+
+  /** Docs containing ALL query terms, via the posting-list plan: explode
+    * distinct tokens, keep the query terms (broadcast-size IN list),
+    * count matches per doc, require |terms|. The shuffle carries only
+    * (doc, matched-term) pairs — df(term)-bounded, never the corpus.
+    */
+  val searchTerms: Seq[String] = Seq("query", "window", "merge")
+
+  def termSearchQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(graft.operators.TextOps.tokensExpr)).as("word"))
+      .filter(col("word").isin(searchTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === searchTerms.size)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val termSearchSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))) AS word
+       |  FROM documents)
+       |SELECT doc_id FROM w WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY 1 HAVING COUNT(*) = ${searchTerms.size} ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_agg" -> (rollingAggQ _),
+    "user_growth" -> (userGrowthQ _),
+    "sliding_dau" -> (slidingDauQ _),
+    "spike_detect" -> (spikeDetectQ _),
+    "props_extract" -> (propsExtractQ _),
+    "decay_count" -> (decayCountQ _),
+    "kmv_setops" -> (kmvSetopsQ _),
+    "ri_audit" -> (riAuditQ _),
+    "train_split" -> (trainSplitQ _),
+    "term_search" -> (termSearchQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rolling_agg" -> rollingAggSql,
+    "user_growth" -> userGrowthSql,
+    "sliding_dau" -> slidingDauSql,
+    "spike_detect" -> spikeDetectSql,
+    "props_extract" -> propsExtractSql,
+    "decay_count" -> decayCountSql,
+    "kmv_setops" -> kmvSetopsSql,
+    "ri_audit" -> riAuditSql,
+    "train_split" -> trainSplitSql,
+    "term_search" -> termSearchSql
+  )
+}

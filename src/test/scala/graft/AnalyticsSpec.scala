@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-3 analytics wave (QueriesAnalytics). */
+class AnalyticsSpec extends SparkSpec {
+
+  test("rolling_agg trailing frame matches a brute-force recount for one user") {
+    val rows = QueriesAnalytics.rollingAggQ(spark, sf)
+      .filter(col("user_id") === 3)
+      .select("event_id", "roll_cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = Tables(spark, sf, "events")
+      .filter(col("user_id") === 3)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(evs.nonEmpty)
+    evs.foreach { case (id, us) =>
+      val expect = evs.count { case (_, u2) => u2 >= us - 604800000000L && u2 <= us }
+      assert(rows(id) == expect, s"event $id")
+    }
+  }
+
+  test("user_growth: cumulative users ends at total distinct users, new <= active") {
+    val g = QueriesAnalytics.userGrowthQ(spark, sf).collect()
+    val total = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(g.last.getAs[Long]("cum_users") == total)
+    g.foreach { r =>
+      assert(r.getAs[Long]("new_users") <= r.getAs[Long]("active_users"))
+    }
+    // cum is the running sum of new
+    assert(g.map(_.getAs[Long]("new_users")).sum == total)
+  }
+
+  test("sliding_dau dominates daily actives and is capped by total users") {
+    val dau = QueriesAnalytics.slidingDauQ(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val daily = QueriesAnalytics.userGrowthQ(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("active_users")).toMap
+    val total = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(dau.keySet == daily.keySet)
+    dau.foreach { case (d, v) =>
+      assert(v >= daily(d) && v <= total, s"day $d")
+    }
+  }
+
+  test("spike_detect flag is exactly the integral trailing-mean comparison") {
+    val rows = QueriesAnalytics.spikeDetectQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, np, ps, spike) = (r.getAs[Long]("cnt"), r.getAs[Long]("n_prev"),
+        r.getAs[Long]("prev_sum"), r.getAs[Boolean]("is_spike"))
+      assert(spike == (np > 0 && cnt * np > 2 * ps))
+    }
+    // earliest day per type has no trailing window
+    val first = rows.groupBy(_.getAs[String]("event_type"))
+      .map { case (_, rs) => rs.minBy(_.getTimestamp(0).getTime) }
+    first.foreach(r => assert(r.getAs[Long]("n_prev") == 0 && !r.getAs[Boolean]("is_spike")))
+  }
+
+  test("props_extract parses every row and bounds hold") {
+    QueriesAnalytics.propsExtractQ(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_k") == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("min_k") >= 0 && r.getAs[Long]("max_k") <= 99)
+      assert(r.getAs[Long]("ndv_k") <= r.getAs[Long]("n_k"))
+    }
+  }
+
+  test("decay_count lies between the fully-decayed and undecayed extremes") {
+    QueriesAnalytics.decayCountQ(spark, sf).collect().foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_events"), r.getAs[Double]("decayed"))
+      assert(d > 0.0 && d <= n.toDouble)
+      assert(d >= n.toDouble * math.pow(2.0, -(QueriesAnalytics.decayMaxWeeks - 1)))
+    }
+  }
+
+  test("kmv_setops: inclusion-exclusion holds exactly; sketches exact under k") {
+    val r = QueriesAnalytics.kmvSetopsQ(spark, sf).collect().head
+    val (ea, eb, eu, ei) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+      r.getAs[Long]("exact_union"), r.getAs[Long]("exact_intersect"))
+    assert(eu == ea + eb - ei)
+    // sf0.001 has 15 users < k=64: every sketch degenerates to exact
+    assert(r.getAs[Double]("est_a") == ea.toDouble)
+    assert(r.getAs[Double]("est_union") == eu.toDouble)
+    assert(r.getAs[Double]("est_intersect") == ei.toDouble)
+  }
+
+  test("ri_audit: synthetic schema has full referential integrity") {
+    val rows = QueriesAnalytics.riAuditQ(spark, sf).collect()
+    assert(rows.length == SchemaGraph.tpch.edges.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan") == 0 && r.getAs[Long]("n_null") == 0)
+      assert(r.getAs[Long]("n_child") > 0)
+    }
+  }
+
+  test("train_split is exhaustive, 80/10/10-ish, and partitioning-invariant") {
+    val s = QueriesAnalytics.trainSplitQ(spark, sf).collect()
+    val bySplit = s.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum == Tables(spark, sf, "documents").count())
+    assert(bySplit("train") > bySplit("valid") + bySplit("test"))
+    // stable across evaluations (md5 of the key — no partition dependence)
+    val s2 = QueriesAnalytics.trainSplitQ(spark, sf).collect()
+    assert(s.map(_.toString).sorted.sameElements(s2.map(_.toString).sorted))
+  }
+
+  test("term_search equals the brute-force all-terms filter") {
+    val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
+    val brute = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+      .filter(QueriesAnalytics.searchTerms
+        .map(t => array_contains(col("__ws"), t)).reduce(_ && _))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+}
