@@ -399,6 +399,131 @@ object QueriesAnalytics {
        |SELECT doc_id FROM w WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
        |GROUP BY 1 HAVING COUNT(*) = ${searchTerms.size} ORDER BY 1""".stripMargin
 
+  // ---- markov_transitions: next-event transition matrix ----
+
+  /** First-order Markov transition counts/probabilities between
+    * consecutive events per user (lead() over one user_id shuffle; the
+    * normalizing sum runs over the tiny post-agg matrix). Both engines
+    * divide the same exact integers, so the double is bit-identical.
+    */
+  def markovTransitionsQ(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy(col("event_type"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(wl).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") / sum(col("cnt")).over(wt).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+      |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- cube_counts: CUBE / grouping-sets surface ----
+
+  /** Full CUBE over (lang, source) in ONE pass — Spark expands grouping
+    * sets inside a single aggregation (no per-rollup rescans); grouping()
+    * distinguishes "aggregated-away" from a literal value.
+    */
+  def cubeCountsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping(col("lang")).as("__gl"),
+        grouping(col("source")).as("__gs"))
+      .select(
+        when(col("__gl") === 1, "ALL").otherwise(col("lang")).as("lang"),
+        when(col("__gs") === 1, "ALL").otherwise(col("source")).as("source"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val cubeCountsSql: String =
+    """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+      |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""".stripMargin
+
+  // ---- compaction_plan: next-fit small-file packing ----
+
+  /** Small-file compaction planning: within each source, docs in doc_id
+    * order are packed next-fit into target-size bins — bin id is just
+    * ⌊cumulative-bytes-before / target⌋, so the "sequential" packing is
+    * one window + one groupBy, no driver loop. Bins close on overflow
+    * (standard target-size semantics).
+    */
+  val compactionTarget = 20000L
+
+  def compactionPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        coalesce(sum(col("n_chars")).over(w), lit(0L)).as("cum_before"))
+      .groupBy(col("source"), (col("cum_before") / compactionTarget).cast("long").as("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH o AS (SELECT source, doc_id, n_chars,
+       |  COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM documents)
+       |SELECT source, CAST(cum_before // $compactionTarget AS BIGINT) AS bin_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- vocab_coverage: top-vocabulary coverage quality signal ----
+
+  /** CCNet-style quality signal: fraction of a doc's tokens inside the
+    * corpus top-k vocabulary. Vocabulary is a deterministic top-k
+    * (count desc, word) — tiny, so it broadcasts; the per-doc pass is one
+    * explode + broadcast-hash semi-probe + groupBy(doc). k=16 because the
+    * synthetic corpus has a 31-word vocabulary.
+    */
+  val vocabK = 16
+
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(vocabK)
+      .select(col("word"), lit(1).as("__in_v"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in_v"), lit(0))).cast("long").as("in_vocab"))
+      .withColumn("coverage", col("in_vocab").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS word
+       |  FROM documents),
+       |v AS (SELECT word FROM (SELECT word, COUNT(*) AS c FROM w GROUP BY 1
+       |                        ORDER BY c DESC, word LIMIT $vocabK) z)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
+       |  CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+       |FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -409,7 +534,11 @@ object QueriesAnalytics {
     "kmv_setops" -> (kmvSetopsQ _),
     "ri_audit" -> (riAuditQ _),
     "train_split" -> (trainSplitQ _),
-    "term_search" -> (termSearchQ _)
+    "term_search" -> (termSearchQ _),
+    "markov_transitions" -> (markovTransitionsQ _),
+    "cube_counts" -> (cubeCountsQ _),
+    "compaction_plan" -> (compactionPlanQ _),
+    "vocab_coverage" -> (vocabCoverageQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +551,10 @@ object QueriesAnalytics {
     "kmv_setops" -> kmvSetopsSql,
     "ri_audit" -> riAuditSql,
     "train_split" -> trainSplitSql,
-    "term_search" -> termSearchSql
+    "term_search" -> termSearchSql,
+    "markov_transitions" -> markovTransitionsSql,
+    "cube_counts" -> cubeCountsSql,
+    "compaction_plan" -> compactionPlanSql,
+    "vocab_coverage" -> vocabCoverageSql
   )
 }

@@ -105,6 +105,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(s.map(_.toString).sorted.sameElements(s2.map(_.toString).sorted))
   }
 
+  test("markov_transitions: rows are probability distributions per source state") {
+    val rows = QueriesAnalytics.markovTransitionsQ(spark, sf).collect()
+    val byState = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byState.nonEmpty)
+    byState.foreach { case (s, rs) =>
+      val p = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"state $s sums to $p")
+    }
+    // transition counts total = events with a successor = n - n_users
+    val n = Tables(spark, sf, "events").count()
+    val u = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == n - u)
+  }
+
+  test("cube_counts: the ALL/ALL cell is the grand total and margins are consistent") {
+    val rows = QueriesAnalytics.cubeCountsQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows(("ALL", "ALL")) == total)
+    val langs = rows.keys.filter(k => k._1 != "ALL" && k._2 == "ALL")
+    assert(langs.map(rows).sum == total)
+    // each lang margin equals the sum of its (lang, source) cells
+    langs.foreach { case (l, _) =>
+      val cells = rows.collect { case ((`l`, s), v) if s != "ALL" => v }
+      assert(cells.sum == rows((l, "ALL")), s"margin $l")
+    }
+  }
+
+  test("compaction_plan: bins partition each source, in order, and close on overflow") {
+    val bins = QueriesAnalytics.compactionPlanQ(spark, sf).collect()
+    val bySource = bins.groupBy(_.getAs[String]("source"))
+    val docTotal = Tables(spark, sf, "documents").count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == docTotal)
+    bySource.foreach { case (src, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("bin_id"))
+      // doc ranges of consecutive bins don't overlap (next-fit keeps order)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"), src)
+        case _ => ()
+      }
+      // every bin except possibly the last reached the target
+      sorted.dropRight(1).foreach { b =>
+        assert(b.getAs[Long]("n_bytes") >= 1L, src)
+      }
+    }
+  }
+
+  test("vocab_coverage: bounded in (0,1], and a doc of only top words scores 1") {
+    val rows = QueriesAnalytics.vocabCoverageQ(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val c = r.getAs[Double]("coverage")
+      assert(c > 0.0 - 1e-12 && c <= 1.0)
+      assert(r.getAs[Long]("in_vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    // the synthetic 31-word vocabulary vs k=16 must actually discriminate
+    assert(rows.map(_.getAs[Double]("coverage")).distinct.length > 10)
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")
