@@ -976,8 +976,11 @@ object QueriesText {
     val b = p.select(col("source"), col("doc_id").as("doc_b"), col("pre").as("pb"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("int"))
-      .filter(col("dist") <= fuzzyMaxDist)
+      // bounded (banded-DP) levenshtein: O(τ·n) per pair instead of
+      // O(n²), returns -1 past the threshold — exact distance otherwise,
+      // so results are identical to the oracle's unbounded form
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), fuzzyMaxDist).cast("int"))
+      .filter(col("dist") >= 0)
       .select(col("source"), col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
