@@ -312,19 +312,35 @@ object QueriesAnalytics {
     */
   def riAuditQ(spark: SparkSession, dir: String): DataFrame =
     SchemaGraph.tpch.edges
-      .map { e =>
-        val c = Tables(spark, dir, e.fkTable)
-        val p = Tables(spark, dir, e.pkTable).select(col(e.pkCol))
-        val base = c.agg(
-          count(lit(1)).as("n_child"),
-          sum(when(col(e.fkCol).isNull, 1).otherwise(0)).cast("long").as("n_null"))
-        val orph = c.filter(col(e.fkCol).isNotNull)
-          .join(p, col(e.fkCol) === col(e.pkCol), "left_anti")
-          .agg(count(lit(1)).as("n_orphan"))
-        base.crossJoin(orph).select(
-          lit(e.fkTable).as("child_table"), lit(e.fkCol).as("fk_col"),
-          lit(e.pkTable).as("parent_table"),
-          col("n_child"), col("n_null"), col("n_orphan"))
+      .groupBy(_.fkTable).toSeq
+      .map { case (ct, es) =>
+        // ONE scan of the child per table: every parent PK set is
+        // left-joined in the same plan (PKs are unique, so cardinality
+        // is preserved), and all per-edge null/orphan counts come out of
+        // a single aggregate row, exploded into per-edge result rows.
+        val joined = es.foldLeft(
+          Tables(spark, dir, ct).select(es.map(e => col(e.fkCol)).distinct: _*)) {
+          (acc, e) =>
+            val p = Tables(spark, dir, e.pkTable)
+              .select(col(e.pkCol).as(s"__pk_${e.fkCol}"))
+            acc.join(p, col(e.fkCol) === col(s"__pk_${e.fkCol}"), "left")
+        }
+        val aggs = count(lit(1)).as("n_child") +: es.flatMap { e =>
+          Seq(
+            sum(when(col(e.fkCol).isNull, 1).otherwise(0)).cast("long")
+              .as(s"__null_${e.fkCol}"),
+            sum(when(col(e.fkCol).isNotNull && col(s"__pk_${e.fkCol}").isNull, 1)
+              .otherwise(0)).cast("long").as(s"__orph_${e.fkCol}"))
+        }
+        joined.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(es.map { e =>
+            struct(
+              lit(e.fkTable).as("child_table"), lit(e.fkCol).as("fk_col"),
+              lit(e.pkTable).as("parent_table"), col("n_child"),
+              col(s"__null_${e.fkCol}").as("n_null"),
+              col(s"__orph_${e.fkCol}").as("n_orphan"))
+          }: _*)).as("r"))
+          .select(col("r.*"))
       }
       .reduce(_.unionAll(_))
       .orderBy(col("child_table"), col("fk_col"))
