@@ -649,6 +649,137 @@ object QueriesAnalytics {
       |      FROM events)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- merge_upsert: CDC MERGE-INTO semantics ----
+
+  /** MERGE a CDC batch into a base snapshot, latest-wins per key: base =
+    * per-user latest state before the cutover, updates = per-user latest
+    * state after it; full outer join + coalesce implements
+    * INSERT/UPDATE/UNCHANGED in one shuffle on the merge key — the
+    * DataFrame rendering of `MERGE INTO base USING upd ON key`.
+    */
+  val mergeCutover = "2024-01-16"
+
+  def mergeUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("value"), row_number().over(w).as("__rn"))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val e = events(spark, dir)
+    val base = latest(e.filter(col("ts") < lit(mergeCutover).cast("timestamp"))).alias("b")
+    val upd = latest(e.filter(col("ts") >= lit(mergeCutover).cast("timestamp"))).alias("u")
+    base.join(upd, col("b.user_id") === col("u.user_id"), "full")
+      .select(
+        coalesce(col("u.user_id"), col("b.user_id")).as("user_id"),
+        coalesce(col("u.event_id"), col("b.event_id")).as("event_id"),
+        coalesce(col("u.ts"), col("b.ts")).as("ts"),
+        coalesce(col("u.event_type"), col("b.event_type")).as("event_type"),
+        coalesce(col("u.value"), col("b.value")).as("value"),
+        when(col("b.user_id").isNull, "insert")
+          .when(col("u.user_id").isNull, "unchanged")
+          .otherwise("update").as("action"))
+      .orderBy(col("user_id"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT user_id, event_id, ts, event_type, value,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       |    FROM events WHERE ts < TIMESTAMP '$mergeCutover')
+       |  WHERE rn = 1),
+       |upd AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT user_id, event_id, ts, event_type, value,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+       |    FROM events WHERE ts >= TIMESTAMP '$mergeCutover')
+       |  WHERE rn = 1)
+       |SELECT COALESCE(u.user_id, b.user_id) AS user_id,
+       |  COALESCE(u.event_id, b.event_id) AS event_id,
+       |  COALESCE(u.ts, b.ts) AS ts,
+       |  COALESCE(u.event_type, b.event_type) AS event_type,
+       |  COALESCE(u.value, b.value) AS value,
+       |  CASE WHEN b.user_id IS NULL THEN 'insert'
+       |       WHEN u.user_id IS NULL THEN 'unchanged' ELSE 'update' END AS action
+       |FROM base b FULL JOIN upd u ON b.user_id = u.user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---- user_lifespan: per-user activity span + churn flag ----
+
+  def userLifespanQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(date_trunc("day", col("ts"))).as("first_day"),
+        max(date_trunc("day", col("ts"))).as("last_day"),
+        count_distinct(date_trunc("day", col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .withColumn("lifespan_days",
+        expr("(unix_micros(last_day) - unix_micros(first_day)) div 86400000000") + 1)
+      .withColumn("is_churned",
+        col("last_day") < lit(mergeCutover).cast("timestamp"))
+      .orderBy(col("user_id"))
+
+  val userLifespanSql: String =
+    s"""SELECT user_id, MIN(date_trunc('day', ts)) AS first_day,
+       |  MAX(date_trunc('day', ts)) AS last_day,
+       |  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  (epoch_us(MAX(date_trunc('day', ts))) - epoch_us(MIN(date_trunc('day', ts)))) // 86400000000 + 1 AS lifespan_days,
+       |  MAX(date_trunc('day', ts)) < TIMESTAMP '$mergeCutover' AS is_churned
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- event_unpivot: UNPIVOT / melt surface ----
+
+  /** Wide→long melt of the per-day type counts through the native
+    * unpivot operator (one pass wide, zero-copy melt — no per-column
+    * rescans), the inverse surface of event_pivot.
+    */
+  def eventUnpivotQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("click"),
+        count(when(col("event_type") === "view", 1)).as("view"),
+        count(when(col("event_type") === "purchase", 1)).as("purchase"))
+      .unpivot(Array(col("day")), Array(col("click"), col("view"), col("purchase")),
+        "etype", "cnt")
+      .orderBy(col("day"), col("etype"))
+
+  val eventUnpivotSql: String =
+    """WITH p AS (SELECT date_trunc('day', ts) AS day,
+      |  CAST(COUNT(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS click,
+      |  CAST(COUNT(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS view,
+      |  CAST(COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS purchase
+      |  FROM events GROUP BY 1)
+      |SELECT day, etype, cnt FROM p
+      |UNPIVOT (cnt FOR etype IN (click, view, purchase))
+      |ORDER BY day, etype""".stripMargin
+
+  // ---- daily_signature: ordered string aggregation surface ----
+
+  /** Deterministic LISTAGG: per-day sorted distinct event types — the
+    * collect_set is unordered by contract, so array_sort before the join
+    * makes the result partition-order independent.
+    */
+  def dailySignatureQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(collect_set(col("event_type")).as("__s"))
+      .select(
+        col("day"),
+        array_join(array_sort(col("__s")), ",").as("types"),
+        size(col("__s")).cast("long").as("n_types"))
+      .orderBy(col("day"))
+
+  val dailySignatureSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -666,7 +797,11 @@ object QueriesAnalytics {
     "vocab_coverage" -> (vocabCoverageQ _),
     "ks_test" -> (ksTestQ _),
     "trend_fit" -> (trendFitQ _),
-    "value_deciles" -> (valueDecilesQ _)
+    "value_deciles" -> (valueDecilesQ _),
+    "merge_upsert" -> (mergeUpsertQ _),
+    "user_lifespan" -> (userLifespanQ _),
+    "event_unpivot" -> (eventUnpivotQ _),
+    "daily_signature" -> (dailySignatureQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -686,6 +821,10 @@ object QueriesAnalytics {
     "vocab_coverage" -> vocabCoverageSql,
     "ks_test" -> ksTestSql,
     "trend_fit" -> trendFitSql,
-    "value_deciles" -> valueDecilesSql
+    "value_deciles" -> valueDecilesSql,
+    "merge_upsert" -> mergeUpsertSql,
+    "user_lifespan" -> userLifespanSql,
+    "event_unpivot" -> eventUnpivotSql,
+    "daily_signature" -> dailySignatureSql
   )
 }

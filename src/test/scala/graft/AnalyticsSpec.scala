@@ -209,6 +209,52 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("merge_upsert: one row per user, action consistent with the cutover halves") {
+    val rows = QueriesAnalytics.mergeUpsertQ(spark, sf).collect()
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(rows.length == users)
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    val cut = java.sql.Timestamp.valueOf(QueriesAnalytics.mergeCutover + " 00:00:00")
+    rows.foreach { r =>
+      val (ts, action) = (r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("action"))
+      if (action == "unchanged") assert(ts.before(cut))
+      else assert(!ts.before(cut), s"user ${r.getAs[Long]("user_id")}")
+    }
+  }
+
+  test("user_lifespan: spans bound active days and churn matches the cutover") {
+    val rows = QueriesAnalytics.userLifespanQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Timestamp.valueOf(QueriesAnalytics.mergeCutover + " 00:00:00")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_days") <= r.getAs[Long]("lifespan_days"))
+      assert(r.getAs[Long]("active_days") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Boolean]("is_churned") ==
+        r.getAs[java.sql.Timestamp]("last_day").before(cut))
+    }
+  }
+
+  test("event_unpivot is the exact long form of the wide counts") {
+    val long = QueriesAnalytics.eventUnpivotQ(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // wide form materializes zero cells; long-from-wide must dominate direct
+    direct.foreach { case (k, v) => assert(long(k) == v, k) }
+    long.foreach { case (k, v) => assert(v == direct.getOrElse(k, 0L), k) }
+  }
+
+  test("daily_signature is sorted, deduplicated, and consistent with n_types") {
+    QueriesAnalytics.dailySignatureQ(spark, sf).collect().foreach { r =>
+      val parts = r.getAs[String]("types").split(',')
+      assert(parts.sorted.sameElements(parts) && parts.distinct.length == parts.length)
+      assert(parts.length.toLong == r.getAs[Long]("n_types"))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -38,7 +38,8 @@ class EntrySpec extends SparkSpec {
       "props_extract", "decay_count", "kmv_setops", "ri_audit",
       "train_split", "term_search", "markov_transitions", "cube_counts",
       "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
-      "value_deciles")
+      "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
+      "daily_signature")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
