@@ -780,6 +780,105 @@ object QueriesAnalytics {
       |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- dq_audit: relational data-quality rule scan ----
+
+  /** Single-scan rule audit over lineitem (the relational counterpart of
+    * doc_filter): every rule is a conditional count in ONE aggregate —
+    * adding rules never adds scans.
+    */
+  def dqAuditQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") <= 0, 1).otherwise(0)).cast("long").as("bad_quantity"),
+      sum(when(col("l_extendedprice") < 0, 1).otherwise(0)).cast("long").as("bad_price"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0))
+        .cast("long").as("bad_discount"),
+      sum(when(col("l_tax") < 0, 1).otherwise(0)).cast("long").as("bad_tax"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+        .cast("long").as("bad_returnflag"),
+      sum(when(col("l_shipdate").isNull, 1).otherwise(0)).cast("long").as("null_shipdate"),
+      sum(when(
+        col("l_quantity") > 0 && col("l_extendedprice") >= 0 &&
+          col("l_discount").between(0, 1) && col("l_tax") >= 0 &&
+          col("l_returnflag").isin("A", "N", "R") && col("l_shipdate").isNotNull,
+        1).otherwise(0)).cast("long").as("clean_rows"))
+
+  val dqAuditSql: String =
+    """SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+      |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      |  CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+      |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+      |  CAST(SUM(CASE WHEN l_quantity > 0 AND l_extendedprice >= 0
+      |    AND l_discount BETWEEN 0 AND 1 AND l_tax >= 0
+      |    AND l_returnflag IN ('A','N','R') AND l_shipdate IS NOT NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS clean_rows
+      |FROM lineitem""".stripMargin
+
+  // ---- q3_join_agg: star-join revenue rollup ----
+
+  /** The bread-and-butter BI query: fact (orders) joined up the dimension
+    * chain customer→nation→region, revenue per region per month. The
+    * three dimensions are small by construction at ANY scale factor —
+    * broadcast them explicitly so the physical plan is three
+    * BroadcastHashJoins over one pruned orders scan, no fact shuffle
+    * until the final (tiny) rollup.
+    */
+  def q3JoinAggQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("revenue"))
+      .orderBy(col("region"), col("month"))
+
+  val q3JoinAggSql: String =
+    """SELECT r_name AS region, date_trunc('month', o_orderdate) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- returning_users: day-over-day overlap (next-day retention) ----
+
+  def returningUsersQ(spark: SparkSession, dir: String): DataFrame = {
+    val a = events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val prev = a.select(
+      expr("timestampadd(DAY, 1, day)").as("day"),
+      col("user_id"), lit(1).as("__p"))
+    val prevCounts = prev.groupBy(col("day")).agg(count(lit(1)).as("prev_active"))
+    a.join(prev, Seq("day", "user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("returned"))
+      .join(prevCounts, Seq("day"))
+      .select(col("day"), col("returned"), col("prev_active"))
+      .orderBy(col("day"))
+  }
+
+  val returningUsersSql: String =
+    """WITH a AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+      |SELECT t.day, CAST(COUNT(*) AS BIGINT) AS returned,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a p2 WHERE p2.day = t.day - INTERVAL 1 DAY) AS prev_active
+      |FROM a t JOIN a p ON p.user_id = t.user_id AND p.day = t.day - INTERVAL 1 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -801,7 +900,10 @@ object QueriesAnalytics {
     "merge_upsert" -> (mergeUpsertQ _),
     "user_lifespan" -> (userLifespanQ _),
     "event_unpivot" -> (eventUnpivotQ _),
-    "daily_signature" -> (dailySignatureQ _)
+    "daily_signature" -> (dailySignatureQ _),
+    "dq_audit" -> (dqAuditQ _),
+    "q3_join_agg" -> (q3JoinAggQ _),
+    "returning_users" -> (returningUsersQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -825,6 +927,9 @@ object QueriesAnalytics {
     "merge_upsert" -> mergeUpsertSql,
     "user_lifespan" -> userLifespanSql,
     "event_unpivot" -> eventUnpivotSql,
-    "daily_signature" -> dailySignatureSql
+    "daily_signature" -> dailySignatureSql,
+    "dq_audit" -> dqAuditSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "returning_users" -> returningUsersSql
   )
 }

@@ -255,6 +255,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dq_audit: rule counts are consistent and clean_rows dominates") {
+    val r = QueriesAnalytics.dqAuditQ(spark, sf).collect().head
+    val n = r.getAs[Long]("n_rows")
+    assert(n == Tables(spark, sf, "lineitem").count())
+    val bad = Seq("bad_quantity", "bad_price", "bad_discount", "bad_tax",
+      "bad_returnflag", "null_shipdate").map(r.getAs[Long])
+    assert(r.getAs[Long]("clean_rows") >= n - bad.sum)
+    assert(r.getAs[Long]("clean_rows") <= n)
+  }
+
+  test("q3_join_agg: all three dimension joins broadcast; totals reconcile") {
+    val q = QueriesAnalytics.q3JoinAggQ(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+    val rows = q.collect()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables(spark, sf, "orders").count())
+  }
+
+  test("returning_users is bounded by previous-day actives") {
+    val rows = QueriesAnalytics.returningUsersQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("returned") <= r.getAs[Long]("prev_active"))
+      assert(r.getAs[Long]("returned") >= 0)
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

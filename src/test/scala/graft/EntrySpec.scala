@@ -39,7 +39,7 @@ class EntrySpec extends SparkSpec {
       "train_split", "term_search", "markov_transitions", "cube_counts",
       "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
       "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
-      "daily_signature")
+      "daily_signature", "dq_audit", "q3_join_agg", "returning_users")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
