@@ -879,6 +879,123 @@ object QueriesAnalytics {
       |FROM a t JOIN a p ON p.user_id = t.user_id AND p.day = t.day - INTERVAL 1 DAY
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- gap_fill + lag_features: dense scaffold + forecasting features ----
+
+  /** Sparse→dense time-series completion: the (day × event_type) scaffold
+    * is a cross join of two POST-AGGREGATION dimension frames (tiny at
+    * any input scale), left-joined back onto the observed cells. The
+    * standard prelude to windowed feature generation — lag over a sparse
+    * series silently skips missing periods.
+    */
+  private def denseDayTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val d = c.select(col("day")).distinct()
+    val t = c.select(col("event_type")).distinct()
+    d.crossJoin(t).join(c, Seq("day", "event_type"), "left")
+  }
+
+  def gapFillQ(spark: SparkSession, dir: String): DataFrame =
+    denseDayTypeCounts(spark, dir)
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("cnt").isNull.as("was_missing"))
+      .orderBy(col("day"), col("event_type"))
+
+  val gapFillSql: String =
+    """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+      |t AS (SELECT DISTINCT event_type FROM events)
+      |SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt, c.cnt IS NULL AS was_missing
+      |FROM d CROSS JOIN t LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Windowed feature matrix over the DENSE series: lag-1/lag-7 and
+    * trailing-7 sum per (event_type, day) — the feature block a
+    * forecasting model trains on. -1 marks out-of-history lags (vs 0,
+    * which is a real observed count).
+    */
+  def lagFeaturesQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, 0)
+    denseDayTypeCounts(spark, dir)
+      .select(col("day"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .select(col("day"), col("event_type"), col("cnt"),
+        coalesce(lag(col("cnt"), 1).over(w), lit(-1L)).as("lag1"),
+        coalesce(lag(col("cnt"), 7).over(w), lit(-1L)).as("lag7"),
+        sum(col("cnt")).over(w7).as("sum7"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val lagFeaturesSql: String =
+    """WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1, 2),
+      |d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |g AS (SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt
+      |      FROM d CROSS JOIN t LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type)
+      |SELECT day, event_type, cnt,
+      |  CAST(COALESCE(LAG(cnt, 1) OVER w, -1) AS BIGINT) AS lag1,
+      |  CAST(COALESCE(LAG(cnt, 7) OVER w, -1) AS BIGINT) AS lag7,
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum7
+      |FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- percentile_feature: rank-normalization surface ----
+
+  /** PERCENT_RANK quantile normalization of `value` within each
+    * event_type — tie rows share a rank, so the result is deterministic
+    * with no tie-break needed, and (rank−1)/(n−1) divides the same exact
+    * integers in both engines.
+    */
+  def percentileFeatureQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pct"))
+      .orderBy(col("event_id"))
+  }
+
+  val percentileFeatureSql: String =
+    """SELECT event_id, event_type, value,
+      |  PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pct
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- conversion_latency: funnel latency distribution ----
+
+  /** Minutes from a user's first view to each later purchase, bucketed
+    * log-scale — integral minute arithmetic end-to-end.
+    */
+  def conversionLatencyQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = events(spark, dir).filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    events(spark, dir).filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("first_view"))
+      .select(expr("(unix_micros(ts) - unix_micros(first_view)) div 60000000").as("mins"))
+      .select(
+        when(col("mins") < 60, "0_lt1h").when(col("mins") < 1440, "1_lt1d")
+          .when(col("mins") < 10080, "2_lt1w").otherwise("3_gte1w").as("bucket"),
+        col("mins"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("mins")).as("min_mins"),
+        max(col("mins")).as("max_mins"))
+      .orderBy(col("bucket"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT e.event_id, e.user_id, e.ts, v.first_view FROM events e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > v.first_view)
+      |SELECT CASE WHEN mins < 60 THEN '0_lt1h' WHEN mins < 1440 THEN '1_lt1d'
+      |            WHEN mins < 10080 THEN '2_lt1w' ELSE '3_gte1w' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(mins) AS BIGINT) AS min_mins, CAST(MAX(mins) AS BIGINT) AS max_mins
+      |FROM (SELECT (epoch_us(ts) - epoch_us(first_view)) // 60000000 AS mins FROM p)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -903,7 +1020,11 @@ object QueriesAnalytics {
     "daily_signature" -> (dailySignatureQ _),
     "dq_audit" -> (dqAuditQ _),
     "q3_join_agg" -> (q3JoinAggQ _),
-    "returning_users" -> (returningUsersQ _)
+    "returning_users" -> (returningUsersQ _),
+    "gap_fill" -> (gapFillQ _),
+    "lag_features" -> (lagFeaturesQ _),
+    "percentile_feature" -> (percentileFeatureQ _),
+    "conversion_latency" -> (conversionLatencyQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -930,6 +1051,10 @@ object QueriesAnalytics {
     "daily_signature" -> dailySignatureSql,
     "dq_audit" -> dqAuditSql,
     "q3_join_agg" -> q3JoinAggSql,
-    "returning_users" -> returningUsersSql
+    "returning_users" -> returningUsersSql,
+    "gap_fill" -> gapFillSql,
+    "lag_features" -> lagFeaturesSql,
+    "percentile_feature" -> percentileFeatureSql,
+    "conversion_latency" -> conversionLatencySql
   )
 }

@@ -959,7 +959,10 @@ object QueriesText {
   // ---- row 23b: edit-distance fuzzy match (entity resolution) ----
 
   val fuzzyPrefixLen = 40
-  val fuzzyMaxDist = 16
+  // τ=8 (20% of the prefix): semantically tight AND keeps the banded-DP
+  // band at 17 of 40 columns — τ=16's band covered nearly the whole
+  // matrix, making "bounded" levenshtein no cheaper than full.
+  val fuzzyMaxDist = 8
 
   /** Character-level fuzzy matching — the entity-resolution counterpart
     * to the token-set similarity ops: doc pairs inside a source block

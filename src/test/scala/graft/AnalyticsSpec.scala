@@ -284,6 +284,63 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("gap_fill: dense grid of days x types, filled cells sum to total events") {
+    val rows = QueriesAnalytics.gapFillQ(spark, sf).collect()
+    val days = rows.map(_.getTimestamp(0)).distinct.length
+    val types = rows.map(_.getString(1)).distinct.length
+    assert(rows.length == days * types)
+    assert(rows.map(_.getAs[Long]("cnt")).sum == Tables(spark, sf, "events").count())
+    rows.foreach(r => assert(r.getAs[Boolean]("was_missing") == (r.getAs[Long]("cnt") == 0L)))
+  }
+
+  test("lag_features: lag columns replay the dense series shifted") {
+    val rows = QueriesAnalytics.lagFeaturesQ(spark, sf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("lag1"), r.getAs[Long]("sum7")))
+      .toMap
+    val dayMs = 86400000L
+    rows.foreach { case ((t, d), (_, lag1, _)) =>
+      rows.get((t, d - dayMs)) match {
+        case Some((prevCnt, _, _)) => assert(lag1 == prevCnt, s"$t $d")
+        case None => assert(lag1 == -1L, s"$t $d")
+      }
+    }
+    // sum7 equals the sum of up to 7 trailing cells
+    rows.foreach { case ((t, d), (_, _, s7)) =>
+      val expect = (0 until 7).flatMap(i => rows.get((t, d - i * dayMs))).map(_._1).sum
+      assert(s7 == expect, s"$t $d")
+    }
+  }
+
+  test("percentile_feature: pct is (rank-1)/(n-1), ties share, bounds hold") {
+    val rows = QueriesAnalytics.percentileFeatureQ(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "events").count())
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val ps = rs.map(_.getAs[Double]("pct"))
+      assert(ps.min == 0.0 && ps.max == 1.0, t)
+      // monotone with value
+      val sorted = rs.sortBy(_.getAs[Double]("value"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("pct") <= b.getAs[Double]("pct"), t)
+        case _ => ()
+      }
+    }
+  }
+
+  test("conversion_latency: buckets respect their minute ranges") {
+    val rows = QueriesAnalytics.conversionLatencyQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bounds = Map("0_lt1h" -> (0L, 59L), "1_lt1d" -> (60L, 1439L),
+      "2_lt1w" -> (1440L, 10079L), "3_gte1w" -> (10080L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("bucket"))
+      assert(r.getAs[Long]("min_mins") >= lo && r.getAs[Long]("max_mins") <= hi)
+      assert(r.getAs[Long]("min_mins") <= r.getAs[Long]("max_mins"))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -39,7 +39,8 @@ class EntrySpec extends SparkSpec {
       "train_split", "term_search", "markov_transitions", "cube_counts",
       "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
       "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
-      "daily_signature", "dq_audit", "q3_join_agg", "returning_users")
+      "daily_signature", "dq_audit", "q3_join_agg", "returning_users",
+      "gap_fill", "lag_features", "percentile_feature", "conversion_latency")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
