@@ -137,4 +137,43 @@ class PlanSpec extends SparkSpec {
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
     assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("lang")))
   }
+
+  test("ri_audit scans each child table once (joint per-table plan)") {
+    val p = plan("ri_audit")
+    // 5 child tables (nation, customer, supplier, orders, lineitem) —
+    // one parquet scan each + 7 parent-PK scans = 12 total; the old
+    // per-edge formulation needed 2 child scans per edge (18 total)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 12, s"$scans child/parent scans")
+  }
+
+  test("vocab_coverage broadcasts the vocabulary, never shuffles the corpus onto it") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("fuzzy_match uses the bounded (threshold) levenshtein") {
+    val p = plan("fuzzy_match")
+    assert(p.contains("levenshtein") && p.contains("Some(8)"), p.take(600))
+  }
+
+  test("train_split is a pushed-down scan + one aggregation exchange") {
+    val p = plan("train_split")
+    // md5-threshold assignment is per-row arithmetic: the only shuffles
+    // are the groupBy and the presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("rolling_agg is one shuffle on user_id, no join") {
+    val p = plan("rolling_agg")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("merge_upsert resolves both snapshots and the merge in one key shuffle each") {
+    val p = plan("merge_upsert")
+    // full outer join on the merge key: SortMergeJoin is expected (both
+    // sides keyed); there must be no nested-loop fallback
+    assert(!p.contains("NestedLoop"), p)
+  }
 }
