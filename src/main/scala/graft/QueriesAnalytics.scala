@@ -996,6 +996,132 @@ object QueriesAnalytics {
       |FROM (SELECT (epoch_us(ts) - epoch_us(first_view)) // 60000000 AS mins FROM p)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- embed_norms: vector-hygiene audit ----
+
+  /** Per-label norm audit over the embedding table: squared L2 norms of
+    * the 1e6-quantized vectors (exact BIGINT sums — the session's
+    * standard embedding-exactness discipline) catch unnormalized or
+    * truncated vectors before they poison an ANN index.
+    */
+  def embedNormsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          .as("qe"))
+      .select(col("label"), size(col("qe")).as("dim"),
+        expr("aggregate(transform(qe, v -> v * v), 0L, (a, x) -> a + x)").as("nsq"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        min(col("nsq")).as("min_nsq"), max(col("nsq")).as("max_nsq"),
+        sum(col("nsq")).as("sum_nsq"))
+      .orderBy(col("label"))
+
+  val embedNormsSql: String =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, CAST(len(qe) AS INT) AS dim,
+      |  list_sum(list_transform(qe, v -> v * v)) AS nsq FROM q)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, CAST(MIN(dim) AS INT) AS min_dim,
+      |  CAST(MAX(dim) AS INT) AS max_dim,
+      |  CAST(MIN(nsq) AS BIGINT) AS min_nsq, CAST(MAX(nsq) AS BIGINT) AS max_nsq,
+      |  CAST(SUM(nsq) AS BIGINT) AS sum_nsq
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- weekday_profile: activity heatmap (ISO dow × hour) ----
+
+  /** ISO weekday (Mon=1) × hour × type counts — Spark's weekday() is
+    * 0-based Monday, DuckDB's isodow 1-based: +1 aligns them (the
+    * dayofweek builtins disagree on week start, a classic parity trap).
+    */
+  def weekdayProfileQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        (expr("weekday(ts)") + 1).as("dow"),
+        hour(col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("dow"), col("hr"), col("event_type"))
+
+  val weekdayProfileSql: String =
+    """SELECT isodow(ts) AS dow, CAST(hour(ts) AS INT) AS hr, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- cooccurrence: market-basket type pairs per user-day ----
+
+  /** Event-type co-occurrence within a (user, day) basket — the
+    * association-mining primitive: distinct baskets self-joined on the
+    * basket key (co-partitioned; pair space is |types|² per basket, not
+    * |events|²).
+    */
+  def cooccurrenceQ(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val a = ud.select(col("user_id"), col("day"), col("event_type").as("type_a"))
+    val b = ud.select(col("user_id"), col("day"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val cooccurrenceSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(COUNT(*) AS BIGINT) AS n_user_days
+      |FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- rfm_segments: classic RFM customer segmentation ----
+
+  /** Recency/frequency/monetary tiers over purchase events, NTILE(3)
+    * each with user_id tie-breaks — the post-agg frame is one row per
+    * purchasing user, so the global tiling windows run over a frame
+    * that is already thousands of times smaller than the input.
+    */
+  def rfmSegmentsQ(spark: SparkSession, dir: String): DataFrame = {
+    val mx = events(spark, dir).agg(max(date_trunc("day", col("ts"))).as("max_day"))
+    val f = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(date_trunc("day", col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("(unix_micros(max_day) - unix_micros(last_day)) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val rw = Window.orderBy(col("recency_days"), col("user_id"))
+    val fw = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mw = Window.orderBy(col("monetary").desc, col("user_id"))
+    f.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        ntile(3).over(rw).as("r_tier"), ntile(3).over(fw).as("f_tier"),
+        ntile(3).over(mw).as("m_tier"))
+      .withColumn("segment",
+        concat_ws("-", col("r_tier"), col("f_tier"), col("m_tier")))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH mx AS (SELECT MAX(date_trunc('day', ts)) AS max_day FROM events),
+      |f AS (SELECT user_id,
+      |  (epoch_us(mx.max_day) - epoch_us(MAX(date_trunc('day', ts)))) // 86400000000 AS recency_days,
+      |  CAST(COUNT(*) AS BIGINT) AS frequency,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+      |  FROM events, mx WHERE event_type = 'purchase' GROUP BY user_id, mx.max_day)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) AS INT) AS r_tier,
+      |  CAST(NTILE(3) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_tier,
+      |  CAST(NTILE(3) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_tier,
+      |  CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) AS INT) || '-' ||
+      |  CAST(NTILE(3) OVER (ORDER BY frequency DESC, user_id) AS INT) || '-' ||
+      |  CAST(NTILE(3) OVER (ORDER BY monetary DESC, user_id) AS INT) AS segment
+      |FROM f ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1024,7 +1150,11 @@ object QueriesAnalytics {
     "gap_fill" -> (gapFillQ _),
     "lag_features" -> (lagFeaturesQ _),
     "percentile_feature" -> (percentileFeatureQ _),
-    "conversion_latency" -> (conversionLatencyQ _)
+    "conversion_latency" -> (conversionLatencyQ _),
+    "embed_norms" -> (embedNormsQ _),
+    "weekday_profile" -> (weekdayProfileQ _),
+    "cooccurrence" -> (cooccurrenceQ _),
+    "rfm_segments" -> (rfmSegmentsQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1055,6 +1185,10 @@ object QueriesAnalytics {
     "gap_fill" -> gapFillSql,
     "lag_features" -> lagFeaturesSql,
     "percentile_feature" -> percentileFeatureSql,
-    "conversion_latency" -> conversionLatencySql
+    "conversion_latency" -> conversionLatencySql,
+    "embed_norms" -> embedNormsSql,
+    "weekday_profile" -> weekdayProfileSql,
+    "cooccurrence" -> cooccurrenceSql,
+    "rfm_segments" -> rfmSegmentsSql
   )
 }

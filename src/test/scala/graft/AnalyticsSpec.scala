@@ -341,6 +341,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("embed_norms: every vector is ~unit norm at 1e6 quantization, dims uniform") {
+    val rows = QueriesAnalytics.embedNormsQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_dim") == r.getAs[Int]("max_dim"))
+      // unit vectors quantized at 1e6: nsq within 0.1% of 1e12
+      assert(math.abs(r.getAs[Long]("min_nsq") - 1e12) < 1e9)
+      assert(math.abs(r.getAs[Long]("max_nsq") - 1e12) < 1e9)
+    }
+  }
+
+  test("weekday_profile: dow in 1..7 Monday-based, hours 0..23, counts total") {
+    val rows = QueriesAnalytics.weekdayProfileQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == Tables(spark, sf, "events").count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 1 && r.getAs[Int]("dow") <= 7)
+      assert(r.getAs[Int]("hr") >= 0 && r.getAs[Int]("hr") <= 23)
+    }
+    // 2024-01-01 is a Monday: events that day must land on dow=1
+    val jan1 = Tables(spark, sf, "events")
+      .filter(expr("date_trunc('DAY', ts) = timestamp'2024-01-01 00:00:00'")).count()
+    val dow1 = rows.filter(_.getAs[Int]("dow") == 1).map(_.getAs[Long]("cnt")).sum
+    assert(dow1 >= jan1)
+  }
+
+  test("cooccurrence: symmetric-free pairs, bounded by either side's basket count") {
+    val ud = Tables(spark, sf, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val baskets = ud.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    QueriesAnalytics.cooccurrenceQ(spark, sf).collect().foreach { r =>
+      val (a, b, n) = (r.getString(0), r.getString(1), r.getAs[Long]("n_user_days"))
+      assert(a < b)
+      assert(n <= math.min(baskets(a), baskets(b)))
+    }
+  }
+
+  test("rfm_segments: tiers are 1..3 near-balanced and segment matches tiers") {
+    val rows = QueriesAnalytics.rfmSegmentsQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq("r_tier", "f_tier", "m_tier").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.length)
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), c)
+      assert(sizes.values.max - sizes.values.min <= 1, c)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("segment") ==
+        s"${r.getAs[Int]("r_tier")}-${r.getAs[Int]("f_tier")}-${r.getAs[Int]("m_tier")}")
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

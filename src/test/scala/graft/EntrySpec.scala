@@ -40,7 +40,8 @@ class EntrySpec extends SparkSpec {
       "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
       "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
       "daily_signature", "dq_audit", "q3_join_agg", "returning_users",
-      "gap_fill", "lag_features", "percentile_feature", "conversion_latency")
+      "gap_fill", "lag_features", "percentile_feature", "conversion_latency",
+      "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
