@@ -1122,6 +1122,91 @@ object QueriesAnalytics {
       |  CAST(NTILE(3) OVER (ORDER BY monetary DESC, user_id) AS INT) AS segment
       |FROM f ORDER BY user_id""".stripMargin
 
+  // ---- lang_confusion: classifier-eval surface ----
+
+  /** Confusion matrix of the lang_id heuristic against the ground-truth
+    * `lang` label — the model-evaluation loop (predict → join truth →
+    * confusion) as one plan; the oracle nests the full lang_id SQL as a
+    * CTE so both engines score the identical classifier.
+    */
+  def langConfusionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.langId(Tables(spark, dir, "documents"))
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang").as("lang_true")),
+        Seq("doc_id"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
+  def langConfusionSql: String =
+    s"""WITH pred AS (
+       |${QueriesText.langIdSql}
+       |)
+       |SELECT d.lang AS lang_true, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- path_analysis: top-k 3-event sequences ----
+
+  /** Most common length-3 event paths per user stream (two lead()
+    * windows over ONE user_id shuffle) — the sequence-mining extension of
+    * markov_transitions beyond first order.
+    */
+  val pathTopK = 20
+
+  def pathAnalysisQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(pathTopK)
+  }
+
+  val pathAnalysisSql: String =
+    s"""WITH s AS (SELECT user_id, event_type AS e1,
+       |  LEAD(event_type, 1) OVER w AS e2, LEAD(event_type, 2) OVER w AS e3
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT e1 || '>' || e2 || '>' || e3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM s WHERE e3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, path LIMIT $pathTopK""".stripMargin
+
+  // ---- bipartite_degrees: join-graph degree profile ----
+
+  /** Degree distribution of the part↔supplier bipartite graph (distinct
+    * edge set, then per-side degree rollups) — the statistic behind
+    * worst-case join size bounds (pess_est's max-degree factors are this
+    * profile's max column).
+    */
+  def bipartiteDegreesQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    def side(key: String, name: String): DataFrame =
+      pairs.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"), sum(col("deg")).as("n_edges"))
+        .select(lit(name).as("side"), col("n_nodes"), col("min_deg"),
+          col("max_deg"), col("n_edges"))
+    side("l_partkey", "suppliers_per_part")
+      .unionAll(side("l_suppkey", "parts_per_supplier"))
+      .orderBy(col("side"))
+  }
+
+  val bipartiteDegreesSql: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ps AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS deg FROM pairs GROUP BY 1),
+      |sp AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS deg FROM pairs GROUP BY 1)
+      |SELECT 'suppliers_per_part' AS side, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg,
+      |  CAST(SUM(deg) AS BIGINT) AS n_edges FROM ps
+      |UNION ALL
+      |SELECT 'parts_per_supplier', CAST(COUNT(*) AS BIGINT), CAST(MIN(deg) AS BIGINT),
+      |  CAST(MAX(deg) AS BIGINT), CAST(SUM(deg) AS BIGINT) FROM sp
+      |ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1154,7 +1239,10 @@ object QueriesAnalytics {
     "embed_norms" -> (embedNormsQ _),
     "weekday_profile" -> (weekdayProfileQ _),
     "cooccurrence" -> (cooccurrenceQ _),
-    "rfm_segments" -> (rfmSegmentsQ _)
+    "rfm_segments" -> (rfmSegmentsQ _),
+    "lang_confusion" -> (langConfusionQ _),
+    "path_analysis" -> (pathAnalysisQ _),
+    "bipartite_degrees" -> (bipartiteDegreesQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1189,6 +1277,9 @@ object QueriesAnalytics {
     "embed_norms" -> embedNormsSql,
     "weekday_profile" -> weekdayProfileSql,
     "cooccurrence" -> cooccurrenceSql,
-    "rfm_segments" -> rfmSegmentsSql
+    "rfm_segments" -> rfmSegmentsSql,
+    "lang_confusion" -> langConfusionSql,
+    "path_analysis" -> pathAnalysisSql,
+    "bipartite_degrees" -> bipartiteDegreesSql
   )
 }

@@ -394,6 +394,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lang_confusion totals docs; en row is recalled (synthetic text is English-ish)") {
+    val rows = QueriesAnalytics.langConfusionQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf, "documents").count())
+    val langs = graft.operators.TextAnalysis.langProfiles.map(_._1).toSet
+    rows.foreach(r => assert(langs(r.getString(0)) && langs(r.getString(1))))
+    // the synthetic corpus draws from an English-ish vocabulary for every
+    // label, so the informative check is en-row recall, not the diagonal
+    val enRow = rows.filter(_.getString(0) == "en")
+    val enCorrect = enRow.filter(_.getString(1) == "en").map(_.getAs[Long]("n")).sum
+    assert(enCorrect * 2 > enRow.map(_.getAs[Long]("n")).sum)
+  }
+
+  test("path_analysis: top paths are valid 3-sequences and counts bound by transitions") {
+    val rows = QueriesAnalytics.pathAnalysisQ(spark, sf).collect()
+    assert(rows.length == QueriesAnalytics.pathTopK)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val parts = r.getAs[String]("path").split('>')
+      assert(parts.length == 3 && parts.forall(types))
+    }
+    // counts descend
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bipartite_degrees: both sides agree on the edge count") {
+    val rows = QueriesAnalytics.bipartiteDegreesQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val e1 = rows("suppliers_per_part").getAs[Long]("n_edges")
+    val e2 = rows("parts_per_supplier").getAs[Long]("n_edges")
+    assert(e1 == e2)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("min_deg") <= r.getAs[Long]("max_deg"))
+      assert(r.getAs[Long]("n_nodes") * r.getAs[Long]("max_deg") >= e1)
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -41,7 +41,8 @@ class EntrySpec extends SparkSpec {
       "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
       "daily_signature", "dq_audit", "q3_join_agg", "returning_users",
       "gap_fill", "lag_features", "percentile_feature", "conversion_latency",
-      "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments")
+      "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments",
+      "lang_confusion", "path_analysis", "bipartite_degrees")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
