@@ -1207,6 +1207,76 @@ object QueriesAnalytics {
       |  CAST(MAX(deg) AS BIGINT), CAST(SUM(deg) AS BIGINT) FROM sp
       |ORDER BY side""".stripMargin
 
+  // ---- q5_revenue: large-fact ⋈ large-fact join shape ----
+
+  /** TPC-H Q5 shape: lineitem ⋈ orders is a big-big equi-join (shuffle
+    * hash / sort-merge under AQE — NOT broadcastable at scale), then the
+    * supplier→nation→region dimension chain broadcasts, with the region
+    * filter and the orderdate range pushed below the join. Revenue uses
+    * integer-cents arithmetic (price¢ × (100−discount%)) so the double is
+    * engine-identical without decimal-precision-rule coupling.
+    */
+  def q5RevenueQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+          .cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("nation"))
+
+  val q5RevenueSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- big_order_semi: EXISTS / left-semi surface ----
+
+  /** Orders with at least one high-value line — the EXISTS subquery
+    * rendered as a LEFT SEMI join: the probe side never duplicates, and
+    * the lineitem filter pushes to its scan.
+    */
+  val semiPriceFloor = 80000
+
+  def bigOrderSemiQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(
+        Tables(spark, dir, "lineitem")
+          .filter(col("l_extendedprice") > semiPriceFloor)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+
+  val bigOrderSemiSql: String =
+    s"""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o
+       |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+       |              AND l.l_extendedprice > $semiPriceFloor)
+       |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1242,7 +1312,9 @@ object QueriesAnalytics {
     "rfm_segments" -> (rfmSegmentsQ _),
     "lang_confusion" -> (langConfusionQ _),
     "path_analysis" -> (pathAnalysisQ _),
-    "bipartite_degrees" -> (bipartiteDegreesQ _)
+    "bipartite_degrees" -> (bipartiteDegreesQ _),
+    "q5_revenue" -> (q5RevenueQ _),
+    "big_order_semi" -> (bigOrderSemiQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1280,6 +1352,8 @@ object QueriesAnalytics {
     "rfm_segments" -> rfmSegmentsSql,
     "lang_confusion" -> langConfusionSql,
     "path_analysis" -> pathAnalysisSql,
-    "bipartite_degrees" -> bipartiteDegreesSql
+    "bipartite_degrees" -> bipartiteDegreesSql,
+    "q5_revenue" -> q5RevenueSql,
+    "big_order_semi" -> bigOrderSemiSql
   )
 }

@@ -431,6 +431,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q5_revenue: dims broadcast, filters push down") {
+    val q = QueriesAnalytics.q5RevenueQ(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // the 3 dimension joins are explicit broadcasts; at tiny test scale
+    // Catalyst may ALSO auto-broadcast the filtered orders side (at real
+    // scale its stats exceed the threshold and it becomes a shuffle join)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(500))
+    assert(p.contains("r_name") && p.contains("ASIA"))
+    // orderdate range reaches the orders scan as pushed filters
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(500))
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("big_order_semi is a left-semi plan and never duplicates orders") {
+    val q = QueriesAnalytics.bigOrderSemiQ(spark, sf)
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    val keys = q.collect().map(_.getLong(0))
+    assert(keys.distinct.length == keys.length && keys.nonEmpty)
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -42,7 +42,8 @@ class EntrySpec extends SparkSpec {
       "daily_signature", "dq_audit", "q3_join_agg", "returning_users",
       "gap_fill", "lag_features", "percentile_feature", "conversion_latency",
       "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments",
-      "lang_confusion", "path_analysis", "bipartite_degrees")
+      "lang_confusion", "path_analysis", "bipartite_degrees",
+      "q5_revenue", "big_order_semi")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
