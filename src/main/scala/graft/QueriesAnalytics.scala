@@ -20,6 +20,16 @@ object QueriesAnalytics {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
+  /** Distinct (day, user) activity frame — built once per session via the
+    * Memo (user_growth, sliding_dau and returning_users all consume it).
+    */
+  private def dayUsers(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "analytics:day_users") {
+      events(spark, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+    }
+
   // ---- rolling_agg: per-user 7-day trailing window (RANGE frame) ----
 
   /** Trailing 7-day count/sum of `value` per user at every event — the
@@ -53,9 +63,7 @@ object QueriesAnalytics {
   // ---- user_growth: daily active / new / cumulative users ----
 
   def userGrowthQ(spark: SparkSession, dir: String): DataFrame = {
-    val a = events(spark, dir)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+    val a = dayUsers(spark, dir)
     val d = a.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
     val n = a.groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
@@ -85,9 +93,7 @@ object QueriesAnalytics {
     * linear in |active-days| × 7. The oracle is the naive range join.
     */
   def slidingDauQ(spark: SparkSession, dir: String): DataFrame = {
-    val a = events(spark, dir)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+    val a = dayUsers(spark, dir)
     val days = a.select(col("day")).distinct()
     a.select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("o"))
       .select(expr("timestampadd(DAY, o, day)").as("day"), col("user_id"))
@@ -857,9 +863,7 @@ object QueriesAnalytics {
   // ---- returning_users: day-over-day overlap (next-day retention) ----
 
   def returningUsersQ(spark: SparkSession, dir: String): DataFrame = {
-    val a = events(spark, dir)
-      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+    val a = dayUsers(spark, dir)
     val prev = a.select(
       expr("timestampadd(DAY, 1, day)").as("day"),
       col("user_id"), lit(1).as("__p"))
