@@ -1281,6 +1281,59 @@ object QueriesAnalytics {
        |              AND l.l_extendedprice > $semiPriceFloor)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- sliding_dau_kmv: mergeable sketch over sliding windows ----
+
+  /** The 100 TB path for sliding distinct: per-day KMV sketches merged
+    * across the trailing window (k-min of a union is computable from the
+    * member sketches — the mergeability exact distinct lacks). Here the
+    * merge is fused into one explode + rank pass; the shuffle carries at
+    * most k hashes per anchor day out of the aggregation. Exact dau7
+    * rides along to expose sketch error.
+    */
+  def slidingDauKmvQ(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = dayUsers(spark, dir)
+      .select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("o"))
+      .select(expr("timestampadd(DAY, o, day)").as("anchor"), col("user_id"))
+      .distinct()
+    val days = dayUsers(spark, dir).select(col("day")).distinct()
+    val rw = Window.partitionBy(col("anchor")).orderBy(col("h"))
+    val sk = anchors
+      .select(col("anchor"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= kmvSetK)
+      .groupBy(col("anchor"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+    val ex = anchors.groupBy(col("anchor")).agg(count(lit(1)).as("exact_dau7"))
+    days
+      .join(sk, col("day") === sk("anchor")).drop("anchor")
+      .join(ex, col("day") === ex("anchor")).drop("anchor")
+      .select(col("day"), col("m"), kmvEst(col("hk"), col("m")).as("kmv_est"),
+        col("exact_dau7"))
+      .orderBy(col("day"))
+  }
+
+  val slidingDauKmvSql: String = {
+    val k = kmvSetK
+    s"""WITH a AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+       |d AS (SELECT DISTINCT day FROM a),
+       |x AS (SELECT DISTINCT a.day + o * INTERVAL 1 DAY AS anchor, a.user_id
+       |      FROM a, range(0, 7) t(o)),
+       |h AS (SELECT anchor, user_id,
+       |  CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+       |  FROM x),
+       |r AS (SELECT anchor, h, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT anchor, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM r WHERE rn <= $k GROUP BY 1),
+       |ex AS (SELECT anchor, CAST(COUNT(*) AS BIGINT) AS exact_dau7 FROM x GROUP BY 1)
+       |SELECT d.day, sk.m,
+       |  CASE WHEN sk.m < $k THEN CAST(sk.m AS DOUBLE)
+       |       ELSE ${k - 1}.0 / (CAST(sk.hk AS DOUBLE) / 4503599627370496.0) END AS kmv_est,
+       |  ex.exact_dau7
+       |FROM d JOIN sk ON sk.anchor = d.day JOIN ex ON ex.anchor = d.day
+       |ORDER BY d.day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1318,7 +1371,8 @@ object QueriesAnalytics {
     "path_analysis" -> (pathAnalysisQ _),
     "bipartite_degrees" -> (bipartiteDegreesQ _),
     "q5_revenue" -> (q5RevenueQ _),
-    "big_order_semi" -> (bigOrderSemiQ _)
+    "big_order_semi" -> (bigOrderSemiQ _),
+    "sliding_dau_kmv" -> (slidingDauKmvQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1358,6 +1412,7 @@ object QueriesAnalytics {
     "path_analysis" -> pathAnalysisSql,
     "bipartite_degrees" -> bipartiteDegreesSql,
     "q5_revenue" -> q5RevenueSql,
-    "big_order_semi" -> bigOrderSemiSql
+    "big_order_semi" -> bigOrderSemiSql,
+    "sliding_dau_kmv" -> slidingDauKmvSql
   )
 }

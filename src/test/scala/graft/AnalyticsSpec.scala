@@ -452,6 +452,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length && keys.nonEmpty)
   }
 
+  test("sliding_dau_kmv: sketch agrees with exact sliding_dau under k, days align") {
+    val sk = QueriesAnalytics.slidingDauKmvQ(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r).toMap
+    val ex = QueriesAnalytics.slidingDauQ(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getAs[Long]("dau7")).toMap
+    assert(sk.keySet == ex.keySet)
+    sk.foreach { case (d, r) =>
+      assert(r.getAs[Long]("exact_dau7") == ex(d), s"day $d")
+      // 15 users < k=64: the sketch is exact at this scale
+      if (r.getAs[Long]("m") < QueriesAnalytics.kmvSetK)
+        assert(r.getAs[Double]("kmv_est") == ex(d).toDouble, s"day $d")
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")
