@@ -1334,6 +1334,47 @@ object QueriesAnalytics {
        |ORDER BY d.day""".stripMargin
   }
 
+  // ---- doc_chunks: overlapping token windows (pre-embedding plumbing) ----
+
+  /** Sliding-window document chunking (size 32, stride 24, overlap 8) —
+    * the step that turns documents into embedding/RAG units. Pure
+    * per-row array expressions (sequence → explode → slice): zero
+    * shuffle, and the chunk count is ⌈(n−size)/stride⌉+1 in exact
+    * integer arithmetic so both engines cut identical windows.
+    */
+  val chunkSize = 32
+  val chunkStride = 24
+
+  def docChunksQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+      .withColumn("n", size(col("__ws")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, 1L)
+          .otherwise(expr(s"1L + (n - $chunkSize + ${chunkStride - 1}) div $chunkStride")))
+      .select(col("doc_id"), col("__ws"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(__ws, chunk_idx * $chunkStride + 1, $chunkSize)").as("__ck"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__ck")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__ck"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val docChunksSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+       |  CASE WHEN len(ws) <= $chunkSize THEN 1
+       |       ELSE 1 + (CAST(len(ws) AS BIGINT) - $chunkSize + ${chunkStride - 1}) // $chunkStride END AS n_chunks
+       |  FROM w)
+       |SELECT doc_id, CAST(o AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize)) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize), ' ')) AS chunk_md5
+       |FROM c, range(0, 100000) t(o) WHERE o < n_chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1372,7 +1413,8 @@ object QueriesAnalytics {
     "bipartite_degrees" -> (bipartiteDegreesQ _),
     "q5_revenue" -> (q5RevenueQ _),
     "big_order_semi" -> (bigOrderSemiQ _),
-    "sliding_dau_kmv" -> (slidingDauKmvQ _)
+    "sliding_dau_kmv" -> (slidingDauKmvQ _),
+    "doc_chunks" -> (docChunksQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1413,6 +1455,7 @@ object QueriesAnalytics {
     "bipartite_degrees" -> bipartiteDegreesSql,
     "q5_revenue" -> q5RevenueSql,
     "big_order_semi" -> bigOrderSemiSql,
-    "sliding_dau_kmv" -> slidingDauKmvSql
+    "sliding_dau_kmv" -> slidingDauKmvSql,
+    "doc_chunks" -> docChunksSql
   )
 }

@@ -466,6 +466,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("doc_chunks: windows tile every doc with stride overlap, hashes distinct per doc") {
+    val rows = QueriesAnalytics.docChunksQ(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == Tables(spark, sf, "documents").count())
+    val (cs, st) = (QueriesAnalytics.chunkSize, QueriesAnalytics.chunkStride)
+    val nTokens = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(graft.operators.TextOps.tokensExpr).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (d, chunks) =>
+      val n = nTokens(d)
+      val expect = if (n <= cs) 1 else 1 + (n - cs + st - 1) / st
+      assert(chunks.length == expect, s"doc $d")
+      // chunk indices contiguous from 0; all chunks full except possibly last
+      val sorted = chunks.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).sameElements(0L until expect.toLong))
+      sorted.dropRight(1).foreach(c => assert(c.getAs[Long]("n_tokens") == cs, s"doc $d"))
+      assert(sorted.last.getAs[Long]("n_tokens") >= 1)
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")
