@@ -1345,21 +1345,28 @@ object QueriesAnalytics {
   val chunkSize = 32
   val chunkStride = 24
 
+  /** (doc_id, chunk_idx, n_tokens, chunk_md5) frame, memoized — served to
+    * doc_chunks and chunk_dedup.
+    */
+  private def chunkFrame(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "analytics:chunks") {
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+        .withColumn("n", size(col("__ws")).cast("long"))
+        .withColumn("n_chunks",
+          when(col("n") <= chunkSize, 1L)
+            .otherwise(expr(s"1L + (n - $chunkSize + ${chunkStride - 1}) div $chunkStride")))
+        .select(col("doc_id"), col("__ws"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr(s"slice(__ws, chunk_idx * $chunkStride + 1, $chunkSize)").as("__ck"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("__ck")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("__ck"))).as("chunk_md5"))
+    }
+
   def docChunksQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
-      .withColumn("n", size(col("__ws")).cast("long"))
-      .withColumn("n_chunks",
-        when(col("n") <= chunkSize, 1L)
-          .otherwise(expr(s"1L + (n - $chunkSize + ${chunkStride - 1}) div $chunkStride")))
-      .select(col("doc_id"), col("__ws"),
-        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        expr(s"slice(__ws, chunk_idx * $chunkStride + 1, $chunkSize)").as("__ck"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("__ck")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", col("__ck"))).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunkFrame(spark, dir).orderBy(col("doc_id"), col("chunk_idx"))
 
   val docChunksSql: String =
     s"""WITH w AS (SELECT doc_id,
@@ -1374,6 +1381,128 @@ object QueriesAnalytics {
        |  md5(array_to_string(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize), ' ')) AS chunk_md5
        |FROM c, range(0, 100000) t(o) WHERE o < n_chunks
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- chunk_dedup: cross-document boilerplate chunks ----
+
+  /** Chunk-granularity dedup: chunk hashes occurring in more than one
+    * document (shared boilerplate the doc-level dedup family can't see).
+    * One groupBy over the memoized chunk frame.
+    */
+  def chunkDedupQ(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_md5"))
+
+  val chunkDedupSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |c AS (SELECT doc_id, ws,
+       |  CASE WHEN len(ws) <= $chunkSize THEN 1
+       |       ELSE 1 + (CAST(len(ws) AS BIGINT) - $chunkSize + ${chunkStride - 1}) // $chunkStride END AS n_chunks
+       |  FROM w),
+       |ch AS (SELECT doc_id,
+       |  md5(array_to_string(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize), ' ')) AS chunk_md5
+       |  FROM c, range(0, 100000) t(o) WHERE o < n_chunks)
+       |SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY chunk_md5""".stripMargin
+
+  // ---- supplier_share: ratio-to-report window ----
+
+  /** Per-supplier revenue share within its nation — the ratio-to-report
+    * window shape (value / SUM over partition) on exact integer cents.
+    */
+  def supplierShareQ(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("rev_cents"))
+    val w = Window.partitionBy(col("s_nationkey"))
+    r.join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"), col("l_suppkey").as("suppkey"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (col("rev_cents").cast("double") / sum(col("rev_cents")).over(w).cast("double"))
+          .as("share"))
+      .orderBy(col("nation"), col("suppkey"))
+  }
+
+  val supplierShareSql: String =
+    """WITH r AS (SELECT s_nationkey, l_suppkey,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)
+      |SELECT n_name AS nation, l_suppkey AS suppkey,
+      |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(rev_cents AS DOUBLE) / CAST(SUM(rev_cents) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS share
+      |FROM r JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY nation, suppkey""".stripMargin
+
+  // ---- interarrival_stats: inter-event gap profile ----
+
+  /** Mean/min/max inter-event gap per type — lag() over one shuffle, gap
+    * sums exact in microseconds, ONE double division for the mean.
+    */
+  def interarrivalStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("gap")).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("sum_gap_us"))
+      .withColumn("mean_gap_s",
+        col("sum_gap_us").cast("double") / col("n_gaps").cast("double") / 1000000.0)
+      .orderBy(col("event_type"))
+  }
+
+  val interarrivalStatsSql: String =
+    """WITH g AS (SELECT event_type,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_us, CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+      |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+      |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE) / 1000000.0 AS mean_gap_s
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- click_abandon: range anti-join ----
+
+  /** Clicks with NO purchase by the same user within 30 minutes — the
+    * NOT-EXISTS rendering as a LEFT ANTI join on the user key with the
+    * time-range residual condition (state stays bounded per key; the
+    * interval_join's complement).
+    */
+  def clickAbandonQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val p = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") && col("p_ts") > col("ts") &&
+          col("p_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"), "left_anti")
+      .orderBy(col("click_id"))
+  }
+
+  val clickAbandonSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts
+      |FROM events c
+      |WHERE c.event_type = 'click' AND NOT EXISTS (
+      |  SELECT 1 FROM events p WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |ORDER BY click_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
@@ -1414,7 +1543,11 @@ object QueriesAnalytics {
     "q5_revenue" -> (q5RevenueQ _),
     "big_order_semi" -> (bigOrderSemiQ _),
     "sliding_dau_kmv" -> (slidingDauKmvQ _),
-    "doc_chunks" -> (docChunksQ _)
+    "doc_chunks" -> (docChunksQ _),
+    "chunk_dedup" -> (chunkDedupQ _),
+    "supplier_share" -> (supplierShareQ _),
+    "interarrival_stats" -> (interarrivalStatsQ _),
+    "click_abandon" -> (clickAbandonQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1456,6 +1589,10 @@ object QueriesAnalytics {
     "q5_revenue" -> q5RevenueSql,
     "big_order_semi" -> bigOrderSemiSql,
     "sliding_dau_kmv" -> slidingDauKmvSql,
-    "doc_chunks" -> docChunksSql
+    "doc_chunks" -> docChunksSql,
+    "chunk_dedup" -> chunkDedupSql,
+    "supplier_share" -> supplierShareSql,
+    "interarrival_stats" -> interarrivalStatsSql,
+    "click_abandon" -> clickAbandonSql
   )
 }

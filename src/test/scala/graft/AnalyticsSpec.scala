@@ -486,6 +486,54 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("chunk_dedup: flagged hashes really span multiple docs") {
+    val rows = QueriesAnalytics.chunkDedupQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 1)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    // cross-check one hash by re-scanning the chunk frame
+    val h = rows.head.getAs[String]("chunk_md5")
+    val docs = QueriesAnalytics.docChunksQ(spark, sf)
+      .filter(col("chunk_md5") === h).select("doc_id").distinct().count()
+    assert(docs == rows.head.getAs[Long]("n_docs"))
+  }
+
+  test("supplier_share: shares sum to 1 per nation") {
+    val rows = QueriesAnalytics.supplierShareQ(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("nation")).foreach { case (n, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$n sums to $s")
+    }
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("interarrival_stats: gaps positive, mean within [min, max], counts right") {
+    val rows = QueriesAnalytics.interarrivalStatsQ(spark, sf).collect()
+    val typeCounts = Tables(spark, sf, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_gaps") == typeCounts(t) - 1)
+      assert(r.getAs[Long]("min_gap_us") >= 0)
+      val mean = r.getAs[Double]("mean_gap_s") * 1e6
+      assert(mean >= r.getAs[Long]("min_gap_us") && mean <= r.getAs[Long]("max_gap_us"))
+    }
+  }
+
+  test("click_abandon is the exact complement of interval-joined clicks") {
+    val abandoned = QueriesAnalytics.clickAbandonQ(spark, sf).collect()
+      .map(_.getAs[Long]("click_id")).toSet
+    val converted = graft.streaming.StreamOps
+      .intervalJoin(Tables(spark, sf, "events"))
+      .select("click_id").distinct().collect().map(_.getLong(0)).toSet
+    val allClicks = Tables(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(abandoned.intersect(converted).isEmpty)
+    assert(abandoned.size + converted.size == allClicks)
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -43,7 +43,8 @@ class EntrySpec extends SparkSpec {
       "gap_fill", "lag_features", "percentile_feature", "conversion_latency",
       "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments",
       "lang_confusion", "path_analysis", "bipartite_degrees",
-      "q5_revenue", "big_order_semi", "sliding_dau_kmv", "doc_chunks")
+      "q5_revenue", "big_order_semi", "sliding_dau_kmv", "doc_chunks",
+      "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
