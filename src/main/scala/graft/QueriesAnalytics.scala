@@ -865,8 +865,7 @@ object QueriesAnalytics {
   def returningUsersQ(spark: SparkSession, dir: String): DataFrame = {
     val a = dayUsers(spark, dir)
     val prev = a.select(
-      expr("timestampadd(DAY, 1, day)").as("day"),
-      col("user_id"), lit(1).as("__p"))
+      expr("timestampadd(DAY, 1, day)").as("day"), col("user_id"))
     val prevCounts = prev.groupBy(col("day")).agg(count(lit(1)).as("prev_active"))
     a.join(prev, Seq("day", "user_id"))
       .groupBy(col("day"))
