@@ -1503,6 +1503,126 @@ object QueriesAnalytics {
       |    AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
       |ORDER BY click_id""".stripMargin
 
+  // ---- bigram_lift: collocation mining (log-free PMI) ----
+
+  /** Top collocations by lift = N·c(ab)/(c(a)·c(b)) — monotone with PMI
+    * but computed in exact integers with one final double division (the
+    * log-free rational discipline of tfidf_terms). Bigram and unigram
+    * counts are two aggregations over the same token frame; the tiny
+    * unigram table broadcasts onto the bigram side.
+    */
+  val bigramMinCount = 20
+  val bigramTopK = 15
+
+  def bigramLiftQ(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+    val u = toks.select(explode(col("__ws")).as("word"))
+    val uc = u.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val n = u.agg(count(lit(1)).as("total"))
+    val b = toks.filter(size(col("__ws")) >= 2)
+      .select(explode(graft.operators.TextOps.shingles2Expr).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= bigramMinCount)
+    b.join(broadcast(uc.withColumnRenamed("word", "__w1").withColumnRenamed("c", "__c1")),
+        expr("split_part(bigram, ' ', 1)") === col("__w1"))
+      .join(broadcast(uc.withColumnRenamed("word", "__w2").withColumnRenamed("c", "__c2")),
+        expr("split_part(bigram, ' ', 2)") === col("__w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("cb"),
+        ((col("total") * col("cb")).cast("double") /
+          (col("__c1") * col("__c2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(bigramTopK)
+  }
+
+  val bigramLiftSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |u AS (SELECT unnest(ws) AS word FROM w),
+       |uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM u),
+       |b AS (SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+       |  SELECT unnest(list_transform(list_slice(ws, 1, len(ws) - 1), (x, i) -> x || ' ' || ws[i + 1])) AS bg
+       |  FROM w WHERE len(ws) >= 2) GROUP BY 1)
+       |SELECT bigram, cb,
+       |  CAST(n.total * cb AS DOUBLE) / CAST(a.c * z.c AS DOUBLE) AS lift
+       |FROM b JOIN uc a ON a.word = split_part(bigram, ' ', 1)
+       |       JOIN uc z ON z.word = split_part(bigram, ' ', 2), n
+       |WHERE cb >= $bigramMinCount ORDER BY lift DESC, bigram LIMIT $bigramTopK""".stripMargin
+
+  // ---- rollup_revenue: ROLLUP grouping-sets variant ----
+
+  /** ROLLUP over (region, nation) — the hierarchical margin shape
+    * (region subtotals + grand total, no nation-only margin), completing
+    * the grouping-sets surface next to cube_counts.
+    */
+  def rollupRevenueQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).cast("double") / 100.0)
+          .as("revenue"),
+        grouping(col("r_name")).as("__gr"),
+        grouping(col("n_name")).as("__gn"))
+      .select(
+        when(col("__gr") === 1, "ALL").otherwise(col("r_name")).as("region"),
+        when(col("__gn") === 1, "ALL").otherwise(col("n_name")).as("nation"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("region"), col("nation"))
+
+  val rollupRevenueSql: String =
+    """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+      |  CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin
+
+  // ---- audience_jaccard: exact pairwise audience overlap ----
+
+  /** Exact Jaccard between event-type audiences (the exact counterpart
+    * of kmv_setops' sketch estimates, for all type pairs at once).
+    */
+  def audienceJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    val tu = events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val p = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val s = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    p.join(broadcast(s.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(s.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val audienceJaccardSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      |      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1)
+      |SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(p.n_both AS DOUBLE) / CAST(sa.n + sb.n - p.n_both AS DOUBLE) AS jaccard
+      |FROM p JOIN s sa ON sa.event_type = p.type_a JOIN s sb ON sb.event_type = p.type_b
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1546,7 +1666,10 @@ object QueriesAnalytics {
     "chunk_dedup" -> (chunkDedupQ _),
     "supplier_share" -> (supplierShareQ _),
     "interarrival_stats" -> (interarrivalStatsQ _),
-    "click_abandon" -> (clickAbandonQ _)
+    "click_abandon" -> (clickAbandonQ _),
+    "bigram_lift" -> (bigramLiftQ _),
+    "rollup_revenue" -> (rollupRevenueQ _),
+    "audience_jaccard" -> (audienceJaccardQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1592,6 +1715,9 @@ object QueriesAnalytics {
     "chunk_dedup" -> chunkDedupSql,
     "supplier_share" -> supplierShareSql,
     "interarrival_stats" -> interarrivalStatsSql,
-    "click_abandon" -> clickAbandonSql
+    "click_abandon" -> clickAbandonSql,
+    "bigram_lift" -> bigramLiftSql,
+    "rollup_revenue" -> rollupRevenueSql,
+    "audience_jaccard" -> audienceJaccardSql
   )
 }

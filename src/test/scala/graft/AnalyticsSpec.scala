@@ -534,6 +534,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(abandoned.size + converted.size == allClicks)
   }
 
+  test("bigram_lift: lift recomputes from raw counts; results sorted by lift") {
+    val rows = QueriesAnalytics.bigramLiftQ(spark, sf).collect()
+    assert(rows.length == QueriesAnalytics.bigramTopK)
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(graft.operators.TextOps.tokensExpr).as("w"))
+    val total = toks.count()
+    val uc = toks.groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val Array(w1, w2) = r.getAs[String]("bigram").split(' ')
+      val expect = total.toDouble * r.getAs[Long]("cb") / (uc(w1).toDouble * uc(w2))
+      assert(r.getAs[Double]("lift") == expect, r.getAs[String]("bigram"))
+    }
+    val ls = rows.map(_.getAs[Double]("lift"))
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("rollup_revenue: hierarchical margins only (no nation-only cell), totals agree") {
+    val rows = QueriesAnalytics.rollupRevenueQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_orders")).toMap
+    val total = Tables(spark, sf, "orders").count()
+    assert(rows(("ALL", "ALL")) == total)
+    // ROLLUP must not emit (ALL, <nation>) cells — that's CUBE's margin
+    assert(!rows.keys.exists { case (r, n) => r == "ALL" && n != "ALL" })
+    val regions = rows.keys.filter { case (r, n) => r != "ALL" && n == "ALL" }
+    assert(regions.map(rows).sum == total)
+  }
+
+  test("audience_jaccard: jaccard consistent with inclusion-exclusion and kmv_setops") {
+    val rows = QueriesAnalytics.audienceJaccardQ(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    rows.foreach { r =>
+      val (both, na, nb) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(both <= math.min(na, nb))
+      assert(r.getAs[Double]("jaccard") == both.toDouble / (na + nb - both))
+    }
+    // click/purchase pair must agree with kmv_setops' exact columns
+    val kmv = QueriesAnalytics.kmvSetopsQ(spark, sf).collect().head
+    val cp = rows.find(r => r.getString(0) == "click" && r.getString(1) == "purchase").get
+    assert(cp.getAs[Long]("n_both") == kmv.getAs[Long]("exact_intersect"))
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

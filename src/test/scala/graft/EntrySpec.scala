@@ -44,7 +44,8 @@ class EntrySpec extends SparkSpec {
       "embed_norms", "weekday_profile", "cooccurrence", "rfm_segments",
       "lang_confusion", "path_analysis", "bipartite_degrees",
       "q5_revenue", "big_order_semi", "sliding_dau_kmv", "doc_chunks",
-      "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon")
+      "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon",
+      "bigram_lift", "rollup_revenue", "audience_jaccard")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
