@@ -1623,6 +1623,75 @@ object QueriesAnalytics {
       |FROM p JOIN s sa ON sa.event_type = p.type_a JOIN s sb ON sb.event_type = p.type_b
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- revenue_mom: month-over-month growth ----
+
+  /** Monthly revenue with MoM relative change — integer cents through
+    * the aggregation, lag-ratio at the end (NULL for the first month).
+    */
+  def revenueMomQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    Tables(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_cents"))
+      .select(col("month"), col("n_orders"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        when(lag(col("rev_cents"), 1).over(w).isNull, lit(null).cast("double"))
+          .otherwise((col("rev_cents").cast("double") -
+            lag(col("rev_cents"), 1).over(w).cast("double")) /
+            lag(col("rev_cents"), 1).over(w).cast("double")).as("mom_change"))
+      .orderBy(col("month"))
+  }
+
+  val revenueMomSql: String =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+      |  CASE WHEN lag(rev_cents) OVER w IS NULL THEN NULL
+      |       ELSE (CAST(rev_cents AS DOUBLE) - CAST(lag(rev_cents) OVER w AS DOUBLE))
+      |            / CAST(lag(rev_cents) OVER w AS DOUBLE) END AS mom_change
+      |FROM m WINDOW w AS (ORDER BY month) ORDER BY month""".stripMargin
+
+  // ---- embed_dist_hist: pairwise-distance calibration histogram ----
+
+  /** Distance-distribution statistic over a deterministic probe slice
+    * (vec_id < 64, all pairs) — how one picks the τ for embed_dup and
+    * ANN candidate verification. Dot products run through the native
+    * codegen'd quantized_dot expression; buckets are floor(cos·10).
+    */
+  val distHistProbe = 64
+
+  def embedDistHistQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < distHistProbe)
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+          .as("qe"))
+    val a = q.select(col("vec_id").as("ida"), col("qe").as("qa"))
+    val b = q.select(col("vec_id").as("idb"), col("qe").as("qb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .select(expr("quantized_dot(qa, qb)").as("dot"))
+      .groupBy(floor((col("dot").cast("double") / lit(1e12)) * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("dot")).as("min_dot"), max(col("dot")).as("max_dot"))
+      .orderBy(col("bucket"))
+  }
+
+  val embedDistHistSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings WHERE vec_id < $distHistProbe),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  list_sum(list_transform(list_zip(a.qe, b.qe), z -> z[1] * z[2])) AS dot
+       |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+       |SELECT CAST(floor((CAST(dot AS DOUBLE) / 1e12) * 10) AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(MIN(dot) AS BIGINT) AS min_dot, CAST(MAX(dot) AS BIGINT) AS max_dot
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1669,7 +1738,9 @@ object QueriesAnalytics {
     "click_abandon" -> (clickAbandonQ _),
     "bigram_lift" -> (bigramLiftQ _),
     "rollup_revenue" -> (rollupRevenueQ _),
-    "audience_jaccard" -> (audienceJaccardQ _)
+    "audience_jaccard" -> (audienceJaccardQ _),
+    "revenue_mom" -> (revenueMomQ _),
+    "embed_dist_hist" -> (embedDistHistQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1718,6 +1789,8 @@ object QueriesAnalytics {
     "click_abandon" -> clickAbandonSql,
     "bigram_lift" -> bigramLiftSql,
     "rollup_revenue" -> rollupRevenueSql,
-    "audience_jaccard" -> audienceJaccardSql
+    "audience_jaccard" -> audienceJaccardSql,
+    "revenue_mom" -> revenueMomSql,
+    "embed_dist_hist" -> embedDistHistSql
   )
 }

@@ -575,6 +575,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(cp.getAs[Long]("n_both") == kmv.getAs[Long]("exact_intersect"))
   }
 
+  test("revenue_mom: first month NULL, changes recompute from revenues") {
+    val rows = QueriesAnalytics.revenueMomQ(spark, sf).collect()
+      .sortBy(_.getTimestamp(0).getTime)
+    assert(rows.head.isNullAt(3))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) if !cur.isNullAt(3) =>
+        val expect = (cur.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+          prev.getAs[Double]("revenue")
+        assert(math.abs(cur.getAs[Double]("mom_change") - expect) < 1e-9)
+      case _ => ()
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == Tables(spark, sf, "orders").count())
+  }
+
+  test("embed_dist_hist covers all probe pairs; buckets bound their dots") {
+    val rows = QueriesAnalytics.embedDistHistQ(spark, sf).collect()
+    val n = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < QueriesAnalytics.distHistProbe).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n * (n - 1) / 2)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(math.floor(r.getAs[Long]("min_dot").toDouble / 1e12 * 10).toLong == b ||
+        r.getAs[Long]("min_dot") >= b * 1e11)
+      assert(r.getAs[Long]("min_dot") <= r.getAs[Long]("max_dot"))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

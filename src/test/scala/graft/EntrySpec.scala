@@ -45,7 +45,8 @@ class EntrySpec extends SparkSpec {
       "lang_confusion", "path_analysis", "bipartite_degrees",
       "q5_revenue", "big_order_semi", "sliding_dau_kmv", "doc_chunks",
       "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon",
-      "bigram_lift", "rollup_revenue", "audience_jaccard")
+      "bigram_lift", "rollup_revenue", "audience_jaccard",
+      "revenue_mom", "embed_dist_hist")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
