@@ -1692,6 +1692,103 @@ object QueriesAnalytics {
        |  CAST(MIN(dot) AS BIGINT) AS min_dot, CAST(MAX(dot) AS BIGINT) AS max_dot
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- order_fill_latency: fulfillment gap per priority ----
+
+  /** Ship-vs-order latency per priority class — the big fact join again,
+    * but profiled on an integral day gap (negative gaps surface data
+    * problems; the synthetic generator draws dates independently, which
+    * this op makes visible).
+    */
+  def orderFillLatencyQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        // these parquet dates read as TIMESTAMP_NTZ; the session runs in
+        // UTC so the cast to TIMESTAMP preserves the instant
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+          .as("gap_days"))
+      .groupBy(col("priority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        min(col("gap_days")).as("min_days"), max(col("gap_days")).as("max_days"),
+        sum(col("gap_days")).as("sum_days"))
+      .withColumn("mean_days",
+        col("sum_days").cast("double") / col("n_items").cast("double"))
+      .orderBy(col("priority"))
+
+  val orderFillLatencySql: String =
+    """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(MIN(gap_days) AS BIGINT) AS min_days, CAST(MAX(gap_days) AS BIGINT) AS max_days,
+      |  CAST(SUM(gap_days) AS BIGINT) AS sum_days,
+      |  CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_days
+      |FROM (SELECT o_orderpriority,
+      |        (epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 AS gap_days
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- discount_impact: effective discount rate ----
+
+  /** Gross vs discounted revenue per returnflag in exact integer cents
+    * (net carries cents × percent = 1e-4 units) — the effective-discount
+    * ratio is one double division of exact integers.
+    */
+  def discountImpactQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("gross_c"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)"))
+          .as("net_c"))
+      .select(col("returnflag"), col("n_items"),
+        (col("gross_c").cast("double") / 100.0).as("gross"),
+        (col("net_c").cast("double") / 10000.0).as("net"),
+        (lit(1.0) - (col("net_c").cast("double") / 100.0) / col("gross_c").cast("double"))
+          .as("effective_discount"))
+      .orderBy(col("returnflag"))
+
+  val discountImpactSql: String =
+    """SELECT returnflag, n_items,
+      |  CAST(gross_c AS DOUBLE) / 100.0 AS gross,
+      |  CAST(net_c AS DOUBLE) / 10000.0 AS net,
+      |  1.0 - (CAST(net_c AS DOUBLE) / 100.0) / CAST(gross_c AS DOUBLE) AS effective_discount
+      |FROM (SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |        CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS gross_c,
+      |        CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |                 CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_c
+      |      FROM lineitem GROUP BY 1) t
+      |ORDER BY 1""".stripMargin
+
+  // ---- user_type_matrix: per-user wide feature vector ----
+
+  /** One row per user with conditional counts per event type — the wide
+    * ML feature matrix built in ONE aggregation (conditional counts,
+    * not five scans or a pivot shuffle per column).
+    */
+  def userTypeMatrixQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("user_id"))
+
+  val userTypeMatrixSql: String =
+    """SELECT user_id,
+      |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+      |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+      |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+      |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1740,7 +1837,10 @@ object QueriesAnalytics {
     "rollup_revenue" -> (rollupRevenueQ _),
     "audience_jaccard" -> (audienceJaccardQ _),
     "revenue_mom" -> (revenueMomQ _),
-    "embed_dist_hist" -> (embedDistHistQ _)
+    "embed_dist_hist" -> (embedDistHistQ _),
+    "order_fill_latency" -> (orderFillLatencyQ _),
+    "discount_impact" -> (discountImpactQ _),
+    "user_type_matrix" -> (userTypeMatrixQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1791,6 +1891,9 @@ object QueriesAnalytics {
     "rollup_revenue" -> rollupRevenueSql,
     "audience_jaccard" -> audienceJaccardSql,
     "revenue_mom" -> revenueMomSql,
-    "embed_dist_hist" -> embedDistHistSql
+    "embed_dist_hist" -> embedDistHistSql,
+    "order_fill_latency" -> orderFillLatencySql,
+    "discount_impact" -> discountImpactSql,
+    "user_type_matrix" -> userTypeMatrixSql
   )
 }

@@ -602,6 +602,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("order_fill_latency: counts total lineitem, mean within [min, max]") {
+    val rows = QueriesAnalytics.orderFillLatencyQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == Tables(spark, sf, "lineitem").count())
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_days")
+      assert(m >= r.getAs[Long]("min_days") && m <= r.getAs[Long]("max_days"))
+    }
+  }
+
+  test("discount_impact: net <= gross, effective discount within the 0..10% band") {
+    val rows = QueriesAnalytics.discountImpactQ(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("returnflag")).sorted.sameElements(Seq("A", "N", "R")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("net") <= r.getAs[Double]("gross"))
+      val d = r.getAs[Double]("effective_discount")
+      assert(d >= 0.0 && d <= 0.11, s"${r.getAs[String]("returnflag")}: $d")
+    }
+  }
+
+  test("user_type_matrix: one row per user, type counts sum to total") {
+    val rows = QueriesAnalytics.userTypeMatrixQ(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf, "events").select("user_id").distinct().count())
+    rows.foreach { r =>
+      val parts = Seq("n_view", "n_click", "n_purchase", "n_signup", "n_error")
+        .map(r.getAs[Long]).sum
+      assert(parts == r.getAs[Long]("n_total"))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -46,7 +46,8 @@ class EntrySpec extends SparkSpec {
       "q5_revenue", "big_order_semi", "sliding_dau_kmv", "doc_chunks",
       "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon",
       "bigram_lift", "rollup_revenue", "audience_jaccard",
-      "revenue_mom", "embed_dist_hist")
+      "revenue_mom", "embed_dist_hist", "order_fill_latency",
+      "discount_impact", "user_type_matrix")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
