@@ -1789,6 +1789,68 @@ object QueriesAnalytics {
       |  CAST(COUNT(*) AS BIGINT) AS n_total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- token_positions: positional posting lists ----
+
+  /** First position + occurrence count of each query term per doc —
+    * the positional inverted-index entry behind snippet generation and
+    * phrase search. posexplode keeps the token order; positions are
+    * 1-based to match SQL subscripts.
+    */
+  def tokenPositionsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+      .select(col("doc_id"), col("col").as("word"), (col("pos") + 1).cast("long").as("pos"))
+      .filter(col("word").isin(searchTerms: _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("occurrences"))
+      .orderBy(col("doc_id"), col("word"))
+
+  val tokenPositionsSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS ws
+       |  FROM documents),
+       |p AS (SELECT doc_id, word, CAST(pos AS BIGINT) AS pos FROM (
+       |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w))
+       |SELECT doc_id, word, CAST(MIN(pos) AS BIGINT) AS first_pos, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM p WHERE word IN (${searchTerms.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- shared_vocab: source-pair vocabulary overlap ----
+
+  /** Count of shared top-20 terms for every source pair — a cheap
+    * source-similarity matrix from per-source term profiles (ranked
+    * per-source, then a self-join on the term — the pair space is
+    * |sources|²·k, never the corpus).
+    */
+  val sharedVocabK = 20
+
+  def sharedVocabQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("word"))
+    val t = Tables(spark, dir, "documents")
+      .select(col("source"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= sharedVocabK)
+      .select(col("source"), col("word"))
+    t.select(col("source").as("source_a"), col("word"))
+      .join(t.select(col("source").as("source_b"), col("word")), Seq("word"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_terms"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sharedVocabSql: String =
+    s"""WITH w AS (SELECT source,
+       |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS word
+       |  FROM documents),
+       |t AS (SELECT source, word FROM (
+       |  SELECT source, word, ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, word) AS rn
+       |  FROM w GROUP BY source, word) WHERE rn <= $sharedVocabK)
+       |SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS shared_terms
+       |FROM t a JOIN t b ON a.word = b.word AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1840,7 +1902,9 @@ object QueriesAnalytics {
     "embed_dist_hist" -> (embedDistHistQ _),
     "order_fill_latency" -> (orderFillLatencyQ _),
     "discount_impact" -> (discountImpactQ _),
-    "user_type_matrix" -> (userTypeMatrixQ _)
+    "user_type_matrix" -> (userTypeMatrixQ _),
+    "token_positions" -> (tokenPositionsQ _),
+    "shared_vocab" -> (sharedVocabQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1894,6 +1958,8 @@ object QueriesAnalytics {
     "embed_dist_hist" -> embedDistHistSql,
     "order_fill_latency" -> orderFillLatencySql,
     "discount_impact" -> discountImpactSql,
-    "user_type_matrix" -> userTypeMatrixSql
+    "user_type_matrix" -> userTypeMatrixSql,
+    "token_positions" -> tokenPositionsSql,
+    "shared_vocab" -> sharedVocabSql
   )
 }

@@ -631,6 +631,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("token_positions agrees with term_search membership and positions are valid") {
+    val rows = QueriesAnalytics.tokenPositionsQ(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_pos") >= 1)
+      assert(r.getAs[Long]("occurrences") >= 1)
+    }
+    // docs holding ALL terms here must equal term_search's result set
+    val all = rows.groupBy(_.getLong(0))
+      .filter(_._2.map(_.getAs[String]("word")).toSet ==
+        QueriesAnalytics.searchTerms.toSet)
+      .keySet
+    val ts = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(all == ts)
+  }
+
+  test("shared_vocab: every pair bounded by k, all source pairs present") {
+    val rows = QueriesAnalytics.sharedVocabQ(spark, sf).collect()
+    val sources = Tables(spark, sf, "documents").select("source").distinct().count()
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("shared_terms")
+      assert(s >= 0 && s <= QueriesAnalytics.sharedVocabK)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")
