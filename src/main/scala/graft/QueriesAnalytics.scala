@@ -1851,6 +1851,27 @@ object QueriesAnalytics {
        |FROM t a JOIN t b ON a.word = b.word AND a.source < b.source
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- error_rate: hourly SLO metric ----
+
+  /** Per-hour error rate — the SRE burn-rate input: conditional count /
+    * total in one aggregation, exact-integer ratio.
+    */
+  def errorRateQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("error_rate",
+        col("n_errors").cast("double") / col("n_events").cast("double"))
+      .orderBy(col("hour"))
+
+  val errorRateSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+      |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS error_rate
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
@@ -1904,7 +1925,8 @@ object QueriesAnalytics {
     "discount_impact" -> (discountImpactQ _),
     "user_type_matrix" -> (userTypeMatrixQ _),
     "token_positions" -> (tokenPositionsQ _),
-    "shared_vocab" -> (sharedVocabQ _)
+    "shared_vocab" -> (sharedVocabQ _),
+    "error_rate" -> (errorRateQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1960,6 +1982,7 @@ object QueriesAnalytics {
     "discount_impact" -> discountImpactSql,
     "user_type_matrix" -> userTypeMatrixSql,
     "token_positions" -> tokenPositionsSql,
-    "shared_vocab" -> sharedVocabSql
+    "shared_vocab" -> sharedVocabSql,
+    "error_rate" -> errorRateSql
   )
 }

@@ -657,6 +657,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("error_rate: rates in [0,1], totals reconcile with event counts") {
+    val rows = QueriesAnalytics.errorRateQ(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables(spark, sf, "events").count())
+    val totalErr = Tables(spark, sf, "events")
+      .filter(col("event_type") === "error").count()
+    assert(rows.map(_.getAs[Long]("n_errors")).sum == totalErr)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("error_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(rate == r.getAs[Long]("n_errors").toDouble / r.getAs[Long]("n_events"))
+    }
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -47,7 +47,8 @@ class EntrySpec extends SparkSpec {
       "chunk_dedup", "supplier_share", "interarrival_stats", "click_abandon",
       "bigram_lift", "rollup_revenue", "audience_jaccard",
       "revenue_mom", "embed_dist_hist", "order_fill_latency",
-      "discount_impact", "user_type_matrix", "token_positions", "shared_vocab")
+      "discount_impact", "user_type_matrix", "token_positions", "shared_vocab",
+      "error_rate")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
