@@ -259,7 +259,7 @@ object QueriesAnalytics {
       .select(
         conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 13), 16, 10)
           .cast("long").as("h"),
-        col("in_a"), col("in_b"))
+        col("user_id"), col("in_a"), col("in_b"))
     def sketch(flag: Option[String], names: (String, String)): DataFrame = {
       val base = flag.map(f => m.filter(col(f) === 1)).getOrElse(m)
       base.orderBy(col("h")).limit(kmvSetK)
@@ -267,7 +267,11 @@ object QueriesAnalytics {
     }
     val ska = sketch(Some("in_a"), ("hk_a", "m_a"))
     val skb = sketch(Some("in_b"), ("hk_b", "m_b"))
-    val sku = m.orderBy(col("h")).limit(kmvSetK)
+    // Tie-break on user_id: rows tied on h at the k boundary carry the
+    // (in_a, in_b) payload feeding `both`/est_intersect, so the pick must
+    // be deterministic across partitionings (the per-population sketches
+    // only aggregate h itself, where a tie can't change the result).
+    val sku = m.orderBy(col("h"), col("user_id")).limit(kmvSetK)
       .agg(
         max(col("h")).as("hk_u"), count(lit(1)).as("m_u"),
         sum(col("in_a") * col("in_b")).cast("long").as("both"))
@@ -299,7 +303,7 @@ object QueriesAnalytics {
        |),
        |ska AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM (SELECT h FROM m WHERE in_a = 1 ORDER BY h LIMIT $k) z),
        |skb AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m FROM (SELECT h FROM m WHERE in_b = 1 ORDER BY h LIMIT $k) z),
-       |sku AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(in_a * in_b) AS BIGINT) AS both FROM (SELECT h, in_a, in_b FROM m ORDER BY h LIMIT $k) z),
+       |sku AS (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(in_a * in_b) AS BIGINT) AS both FROM (SELECT h, in_a, in_b FROM m ORDER BY h, user_id LIMIT $k) z),
        |ex AS (SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a, CAST(SUM(in_b) AS BIGINT) AS exact_b,
        |  CAST(COUNT(*) AS BIGINT) AS exact_union, CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersect FROM m)
        |SELECT ${est("ska")} AS est_a, ${est("skb")} AS est_b, ${est("sku")} AS est_union,
@@ -1378,7 +1382,7 @@ object QueriesAnalytics {
        |SELECT doc_id, CAST(o AS BIGINT) AS chunk_idx,
        |  CAST(len(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize)) AS BIGINT) AS n_tokens,
        |  md5(array_to_string(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize), ' ')) AS chunk_md5
-       |FROM c, range(0, 100000) t(o) WHERE o < n_chunks
+       |FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS o FROM c)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ---- chunk_dedup: cross-document boilerplate chunks ----
@@ -1407,7 +1411,7 @@ object QueriesAnalytics {
        |  FROM w),
        |ch AS (SELECT doc_id,
        |  md5(array_to_string(list_slice(ws, o*$chunkStride + 1, o*$chunkStride + $chunkSize), ' ')) AS chunk_md5
-       |  FROM c, range(0, 100000) t(o) WHERE o < n_chunks)
+       |  FROM (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS o FROM c))
        |SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc

@@ -169,11 +169,27 @@ object QueriesStats {
     ("customer", "c_custkey"),
     ("events", "user_id"))
 
+  /** Error bound for the hll_ndv verdict: rsd 0.01 keeps observed error
+    * well under 10% at every test scale (≤ 6.7% was the max even at the
+    * DEFAULT rsd 0.05), and the sketch is deterministic per dataset.
+    */
+  val hllBound = 0.10
+
   def hllNdvQ(spark: SparkSession, dir: String): DataFrame =
     hllCols
-      .map { case (t, c) => Stats.hllNdv(Tables(spark, dir, t), c, s"$t.$c") }
+      .map { case (t, c) => Stats.hllNdv(Tables(spark, dir, t), c, s"$t.$c", hllBound) }
       .reduce(_.unionAll(_))
       .orderBy(col("col_name"))
+
+  /** The oracle can't reproduce the HLL registers, but it CAN assert the
+    * bounded-error contract: exact ndv plus within_bound = TRUE.
+    */
+  val hllNdvSql: String =
+    hllCols
+      .map { case (t, c) =>
+        s"SELECT '$t.$c' AS col_name, CAST(COUNT(DISTINCT $c) AS BIGINT) AS exact_ndv, TRUE AS within_bound FROM $t"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
   // ---- row 18c: KMV (k-minimum-values) ndv sketch, portable ----
 
@@ -669,10 +685,8 @@ object QueriesStats {
     "kmv_ndv" -> (kmvNdvQ _)
   )
 
-  /** hll_ndv is rows-only (impl-specific sketch); kmv_ndv is its
-    * SQL-checked portable companion.
-    */
   val oracleSql: Map[String, String] = Map(
+    "hll_ndv" -> hllNdvSql,
     "col_skew_profile" -> colSkewProfileSql,
     "hist2d" -> hist2dSql,
     "corr_matrix" -> corrMatrixSql,

@@ -99,7 +99,7 @@ object QueriesText {
     */
   private[graft] def lshPairs(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "lshPairs") {
-      val cands = TextOps.lshCandidates(TextOps.lshBands(mhWide(spark, dir)))
+      val cands = TextOps.lshCandidatesCollapsed(mhWide(spark, dir))
       // Verify candidates against whole shingle SETS (array_intersect):
       // the sparse candidate list joins the per-doc set twice — no second
       // exploded-shingle self-join, three document scans total.
@@ -964,21 +964,47 @@ object QueriesText {
   // matrix, making "bounded" levenshtein no cheaper than full.
   val fuzzyMaxDist = 8
 
+  /** Length-bucket width for fuzzy-match blocking. Any pair within edit
+    * distance τ has prefix lengths within τ of each other, so with
+    * W > τ the pair's buckets differ by at most 1 — joining each left
+    * row into its own bucket and both neighbors loses no qualifying
+    * pair. W = 2τ keeps replication at 3× while halving block sizes on
+    * length-diverse corpora.
+    */
+  val fuzzyLenBucket = 2 * fuzzyMaxDist
+
+  /** Candidate pairs for fuzzy matching: blocked by (source,
+    * length-bucket). The left side replicates into its bucket ± 1 so a
+    * qualifying pair straddling a bucket boundary is still generated
+    * (exactly once — the right side sits in a single bucket). Block
+    * sizes are bounded by source × W-length-band population instead of
+    * the whole source, so candidate volume is O(Σ block²) with blocks
+    * that no longer grow with corpus-wide length diversity.
+    */
+  def fuzzyCandidates(p: DataFrame): DataFrame = {
+    val bkt = floor(length(col("pre")) / fuzzyLenBucket)
+    val a = p
+      .select(col("source"), col("doc_id").as("doc_a"), col("pre").as("pa"),
+        explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
+    val b = p.select(col("source"), col("doc_id").as("doc_b"), col("pre").as("pb"),
+      bkt.as("bkt"))
+    a.join(b, Seq("source", "bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
   /** Character-level fuzzy matching — the entity-resolution counterpart
     * to the token-set similarity ops: doc pairs inside a source block
     * whose lead prefixes sit within a bounded edit distance
     * (`levenshtein` has identical unit-cost semantics in Spark and
-    * DuckDB). Blocking by source keeps the candidate set per-block; at
-    * corpus scale the block key would also fold in a length bucket or
-    * sorted-neighborhood window.
+    * DuckDB). Blocking folds a prefix-length bucket into the source key
+    * (dist ≤ τ bounds the length gap, see [[fuzzyCandidates]]), so the
+    * result set is provably identical to the unblocked quadratic form
+    * the oracle runs.
     */
   def fuzzyMatchQ(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), substring(col("text"), 1, fuzzyPrefixLen).as("pre"))
-    val a = p.select(col("source"), col("doc_id").as("doc_a"), col("pre").as("pa"))
-    val b = p.select(col("source"), col("doc_id").as("doc_b"), col("pre").as("pb"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
+    fuzzyCandidates(p)
       // bounded (banded-DP) levenshtein: O(τ·n) per pair instead of
       // O(n²), returns -1 past the threshold — exact distance otherwise,
       // so results are identical to the oracle's unbounded form

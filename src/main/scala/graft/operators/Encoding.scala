@@ -26,22 +26,37 @@ object Encoding {
     *
     * Scale path: a global-window row_number would sort the whole
     * dictionary in ONE partition. Instead the distinct values are
-    * range-partitioned + sorted (a distributed sort), and the dense rank
-    * comes from zipWithIndex's per-partition offsets — every partition
-    * ranks independently after one tiny count job.
+    * range-partitioned (a distributed sort whose partition ids are in
+    * value order), per-partition counts become cumulative offsets (a
+    * window over ≤ shuffle-partitions count rows — trivially small),
+    * and each partition ranks independently with a per-partition
+    * row_number plus its offset. All DataFrame/Catalyst — no RDD
+    * drop-out — so AQE and codegen still apply. The partition-id stamp
+    * is persisted before fan-out to the counts pass and the rank pass,
+    * pinning one physical partitioning for both.
     */
   def dictionary(df: DataFrame, c: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = distinctVals(df, c).orderBy(col(c))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.IntegerType, false))
-    val withIdx = sorted.rdd
-      .zipWithIndex()
-      .map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 2).toInt)
-      }
-    spark.createDataFrame(withIdx, schema)
+    val stamped = df
+      .select(col(c)).na.drop().distinct()
+      .repartitionByRange(col(c))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = stamped
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .withColumn(
+        "__offset",
+        coalesce(
+          sum(col("__n")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    stamped
+      .join(broadcast(offsets), "__pid")
+      .withColumn(
+        "code",
+        (row_number().over(Window.partitionBy(col("__pid")).orderBy(col(c))) +
+          col("__offset") + lit(1)).cast("int"))
+      .drop("__pid", "__offset")
   }
 
   /** Encode `c` to its dictionary code as column `outName`; NULL → 1.

@@ -101,6 +101,15 @@ object Fanouts {
     * distinct + tiny anti-joins instead of shuffling the full
     * multi-table outer join. Falls back to None when an edge's far side
     * is not the PK side (the add-only algebra needs uniqueness).
+    *
+    * PRECONDITION: every edge's pk side must be UNIQUE on pkCol — the
+    * add-only algebra is wrong otherwise (a duplicated far-side key
+    * multiplies center rows instead of padding). SchemaGraph edges
+    * declare pkCol as the table's primary key, which is what makes the
+    * orientation check (`fkTable == center`) a sufficient gate; an edge
+    * whose far side were a non-unique column MUST NOT be modeled with
+    * pkCol on that side. Equivalence with [[subschemaSize]] is asserted
+    * per-subschema in LayoutSpec.
     */
   def subschemaSizeFast(sub: Subschema, load: String => DataFrame): Option[DataFrame] = {
     if (!sub.edges.forall(_.fkTable == sub.center)) return None

@@ -148,6 +148,55 @@ object TextOps {
       .distinct()
   }
 
+  /** md5 key over the full 16-perm signature — identical docs (and any
+    * minhash-identical docs) collapse to one key.
+    */
+  val sigKeyExpr: Column =
+    md5(concat_ws("|", (0 until numPerms).map(i => col(s"m$i")): _*))
+
+  /** [[lshCandidates]] with an exact-signature collapse in front of the
+    * band self-join. A web-scale corpus always contains large groups of
+    * identical (or minhash-identical) documents; naively those k docs
+    * land k deep in every one of their 8 band buckets and the self-join
+    * does 8 × k² work for pairs that are known-identical by
+    * construction. Instead:
+    *   1. group docs by [[sigKeyExpr]]; pick min(doc_id) as the group
+    *      representative;
+    *   2. run the band self-join over REPRESENTATIVES only — bucket
+    *      depth is bounded by the number of distinct signatures in the
+    *      bucket, not the number of documents;
+    *   3. expand representative pairs back through group membership, and
+    *      emit each group's internal pairs directly from one
+    *      co-partitioned equi-join on sig_key.
+    * Docs in one group share every band; docs in different groups share
+    * a band iff their representatives do — so the result is exactly the
+    * candidate set of the naive form (verified by EdgeCaseSpec), while
+    * the quadratic term only ever materializes candidate OUTPUT rows,
+    * never × 8 band replicas.
+    */
+  def lshCandidatesCollapsed(sigs: DataFrame): DataFrame = {
+    val keyed = sigs.withColumn("sig_key", sigKeyExpr)
+    val members = keyed.select(col("sig_key"), col("doc_id"))
+    val reps = members.groupBy(col("sig_key")).agg(min(col("doc_id")).as("doc_id"))
+    val repBands = lshBands(keyed.join(reps, Seq("sig_key", "doc_id"), "leftsemi"))
+    val repKey = reps.select(col("doc_id"), col("sig_key"))
+    val crossKeys = lshCandidates(repBands)
+      .join(repKey.select(col("doc_id").as("doc_a"), col("sig_key").as("ka")), "doc_a")
+      .join(repKey.select(col("doc_id").as("doc_b"), col("sig_key").as("kb")), "doc_b")
+      .select(col("ka"), col("kb"))
+    val crossPairs = crossKeys
+      .join(members.select(col("sig_key").as("ka"), col("doc_id").as("da")), "ka")
+      .join(members.select(col("sig_key").as("kb"), col("doc_id").as("db")), "kb")
+      .select(least(col("da"), col("db")).as("doc_a"), greatest(col("da"), col("db")).as("doc_b"))
+    val intraPairs = members
+      .join(members.select(col("sig_key"), col("doc_id").as("doc_b")), "sig_key")
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    // Disjoint by construction (same-key vs different-key pairs) and each
+    // unordered pair arises exactly once — no final distinct needed.
+    crossPairs.unionAll(intraPairs)
+  }
+
   /** Exact shingle-set Jaccard for the given (doc_a, doc_b) pairs:
     * inter via shingle-equality join restricted to candidates, sizes via
     * per-doc distinct counts. Only candidate pairs are ever materialized.

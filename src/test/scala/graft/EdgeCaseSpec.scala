@@ -79,4 +79,62 @@ class EdgeCaseSpec extends SparkSpec {
       .select("code").as[Int].collect().toSeq
     assert(got == Seq(1, 1))
   }
+
+  test("lshCandidatesCollapsed equals the naive band self-join on mixed data") {
+    val d = (1L to 30L).map { i =>
+      // 3 exact-dup families of 5 plus 15 distinct docs
+      val text =
+        if (i <= 15L) s"shared boilerplate family ${i % 3} repeated words here"
+        else s"unique document number $i with its own words $i $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val sigs = TextOps.minhashWide(TextOps.docShingles(d, 3))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val naive = pairs(TextOps.lshCandidates(TextOps.lshBands(sigs)))
+    val collapsed = pairs(TextOps.lshCandidatesCollapsed(sigs))
+    assert(collapsed == naive)
+  }
+
+  test("lshCandidatesCollapsed bounds the band join on an all-identical corpus") {
+    val k = 50
+    val d = (1L to k.toLong).map((_, "the exact same document body for every single row"))
+      .toDF("doc_id", "text")
+    val sigs = TextOps.minhashWide(TextOps.docShingles(d, 3))
+    // one signature group → the band self-join sees ONE representative
+    // (numBands rows), not k docs × numBands buckets
+    val nGroups = sigs.withColumn("sig_key", TextOps.sigKeyExpr)
+      .select("sig_key").distinct().count()
+    assert(nGroups == 1L)
+    val reps = sigs.withColumn("sig_key", TextOps.sigKeyExpr)
+      .groupBy(col("sig_key")).agg(min(col("doc_id")).as("doc_id"))
+    assert(TextOps.lshBands(sigs.join(reps.select("doc_id"), Seq("doc_id"), "leftsemi"))
+      .count() == TextOps.numBands.toLong)
+    // output is still the full pair set (they ARE all duplicates)
+    assert(TextOps.lshCandidatesCollapsed(sigs).count() == (k * (k - 1) / 2).toLong)
+  }
+
+  test("fuzzy candidate blocking is length-bounded and loses no qualifying pair") {
+    // prefix lengths spread 2..40 so length buckets actually subdivide
+    val p = (1L to 40L).map { i =>
+      (i, "s" + (i % 2), "ab" * (1 + (i % 20)).toInt)
+    }.toDF("doc_id", "source", "pre")
+    val cands = QueriesText.fuzzyCandidates(p)
+      .select($"doc_a", $"doc_b", length($"pa").as("la"), length($"pb").as("lb"))
+    // every candidate's length gap is inside the 3-bucket window
+    val maxGap = cands.agg(max(abs($"la" - $"lb"))).as[Int].collect().head
+    assert(maxGap < 2 * QueriesText.fuzzyLenBucket, s"gap $maxGap")
+    // blocking candidates ⊂ naive pairs, and no dist ≤ τ pair is lost
+    val naive = p.select($"source", $"doc_id".as("doc_a"), $"pre".as("pa"))
+      .join(p.select($"source", $"doc_id".as("doc_b"), $"pre".as("pb")), Seq("source"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("dist", levenshtein($"pa", $"pb"))
+      .filter($"dist" <= QueriesText.fuzzyMaxDist)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val blocked = QueriesText.fuzzyCandidates(p)
+      .withColumn("dist", levenshtein($"pa", $"pb"))
+      .filter($"dist" <= QueriesText.fuzzyMaxDist)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(blocked == naive)
+  }
 }

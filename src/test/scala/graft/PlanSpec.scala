@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("seq_pack")
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
     assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")))
+    // one shuffle into the per-lang pack window + the presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("dict_encode stays in DataFrame land (no RDD scan node)") {
+    val p = plan("dict_encode")
+    assert(!p.contains("ExistingRDD"), p.take(600))
+    // dictionary broadcast back onto the fact side
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(600))
   }
 
   test("exact_dedup reads only the columns it needs") {
