@@ -122,7 +122,8 @@ object QueriesEstimators {
     * flat as the workload grows.
     */
   private def estFrame(spark: SparkSession, dir: String, model: String): DataFrame =
-    memoized(spark, dir, s"est:$model") {
+    if (model == "ols") olsEstFrame(spark, dir)
+    else memoized(spark, dir, s"est:$model") {
       val statsRow = model match {
         case "naive" => memoized(spark, dir, "predStats")(predStatsRow(spark, dir))
         case "hist" =>
@@ -954,7 +955,7 @@ object QueriesEstimators {
     * join passes.
     */
   def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame =
-    Seq("cin", "hist", "mcv", "naive")
+    Seq("cin", "hist", "mcv", "naive", "ols")
       .map { model =>
         estFrame(spark, dir, model)
           .select(
@@ -977,7 +978,9 @@ object QueriesEstimators {
         (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
           StatsSql.factors(eqViaMcv = true)(q)).mkString(" * ")),
       "naive" -> ((id: String, q: graft.query.ParsedQuery) =>
-        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")))
+        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")),
+      "ols" -> ((id: String, _: graft.query.ParsedQuery) =>
+        s"(SELECT $olsEstExprSql FROM olsfeat, olsm WHERE olsfeat.query_id = '$id')"))
     val arms = for {
       (model, estOf) <- models
       (id, q, _) <- parsedSpecs
@@ -989,7 +992,7 @@ object QueriesEstimators {
       s"SELECT model, query_id, ${qErrSqlOf("e", "t")} AS q_err FROM" +
         s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, $tru AS t) AS s"
     }
-    s"WITH ${StatsSql.mcvCtes}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
+    s"WITH ${StatsSql.mcvCtes},\n$olsCtes\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
   }
 
   // ---- row 13d: per-model q-error quantiles (run.py:967-973 per estimator) ----
@@ -1017,6 +1020,119 @@ object QueriesEstimators {
        |$arms
        |ORDER BY model, quantile""".stripMargin
   }
+
+  // ---- row 11g: trained (OLS) cardinality model (models.py:276 NAR analogue) ----
+
+  /** Training features per workload spec: x1 = the naive (independence)
+    * estimate, x2 = the predicate-free join size, y = true cardinality.
+    * The learned model is a least-squares correction OVER the closed-form
+    * estimator — the reference's "train a model on the workload, predict
+    * card" loop (scardina/models.py:276) re-expressed with features the
+    * SQL oracle can reproduce exactly.
+    */
+  private[graft] def olsFeats(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "olsFeats")(
+      estFrame(spark, dir, "naive")
+        .select(col("query_id"), col("est").as("x1"), col("__card").as("y"))
+        .join(
+          bothsAll(spark, dir).select(col("query_id"), col("__j").as("x2")),
+          Seq("query_id")))
+
+  /** Exact moments for the 3×3 normal equations, in 1/64-granularity
+    * fixed point: term → floor(term·64) as BIGINT → exact associative
+    * integer sum → ONE double division by 64. All three steps are
+    * binary-exact and engine-portable (×64 is an exponent shift, floor
+    * and BIGINT sums are exact) — unlike a DECIMAL(38,6) cast, whose
+    * double→decimal rounding goes through the shortest string repr on
+    * the JVM but the exact binary value in DuckDB and disagrees on
+    * boundary terms. This is the "exact-integer OLS" discipline: the
+    * model is DEFINED over the quantized moments, so both engines solve
+    * the identical system.
+    */
+  private def olsMoments(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "olsMoments") {
+      def d(e: Column): Column =
+        sum(floor(e * lit(64.0)).cast("bigint")).cast("double") / lit(64.0)
+      olsFeats(spark, dir).agg(
+        count(lit(1)).cast("double").as("mn"),
+        d(col("x1")).as("sx1"),
+        d(col("x2")).as("sx2"),
+        d(col("y")).as("sy"),
+        d(col("x1") * col("x1")).as("s11"),
+        d(col("x1") * col("x2")).as("s12"),
+        d(col("x2") * col("x2")).as("s22"),
+        d(col("x1") * col("y")).as("s1y"),
+        d(col("x2") * col("y")).as("s2y"))
+    }
+
+  /** 3×3 determinant as a SQL string — the SAME string is `expr()`d on
+    * the Spark side and embedded in the oracle, so both engines evaluate
+    * one identical IEEE expression tree (normal-equation solves involve
+    * only +,-,*,/ — exactly the portable subset).
+    */
+  private def det3(r: Seq[Seq[String]]): String = {
+    val Seq(Seq(a, b, c), Seq(d, e, f), Seq(g, h, i)) = r
+    s"(($a)*(($e)*($i)-($f)*($h)) - ($b)*(($d)*($i)-($f)*($g)) + ($c)*(($d)*($h)-($e)*($g)))"
+  }
+
+  /** β via Cramer's rule over [[olsMoments]]; prediction clamped to ≥ 1
+    * row (a cardinality below one is never useful and keeps q-error
+    * finite). References columns x1/x2 (features) and the moment names.
+    */
+  // lazy: qErrorModelsSql initializes earlier in this object and pulls it in
+  private lazy val olsEstExprSql: String = {
+    val detA = det3(Seq(Seq("mn", "sx1", "sx2"), Seq("sx1", "s11", "s12"), Seq("sx2", "s12", "s22")))
+    val det0 = det3(Seq(Seq("sy", "sx1", "sx2"), Seq("s1y", "s11", "s12"), Seq("s2y", "s12", "s22")))
+    val det1 = det3(Seq(Seq("mn", "sy", "sx2"), Seq("sx1", "s1y", "s12"), Seq("sx2", "s2y", "s22")))
+    val det2 = det3(Seq(Seq("mn", "sx1", "sy"), Seq("sx1", "s11", "s1y"), Seq("sx2", "s12", "s2y")))
+    s"GREATEST((($det0)/($detA)) + (($det1)/($detA))*x1 + (($det2)/($detA))*x2, 1.0)"
+  }
+
+  private def olsEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "est:ols")(
+      olsFeats(spark, dir)
+        .crossJoin(broadcast(olsMoments(spark, dir)))
+        .select(col("query_id"), expr(olsEstExprSql).as("est"), col("y").as("__card")))
+
+  def olsEstQ(spark: SparkSession, dir: String): DataFrame =
+    olsEstFrame(spark, dir)
+      .select(col("query_id"), col("est"))
+      .orderBy(col("query_id"))
+
+  private def naiveEstExprSql(id: String, q: graft.query.ParsedQuery): String =
+    (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")
+
+  /** olsfeat/olsm CTE pair shared by ols_est and the q_error_models ols
+    * arm.
+    */
+  private lazy val olsCtes: String = {
+    val feats = parsedSpecs
+      .map { case (id, q, _) =>
+        s"SELECT '$id' AS query_id, (${naiveEstExprSql(id, q)}) AS x1," +
+          s" CAST((${joinOnlySql(id)}) AS DOUBLE) AS x2," +
+          s" CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE) AS y"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""olsfeat AS MATERIALIZED (
+       |$feats
+       |),
+       |olsm AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS mn,
+       |  CAST(SUM(CAST(FLOOR(x1 * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS sx1,
+       |  CAST(SUM(CAST(FLOOR(x2 * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS sx2,
+       |  CAST(SUM(CAST(FLOOR(y * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS sy,
+       |  CAST(SUM(CAST(FLOOR(x1 * x1 * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS s11,
+       |  CAST(SUM(CAST(FLOOR(x1 * x2 * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS s12,
+       |  CAST(SUM(CAST(FLOOR(x2 * x2 * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS s22,
+       |  CAST(SUM(CAST(FLOOR(x1 * y * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS s1y,
+       |  CAST(SUM(CAST(FLOOR(x2 * y * 64.0) AS BIGINT)) AS DOUBLE) / 64.0 AS s2y
+       |FROM olsfeat)""".stripMargin
+  }
+
+  val olsEstSql: String =
+    s"""WITH $olsCtes
+       |SELECT query_id, ($olsEstExprSql) AS est
+       |FROM olsfeat, olsm
+       |ORDER BY query_id""".stripMargin
 
   // ---- rows 12/14: weighted join sample + sample-based estimator ----
 
@@ -1200,6 +1316,106 @@ object QueriesEstimators {
       .orderBy(col("query_id"))
   }
 
+  // ---- row 12b: progressive-sampling estimator (estimators.py:913) ----
+
+  /** Per-stage sampling budget: each conditional selectivity is estimated
+    * from at most this many survivors, re-drawn per stage.
+    */
+  val progBudget = 256
+
+  /** Progressive-sampling cardinality estimation — the reference's
+    * ProgressiveSamplingUR architecture (scardina/estimators.py:913)
+    * re-expressed over the seeded join sample: predicates are consumed
+    * ONE AT A TIME; stage i draws a fresh budget of `progBudget` rows
+    * (deterministic md5('prog:i:'||slot) order — SQL-reproducible
+    * randomness) from the rows surviving predicates 1..i−1 and estimates
+    * the conditional selectivity P(pᵢ | p₁..pᵢ₋₁) from that draw; the
+    * estimate is W × P(flags) × Π conditionals. Unlike sample_est's
+    * single-pass conjunction, each factor conditions on the previous
+    * draws exactly as the reference's per-column progressive loop does.
+    * Everything runs on the memoized 2000-row sample — per spec the whole
+    * chain is tiny crossJoined 1-row aggregates, one job each.
+    */
+  def progressiveEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val sample = chainSample(spark, dir)
+    val w = JoinSample.totalWeight(chain, "customer", load)
+      .select(col("total_weight").cast("double"))
+    val tot = sample.agg(count(lit(1)).cast("double").as("__n"))
+    coveredSpecs
+      .map { case (id, q) =>
+        val flags = q.tables.filterNot(_ == "customer").map(t => col(s"__in__:$t"))
+        val s0 = flags.foldLeft(sample)(_ filter _)
+        val f0 = s0.agg(count(lit(1)).cast("double").as("__n0"))
+          .crossJoin(tot)
+          .select((col("__n0") / col("__n")).as("__f0"))
+        var surv = s0
+        val stageFrames = q.predicates.zipWithIndex.map { case (p, i0) =>
+          val i = i0 + 1
+          val cond = Predicate.conjunction(Seq(p.copy(col = p.col.split('.').last)))
+          val picked = surv
+            .orderBy(md5(concat(lit(s"prog:$i:"), col("__slot__"))))
+            .limit(progBudget)
+          val g = picked.agg(
+            when(count(lit(1)) === 0, lit(0.0))
+              .otherwise(
+                sum(when(cond, 1L).otherwise(0L)).cast("double") /
+                  count(lit(1)).cast("double"))
+              .as(s"__f$i"))
+          surv = surv.filter(cond)
+          g
+        }
+        val joined = (f0 +: stageFrames).reduce(_.crossJoin(_)).crossJoin(w)
+        val fprod = stageFrames.indices
+          .map(i => col(s"__f${i + 1}"))
+          .foldLeft(col("__f0"))(_ * _)
+        joined.select(lit(id).as("query_id"), (col("total_weight") * fprod).as("est"))
+      }
+      .reduce(_.unionAll(_))
+      .join(bothsAll(spark, dir).select(col("query_id"), col("__card")), Seq("query_id"))
+      .select(col("query_id"), col("est"), qErrCol(col("est"), col("__card")).as("q_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val progressiveEstSql: String = {
+    val perSpec = coveredSpecs.map { case (id, q) =>
+      val flags = q.tables.filterNot(_ == "customer").map {
+        case "orders"   => "in_orders"
+        case "lineitem" => "in_lineitem"
+      }
+      val flagConj = if (flags.isEmpty) "TRUE" else flags.mkString(" AND ")
+      val preds = q.predicates
+        .map(p => PredicateSql.render(p.copy(col = p.col.split('.').last)))
+      val stageCtes = preds.zipWithIndex.map { case (pred, i0) =>
+        val i = i0 + 1
+        s"""p${i}_$id AS (SELECT * FROM s${i0}_$id ORDER BY md5('prog:$i:' || slot) LIMIT $progBudget),
+           |g${i}_$id AS (SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+           |  ELSE CAST(SUM(CASE WHEN $pred THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) END AS f
+           |  FROM p${i}_$id),
+           |s${i}_$id AS (SELECT * FROM s${i0}_$id WHERE $pred)""".stripMargin
+      }
+      val ctes =
+        (s"""s0_$id AS (SELECT * FROM samp WHERE $flagConj),
+            |f0_$id AS (SELECT CAST((SELECT COUNT(*) FROM s0_$id) AS DOUBLE) /
+            |  CAST((SELECT COUNT(*) FROM samp) AS DOUBLE) AS f)""".stripMargin +: stageCtes)
+          .mkString(",\n")
+      val fprod = preds.indices
+        .map(i0 => s"g${i0 + 1}_$id.f")
+        .foldLeft(s"f0_$id.f")((acc, g) => s"($acc * $g)")
+      val from = (s"f0_$id" +: preds.indices.map(i0 => s"g${i0 + 1}_$id")).mkString(", ")
+      val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
+      val arm =
+        s"SELECT query_id, e AS est, ${qErrSqlOf("e", "t")} AS q_err FROM" +
+          s" (SELECT '$id' AS query_id, CAST(tw AS DOUBLE) * $fprod AS e, $tru AS t" +
+          s" FROM tw, $from) z"
+      (ctes, arm)
+    }
+    s"""WITH $sampleCtes,
+       |${perSpec.map(_._1).mkString(",\n")}
+       |${perSpec.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---- row 14b: encoded training batch (the reference pipeline's end product) ----
 
   /** The reference's training-data generation END-TO-END: weighted join
@@ -1285,6 +1501,8 @@ object QueriesEstimators {
     "q_error_model_quantiles" -> (qErrorModelQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
     "sample_est" -> (sampleEstQ _),
+    "progressive_est" -> (progressiveEstQ _),
+    "ols_est" -> (olsEstQ _),
     "training_batch" -> (trainingBatchQ _)
   )
 
@@ -1307,6 +1525,8 @@ object QueriesEstimators {
     "q_error_model_quantiles" -> qErrorModelQuantilesSql,
     "join_sample" -> joinSampleSql,
     "sample_est" -> sampleEstSql,
+    "progressive_est" -> progressiveEstSql,
+    "ols_est" -> olsEstSql,
     "training_batch" -> trainingBatchSql
   )
 }

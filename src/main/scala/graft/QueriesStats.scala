@@ -309,6 +309,59 @@ object QueriesStats {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---- row 15g: Shannon-entropy column profile (run.py:45 calc_entropy) ----
+
+  /** Shannon entropy (nats) of each profiled column's value distribution
+    * — the reference's per-column information measure (scardina/run.py:45
+    * calc_entropy), H = ln(n) − Σ c·ln(c) / n over per-value counts c,
+    * plus the ln(ndv)-normalized form.
+    *
+    * Cross-engine exactness: ln is the one transcendental here and JVM
+    * Math.log vs DuckDB ln differ by 1 ulp on ~1 in 50k integer inputs,
+    * so every ln-carrying term is quantized to DECIMAL(38,6) BEFORE the
+    * (order-sensitive) sum / final combination; the remaining double
+    * arithmetic is a fixed IEEE expression tree over identical inputs.
+    * One groupBy per column with map-side partial aggregation — the
+    * shuffle carries per-value counts, never rows.
+    */
+  def shannonEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    statCols
+      .map { case (t, c, _) =>
+        val cnt = col("cnt").cast("double")
+        Tables(spark, dir, t)
+          .filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).cast("bigint").as("n"),
+            count(lit(1)).as("ndv"),
+            sum((cnt * log(cnt)).cast("decimal(38,6)")).as("s"))
+          .select(
+            lit(s"$t.$c").as("col_name"), col("n"), col("ndv"),
+            (log(col("n").cast("double")).cast("decimal(38,6)").cast("double") -
+              col("s").cast("double") / col("n").cast("double")).as("e"))
+          .select(
+            col("col_name"), col("n"), col("ndv"), col("e").as("entropy"),
+            when(col("ndv") > 1,
+              col("e") / log(col("ndv").cast("double")).cast("decimal(38,6)").cast("double"))
+              .otherwise(lit(1.0)).as("norm_entropy"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("col_name"))
+
+  val shannonEntropySql: String =
+    statCols
+      .map { case (t, c, _) =>
+        s"""SELECT col_name, n, ndv, e AS entropy,
+           |  CASE WHEN ndv > 1 THEN e / CAST(CAST(ln(CAST(ndv AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+           |       ELSE 1.0 END AS norm_entropy
+           |FROM (SELECT '$t.$c' AS col_name, n, ndv,
+           |  CAST(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS e
+           |FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS ndv,
+           |        SUM(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,6))) AS s
+           |      FROM (SELECT COUNT(*) AS cnt FROM $t WHERE $c IS NOT NULL GROUP BY $c)))""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   // ---- row 15e: per-group exact quantiles ----
 
   /** Exact per-event_type value quantiles through the same bucket-locate
@@ -668,6 +721,7 @@ object QueriesStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "col_skew_profile" -> (colSkewProfileQ _),
+    "shannon_entropy" -> (shannonEntropyQ _),
     "hist2d" -> (hist2dQ _),
     "corr_matrix" -> (corrMatrixQ _),
     "group_quantiles" -> (groupQuantilesQ _),
@@ -687,6 +741,7 @@ object QueriesStats {
 
   val oracleSql: Map[String, String] = Map(
     "hll_ndv" -> hllNdvSql,
+    "shannon_entropy" -> shannonEntropySql,
     "col_skew_profile" -> colSkewProfileSql,
     "hist2d" -> hist2dSql,
     "corr_matrix" -> corrMatrixSql,

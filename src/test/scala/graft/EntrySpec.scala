@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
     val expected = Set(
       "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes", "ur_size",
       "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
-      "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
+      "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "progressive_est", "ols_est", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
       "col_quantiles", "bloom_filter", "kmv_group_ndv", "mergeable_stats",
       "eqdepth_hist", "event_pivot",
@@ -31,7 +31,7 @@ class EntrySpec extends SparkSpec {
       "embed_dup", "funnel_count", "cohort_retention",
       "skew_join", "zorder_layout", "scd2_history",
       "source_mix_sample", "per_group_sample",
-      "col_skew_profile", "group_quantiles",
+      "col_skew_profile", "shannon_entropy", "group_quantiles",
       "pess_est", "hist2d", "corr_matrix", "sliding_agg", "incremental_dedup",
       "seq_pack", "corpus_summary", "mm_resize", "fuzzy_match",
       "rolling_agg", "user_growth", "sliding_dau", "spike_detect",
