@@ -453,6 +453,141 @@ object QueriesAnalytics {
       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
       |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- markov_stationary: stationary distribution via power iteration ----
+
+  val mkIters = 5
+  private val mkScale = 1048576.0 // 2^20 fixed-point grid for the π sums
+
+  /** Stationary distribution of the event-transition chain: 5 unrolled
+    * power-iteration steps π' = πP from a uniform start. Each step's
+    * per-state sum runs over contributions π_i·p_ij quantized to a 2^-20
+    * binary fixed-point grid (floor → BIGINT sum → one division): the
+    * sum is associative/exact so partition order can't perturb it, and
+    * floor×2^20 is an exponent shift — engine-portable, unlike
+    * double→DECIMAL casts. States with no inbound mass stay at 0 via the
+    * left join. Every step is a tiny matrix×vector on the 5-state chain;
+    * the one corpus-sized job is the transition count itself.
+    */
+  def markovStationaryQ(spark: SparkSession, dir: String): DataFrame = {
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wt = Window.partitionBy(col("event_type"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(wl).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") / sum(col("cnt")).over(wt).cast("double"))
+    val states = trans.select(col("event_type").as("state"))
+      .unionAll(trans.select(col("next_type").as("state")))
+      .distinct()
+    val k = states.agg(count(lit(1)).cast("double").as("__k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), (lit(1.0) / col("__k")).as("pi"))
+    for (_ <- 1 to mkIters) {
+      val stepped = pi
+        .select(col("state").as("__from"), col("pi"))
+        .join(trans.select(col("event_type").as("__from"), col("next_type"), col("prob")),
+          Seq("__from"))
+        .groupBy(col("next_type"))
+        .agg(sum(floor(col("pi") * col("prob") * lit(mkScale)).cast("bigint")).as("__v"))
+        .select(col("next_type").as("state"),
+          (col("__v").cast("double") / lit(mkScale)).as("__pi2"))
+      pi = states.join(stepped, Seq("state"), "left")
+        .select(col("state"), coalesce(col("__pi2"), lit(0.0)).as("pi"))
+    }
+    pi.orderBy(col("state"))
+  }
+
+  val markovStationarySql: String = {
+    val steps = (1 to mkIters).map { i =>
+      s"""p$i AS (SELECT s.state, CAST(COALESCE(x.v, 0) AS DOUBLE) / $mkScale AS pi
+         |  FROM states s LEFT JOIN (
+         |    SELECT t.next_type AS state,
+         |      CAST(SUM(CAST(FLOOR(p.pi * t.prob * $mkScale) AS BIGINT)) AS BIGINT) AS v
+         |    FROM p${i - 1} p JOIN tr t ON p.state = t.event_type GROUP BY 1) x
+         |  ON s.state = x.state)""".stripMargin
+    }
+    s"""WITH s AS (SELECT user_id, event_type,
+       |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+       |  FROM events),
+       |tr AS (SELECT event_type, next_type,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+       |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |states AS (SELECT DISTINCT event_type AS state FROM tr
+       |           UNION SELECT DISTINCT next_type FROM tr),
+       |p0 AS (SELECT state, 1.0 / CAST((SELECT COUNT(*) FROM states) AS DOUBLE) AS pi FROM states),
+       |${steps.mkString(",\n")}
+       |SELECT state, pi FROM p$mkIters ORDER BY state""".stripMargin
+  }
+
+  // ---- bm25_rank: ranked retrieval over the inverted-index shape ----
+
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25TopK = 10
+
+  /** BM25 ranking of documents for the standing query terms — the
+    * scoring leg over term_search's inverted-index shape. tf/df/doclen
+    * are exact integers; avgdl is one exact division; idf's ln (the one
+    * transcendental) is quantized to DECIMAL(38,6) before use; per-doc
+    * score sums go through the 2^-20 fixed-point grid so term order
+    * can't perturb them. Postings (term, doc, tf) and doc lengths come
+    * out of one tokens scan.
+    */
+  def bm25RankQ(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("__nd"),
+      sum(col("dl")).cast("double").as("__sl"))
+    val tf = toks.filter(col("word").isin(searchTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "word")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(
+          ((floor(log((col("__nd") - col("df").cast("double") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5))) * lit(1048576.0))
+            .cast("double") / lit(1048576.0)) *
+            ((col("tf").cast("double") * lit(bm25K1 + 1.0)) /
+              (col("tf").cast("double") + lit(bm25K1) *
+                (lit(1.0 - bm25B) + lit(bm25B) *
+                  (col("dl").cast("double") / (col("__sl") / col("__nd"))))))) *
+            lit(1048576.0)).cast("bigint").as("__c"))
+    contrib
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__c")).cast("double") / lit(1048576.0)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(bm25TopK)
+  }
+
+  val bm25RankSql: String = {
+    val terms = searchTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS word
+       |  FROM documents),
+       |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(dl) AS DOUBLE) AS sl FROM lens),
+       |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |       WHERE word IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |contrib AS (SELECT tf.doc_id,
+       |    CAST(FLOOR(
+       |      (CAST(CAST(FLOOR(ln((stats.nd - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) * 1048576.0) AS BIGINT) AS DOUBLE) / 1048576.0) *
+       |      ((CAST(tf.tf AS DOUBLE) * ${bm25K1 + 1.0}) /
+       |        (CAST(tf.tf AS DOUBLE) + $bm25K1 *
+       |          (${1.0 - bm25B} + $bm25B * (CAST(lens.dl AS DOUBLE) / (stats.sl / stats.nd)))))
+       |      * 1048576.0) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (word) JOIN lens ON tf.doc_id = lens.doc_id, stats)
+       |SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1048576.0 AS score
+       |FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
+  }
+
   // ---- cube_counts: CUBE / grouping-sets surface ----
 
   /** Full CUBE over (lang, source) in ONE pass — Spark expands grouping
@@ -1888,6 +2023,8 @@ object QueriesAnalytics {
     "train_split" -> (trainSplitQ _),
     "term_search" -> (termSearchQ _),
     "markov_transitions" -> (markovTransitionsQ _),
+    "markov_stationary" -> (markovStationaryQ _),
+    "bm25_rank" -> (bm25RankQ _),
     "cube_counts" -> (cubeCountsQ _),
     "compaction_plan" -> (compactionPlanQ _),
     "vocab_coverage" -> (vocabCoverageQ _),
@@ -1945,6 +2082,8 @@ object QueriesAnalytics {
     "train_split" -> trainSplitSql,
     "term_search" -> termSearchSql,
     "markov_transitions" -> markovTransitionsSql,
+    "markov_stationary" -> markovStationarySql,
+    "bm25_rank" -> bm25RankSql,
     "cube_counts" -> cubeCountsSql,
     "compaction_plan" -> compactionPlanSql,
     "vocab_coverage" -> vocabCoverageSql,

@@ -322,7 +322,63 @@ object QueriesCorpus {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---- bpe_pairs: tokenizer-training pair statistics ----
+
+  val bpeTopK = 25
+
+  /** The inner statistic of BPE tokenizer training (one merge
+    * iteration): adjacent character-pair counts over the corpus,
+    * weighted by word frequency. Scale shape is exactly how real BPE
+    * trainers run: the pair explosion happens over the DISTINCT word
+    * vocabulary (bounded), never the corpus — one corpus-wide word
+    * count shuffle, then vocabulary-sized work.
+    */
+  def bpePairsQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.bpePairs(Tables(spark, dir, "documents"), bpeTopK)
+
+  val bpePairsSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+       |p AS (SELECT c, unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |      FROM wc WHERE length(word) >= 2)
+       |SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT $bpeTopK""".stripMargin
+
+  // ---- substring_dup: exact repeated-substring span coverage ----
+
+  val ssdGram = 10
+
+  /** Exact-substring duplication profile (the dedup-the-training-data
+    * exact-match method): token `ssdGram`-grams occurring more than once
+    * ANYWHERE in the corpus mark their covering token spans; per doc,
+    * the distinct covered positions / total tokens. The gram table is
+    * the suffix-array-free formulation of the same statistic — corpus
+    * work is O(tokens), the span explode only touches grams that
+    * actually repeat. Docs with zero repeated spans are omitted.
+    */
+  def substringDupQ(spark: SparkSession, dir: String): DataFrame =
+    Corpus.substringDup(Tables(spark, dir, "documents"), ssdGram)
+      .orderBy(col("doc_id"))
+
+  val substringDupSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |g AS (SELECT doc_id, len(ws) AS n,
+       |        unnest(list_transform(range(1, len(ws) - ${ssdGram - 2}),
+       |          i -> {'p': i, 'h': md5(array_to_string(list_slice(ws, i, i + ${ssdGram - 1}), ' '))})) AS u
+       |      FROM w WHERE len(ws) >= $ssdGram),
+       |g2 AS (SELECT doc_id, n, u.p AS p, u.h AS gh FROM g),
+       |r AS (SELECT gh FROM g2 GROUP BY 1 HAVING COUNT(*) > 1),
+       |cov AS (SELECT doc_id, n, COUNT(DISTINCT pos) AS covered FROM (
+       |          SELECT g2.doc_id, g2.n, unnest(range(g2.p, g2.p + $ssdGram)) AS pos
+       |          FROM g2 JOIN r USING (gh)) GROUP BY 1, 2)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(covered AS BIGINT) AS covered_tokens,
+       |  CAST(covered AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+       |FROM cov ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pairs" -> (bpePairsQ _),
+    "substring_dup" -> (substringDupQ _),
     "curation_pass" -> (curationPassQ _),
     "source_mix_sample" -> (sourceMixSampleQ _),
     "corpus_summary" -> (corpusSummaryQ _),
@@ -336,6 +392,8 @@ object QueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bpe_pairs" -> bpePairsSql,
+    "substring_dup" -> substringDupSql,
     "curation_pass" -> curationPassSql,
     "source_mix_sample" -> sourceMixSampleSql,
     "corpus_summary" -> corpusSummarySql,

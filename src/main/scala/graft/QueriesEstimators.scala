@@ -1344,32 +1344,47 @@ object QueriesEstimators {
     val tot = sample.agg(count(lit(1)).cast("double").as("__n"))
     coveredSpecs
       .map { case (id, q) =>
+        // One pass per spec: stage i's "draw" = rank among the rows
+        // surviving predicates 1..i−1 ordered by the stage hash — the
+        // window formulation of ORDER BY hash LIMIT budget (identical
+        // picks: md5 per slot is unique), so the k per-stage
+        // sort+limit+agg jobs collapse into one plan branch with k
+        // window functions over the tiny cached sample.
         val flags = q.tables.filterNot(_ == "customer").map(t => col(s"__in__:$t"))
         val s0 = flags.foldLeft(sample)(_ filter _)
-        val f0 = s0.agg(count(lit(1)).cast("double").as("__n0"))
-          .crossJoin(tot)
-          .select((col("__n0") / col("__n")).as("__f0"))
-        var surv = s0
-        val stageFrames = q.predicates.zipWithIndex.map { case (p, i0) =>
+        val preds = q.predicates
+          .map(p => Predicate.conjunction(Seq(p.copy(col = p.col.split('.').last))))
+        var survive = lit(true)
+        val annotated = preds.zipWithIndex
+          .foldLeft(s0) { case (df, (cond, i0)) =>
+            val i = i0 + 1
+            val rn = row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(survive)
+                .orderBy(md5(concat(lit(s"prog:$i:"), col("__slot__")))))
+            val out = df
+              .withColumn(s"__surv$i", survive)
+              .withColumn(s"__rn$i", rn)
+              .withColumn(s"__sat$i", cond)
+            survive = survive && cond
+            out
+          }
+        val fracs = preds.indices.map { i0 =>
           val i = i0 + 1
-          val cond = Predicate.conjunction(Seq(p.copy(col = p.col.split('.').last)))
-          val picked = surv
-            .orderBy(md5(concat(lit(s"prog:$i:"), col("__slot__"))))
-            .limit(progBudget)
-          val g = picked.agg(
-            when(count(lit(1)) === 0, lit(0.0))
-              .otherwise(
-                sum(when(cond, 1L).otherwise(0L)).cast("double") /
-                  count(lit(1)).cast("double"))
-              .as(s"__f$i"))
-          surv = surv.filter(cond)
-          g
+          val in = col(s"__surv$i") && col(s"__rn$i") <= progBudget
+          val m = sum(when(in, 1L).otherwise(0L))
+          val k = sum(when(in && col(s"__sat$i"), 1L).otherwise(0L))
+          when(m === 0, lit(0.0)).otherwise(k.cast("double") / m.cast("double")).as(s"__f$i")
         }
-        val joined = (f0 +: stageFrames).reduce(_.crossJoin(_)).crossJoin(w)
-        val fprod = stageFrames.indices
-          .map(i => col(s"__f${i + 1}"))
+        val agged = annotated.agg(
+          count(lit(1)).cast("double").as("__n0"), fracs: _*)
+        val fprod = preds.indices
+          .map(i0 => col(s"__f${i0 + 1}"))
           .foldLeft(col("__f0"))(_ * _)
-        joined.select(lit(id).as("query_id"), (col("total_weight") * fprod).as("est"))
+        agged
+          .crossJoin(tot).crossJoin(w)
+          .withColumn("__f0", col("__n0") / col("__n"))
+          .select(lit(id).as("query_id"), (col("total_weight") * fprod).as("est"))
       }
       .reduce(_.unionAll(_))
       .join(bothsAll(spark, dir).select(col("query_id"), col("__card")), Seq("query_id"))

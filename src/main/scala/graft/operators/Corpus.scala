@@ -181,4 +181,49 @@ object Corpus {
           lit(1.0) - col("__nub").cast("double") / col("__nb").cast("double"))
           .otherwise(lit(0.0)).as("dup_bigram_ratio"))
   }
+
+  /** BPE tokenizer-training inner statistic: top-k adjacent character
+    * pairs weighted by word frequency. The pair explosion runs over the
+    * DISTINCT word vocabulary after one corpus-wide count shuffle —
+    * exactly how production BPE trainers iterate (work is bounded by
+    * vocabulary size, not corpus size).
+    */
+  def bpePairs(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(TextOps.tokensExpr).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .filter(length(col("word")) >= 2)
+      .select(col("c"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
+  /** Exact-substring duplication profile: token `gram`-grams occurring
+    * more than once anywhere in the corpus mark their covering spans;
+    * per doc, distinct covered positions and the coverage ratio. Docs
+    * with no repeated span are omitted. The gram table is O(tokens); the
+    * span explode touches only grams that actually repeat — the
+    * suffix-array-free formulation of the exact-substring dedup
+    * statistic.
+    */
+  def substringDup(documents: DataFrame, gram: Int): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+      .filter(size(col("__ws")) >= gram)
+      .select(col("doc_id"), size(col("__ws")).as("__n"),
+        posexplode(expr(
+          s"transform(sequence(1, size(__ws) - ${gram - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $gram))))")))
+      .select(col("doc_id"), col("__n"), (col("pos") + 1).as("p"), col("col").as("gh"))
+    val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ")).filter(col("occ") > 1)
+    grams
+      .join(rep.select(col("gh")), Seq("gh"), "leftsemi")
+      .select(col("doc_id"), col("__n"),
+        explode(expr(s"sequence(p, p + ${gram - 1})")).as("pos"))
+      .groupBy(col("doc_id"), col("__n"))
+      .agg(count_distinct(col("pos")).as("covered"))
+      .select(col("doc_id"), col("__n").cast("bigint").as("n_tokens"),
+        col("covered").cast("bigint").as("covered_tokens"),
+        (col("covered").cast("double") / col("__n").cast("double")).as("coverage"))
+  }
 }

