@@ -362,6 +362,50 @@ object QueriesStats {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---- row 15h: join-key degree histogram (skew planning input) ----
+
+  val degreeKeys: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"))
+
+  /** Log2-bucketed degree distribution of the workload's join keys —
+    * the statistic a planner needs to pick broadcast vs shuffle vs
+    * salted joins (degree_bucket = bit length of the key's row count;
+    * a populated high bucket means the key set is skew-salting
+    * territory). One groupBy per key then vocabulary-sized bucketing;
+    * the shuffle carries (key, count) pairs only.
+    */
+  def keyDegreeHistQ(spark: SparkSession, dir: String): DataFrame =
+    degreeKeys
+      .map { case (t, c) =>
+        Tables(spark, dir, t)
+          .filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1)).as("d"))
+          .groupBy(length(bin(col("d"))).cast("int").as("degree_bucket"))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            min(col("d")).as("min_degree"),
+            max(col("d")).as("max_degree"),
+            sum(col("d")).cast("bigint").as("n_rows"))
+          .select(lit(s"$t.$c").as("key_name"), col("degree_bucket"),
+            col("n_keys"), col("min_degree"), col("max_degree"), col("n_rows"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("key_name"), col("degree_bucket"))
+
+  val keyDegreeHistSql: String =
+    degreeKeys
+      .map { case (t, c) =>
+        s"""SELECT '$t.$c' AS key_name, CAST(length(bin(d)) AS INT) AS degree_bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys, MIN(d) AS min_degree, MAX(d) AS max_degree,
+           |  CAST(SUM(d) AS BIGINT) AS n_rows
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM $t WHERE $c IS NOT NULL GROUP BY $c)
+           |GROUP BY 2""".stripMargin
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name, degree_bucket")
+
   // ---- row 15e: per-group exact quantiles ----
 
   /** Exact per-event_type value quantiles through the same bucket-locate
@@ -722,6 +766,7 @@ object QueriesStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "col_skew_profile" -> (colSkewProfileQ _),
     "shannon_entropy" -> (shannonEntropyQ _),
+    "key_degree_hist" -> (keyDegreeHistQ _),
     "hist2d" -> (hist2dQ _),
     "corr_matrix" -> (corrMatrixQ _),
     "group_quantiles" -> (groupQuantilesQ _),
@@ -742,6 +787,7 @@ object QueriesStats {
   val oracleSql: Map[String, String] = Map(
     "hll_ndv" -> hllNdvSql,
     "shannon_entropy" -> shannonEntropySql,
+    "key_degree_hist" -> keyDegreeHistSql,
     "col_skew_profile" -> colSkewProfileSql,
     "hist2d" -> hist2dSql,
     "corr_matrix" -> corrMatrixSql,

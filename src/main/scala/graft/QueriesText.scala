@@ -656,6 +656,73 @@ object QueriesText {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- row 25g: ANN recall evaluation (LSH leg vs brute-force truth) ----
+
+  /** Recall@k of the LSH ANN leg against the brute-force ground truth —
+    * the evaluation loop every production ANN deployment runs before
+    * trusting an index. Both legs are the already-verified operators;
+    * recall is one semi-join + count per probe, so the measurement adds
+    * no new corpus-sized work.
+    */
+  def annRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val gt = embedCosineTopkQ(spark, dir).select(col("probe_id"), col("cand_id"))
+    val ann = embedLshAnnQ(spark, dir).select(col("probe_id"), col("cand_id"))
+    val hits = gt.join(ann, Seq("probe_id", "cand_id"), "leftsemi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__h"))
+    gt.groupBy(col("probe_id")).agg(count(lit(1)).as("__k"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("__h"), lit(0L)).cast("bigint").as("n_hits"),
+        (coalesce(col("__h"), lit(0L)).cast("double") / lit(topK.toDouble)).as("recall"))
+      .orderBy(col("probe_id"))
+  }
+
+  // lazy: embedLshAnnSql is declared later in this object
+  lazy val annRecallSql: String =
+    s"""WITH gt AS (SELECT probe_id, cand_id FROM ($embedCosineTopkSql)),
+       |ann AS (SELECT probe_id, cand_id FROM ($embedLshAnnSql)),
+       |h AS (SELECT g.probe_id, CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits
+       |      FROM gt g LEFT JOIN ann a
+       |        ON a.probe_id = g.probe_id AND a.cand_id = g.cand_id
+       |      GROUP BY 1)
+       |SELECT probe_id, n_hits, CAST(n_hits AS DOUBLE) / ${topK}.0 AS recall
+       |FROM h ORDER BY probe_id""".stripMargin
+
+  // ---- row 25h: int8 scalar quantization + reconstruction error ----
+
+  /** Per-vector int8 scalar quantization (the serving-time compression
+    * step next to PQ): min/max range per vector, 255-level codes, and
+    * the mean absolute reconstruction error. The error sum folds the
+    * per-element terms in array order via aggregate() — a sequential
+    * fold both engines execute identically, no shuffle-order exposure.
+    * Pure per-row expressions; zero shuffles beyond the output sort.
+    */
+  def embedInt8Q(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dv"))
+      .select(col("vec_id"), array_min(col("dv")).as("mn"), array_max(col("dv")).as("mx"), col("dv"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr(
+          """CASE WHEN mx > mn THEN
+            |  aggregate(
+            |    transform(dv, v -> abs(v - (mn + floor((v - mn) * 255.0 / (mx - mn) + 0.5) * ((mx - mn) / 255.0)))),
+            |    CAST(0.0 AS DOUBLE), (acc, t) -> acc + t) / CAST(size(dv) AS DOUBLE)
+            |  ELSE 0.0 END""".stripMargin).as("mae"))
+      .orderBy(col("vec_id"))
+
+  val embedInt8Sql: String =
+    """WITH d AS (SELECT vec_id,
+      |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS dv FROM embeddings),
+      |r AS (SELECT vec_id, list_min(dv) AS mn, list_max(dv) AS mx, dv FROM d)
+      |SELECT vec_id, mn, mx,
+      |  CASE WHEN mx > mn THEN
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(dv, v -> abs(v - (mn + floor((v - mn) * 255.0 / (mx - mn) + 0.5) * ((mx - mn) / 255.0))))),
+      |      (acc, t) -> acc + t) / CAST(len(dv) AS DOUBLE)
+      |  ELSE 0.0 END AS mae
+      |FROM r ORDER BY vec_id""".stripMargin
+
   val lshDim = 64
 
   def embedLshAnnQ(spark: SparkSession, dir: String): DataFrame = {
@@ -1196,6 +1263,8 @@ object QueriesText {
     "ngram_jaccard" -> (ngramJaccardQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
+    "ann_recall" -> (annRecallQ _),
+    "embed_int8" -> (embedInt8Q _),
     "embed_dup" -> (embedDupQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
     "embed_pq" -> (embedPqQ _),
@@ -1223,6 +1292,8 @@ object QueriesText {
     "contamination" -> contaminationSql,
     "prefix_dedup" -> prefixDedupSql,
     "embed_lsh_ann" -> embedLshAnnSql,
+    "ann_recall" -> annRecallSql,
+    "embed_int8" -> embedInt8Sql,
     "embed_dup" -> embedDupSql,
     "exact_dedup" -> exactDedupSql,
     "minhash_sig" -> minhashSigSql,

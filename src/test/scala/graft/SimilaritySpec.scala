@@ -119,4 +119,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(out.forall(m => metaByte0(m.doc_id) == m.byte0))
   }
+
+  test("ann_recall hits are within [0, k] and recall is the exact ratio") {
+    val rows = QueriesText.annRecallQ(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, h, r) =>
+      assert(h >= 0 && h <= QueriesText.topK, s"probe $p hits $h")
+      assert(math.abs(r - h.toDouble / QueriesText.topK) < 1e-15)
+    }
+  }
+
+  test("embed_int8 reconstruction error is bounded by half a quantization step") {
+    val bad = QueriesText.embedInt8Q(spark, sf)
+      .filter(col("mae") > (col("mx") - col("mn")) / 255.0 / 2.0 + lit(1e-12))
+      .count()
+    assert(bad == 0L)
+  }
 }
