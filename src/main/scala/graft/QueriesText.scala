@@ -656,6 +656,36 @@ object QueriesText {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- row 25i: trained-IVF structural verdict (oracle gate for the trainer leg) ----
+
+  /** Hash-checkable contract for the MLlib-trained IVF leg: the trained
+    * centroids aren't oracle-reproducible, but the SEARCH structure is a
+    * fixed contract — exactly k results per probe, ranked by
+    * non-increasing cosine, cosines in [-1, 1], never self-matching. The
+    * oracle asserts the verdicts, so a broken trained-index search fails
+    * the correctness gate instead of hiding behind rows-only. Quality
+    * (actual recall) is ScalaTest-covered.
+    */
+  def ivfKmeansCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("rnk"))
+    ivfKmeansAnnQ(spark, dir)
+      .withColumn("__prev", lag(col("cos"), 1).over(w))
+      .groupBy(col("probe_id"))
+      .agg(
+        (count(lit(1)) === lit(topK.toLong)).as("k_ok"),
+        (sum(when(col("__prev").isNotNull && col("__prev") < col("cos"), 1L).otherwise(0L)) === 0L)
+          .as("sorted_ok"),
+        (sum(when(abs(col("cos")) <= 1.0 + 1e-9, 0L).otherwise(1L)) === 0L).as("bounded_ok"),
+        (sum(when(col("cand_id") === col("probe_id"), 1L).otherwise(0L)) === 0L).as("self_ok"))
+      .orderBy(col("probe_id"))
+  }
+
+  val ivfKmeansCheckSql: String =
+    s"""SELECT CAST(vec_id AS BIGINT) AS probe_id, TRUE AS k_ok, TRUE AS sorted_ok,
+       |  TRUE AS bounded_ok, TRUE AS self_ok
+       |FROM embeddings WHERE vec_id < $probeMax ORDER BY probe_id""".stripMargin
+
   // ---- row 25g: ANN recall evaluation (LSH leg vs brute-force truth) ----
 
   /** Recall@k of the LSH ANN leg against the brute-force ground truth —
@@ -1270,6 +1300,7 @@ object QueriesText {
     "embed_pq" -> (embedPqQ _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
+    "ivf_kmeans_check" -> (ivfKmeansCheckQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
@@ -1281,8 +1312,11 @@ object QueriesText {
     "mm_meta" -> (mmMetaQ _)
   )
 
-  /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer). */
+  /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer);
+    * ivf_kmeans_check is its hash-checked structural contract.
+    */
   val oracleSql: Map[String, String] = Map(
+    "ivf_kmeans_check" -> ivfKmeansCheckSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_dup" -> winnowDupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,

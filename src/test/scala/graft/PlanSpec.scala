@@ -12,6 +12,33 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("bpe_pairs is two keyed aggregations, no join (vocab-bounded pair work)") {
+    val p = plan("bpe_pairs")
+    assert(!p.contains("Join"), p.take(600))
+    // word-count exchange + pair-count exchange + top-k
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("embed_int8 is pure per-row expressions (no join, only the output sort shuffles)") {
+    val p = plan("embed_int8")
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("key_degree_hist never joins — one scan per profiled key") {
+    val p = plan("key_degree_hist")
+    assert(!p.contains("Join"), p.take(600))
+    assert("Scan parquet".r.findAllIn(p).size == QueriesStats.degreeKeys.size, p)
+  }
+
+  test("substring_dup reads only doc_id/text and bounds its shuffle count") {
+    val p = plan("substring_dup")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")))
+    // gram count, semi join, coverage agg (+partials), output sort
+    assert("Exchange".r.findAllIn(p).size <= 6, p)
+  }
+
   test("interval_join pushes the event_type filters into the parquet scans") {
     val p = plan("interval_join")
     assert(p.contains("EqualTo(event_type,click)"))
