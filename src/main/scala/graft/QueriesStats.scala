@@ -406,6 +406,71 @@ object QueriesStats {
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY key_name, degree_bucket")
 
+  // ---- row 15i: robust (MAD) outlier profile ----
+
+  /** 3σ-equivalent threshold: 3 × 1.4826 (the normal-consistency
+    * constant), written as ONE literal so both engines parse the same
+    * decimal.
+    */
+  val madThreshold = 4.4478
+
+  /** Median-absolute-deviation outlier profile per event_type — the
+    * robust counterpart of z-score spike detection (immune to the very
+    * outliers it hunts). Exact medians come from the bucket-locate
+    * quantile plan (no per-group global sort); deviations against the
+    * broadcast medians; outlier = |v − med| > 4.4478·MAD. Three passes
+    * over the value column, each a codegen'd scan + bounded-size
+    * aggregation.
+    */
+  def madOutliersQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val med = graft.operators.Metrics
+      .quantilesNearestBucketed(base, "event_type", "v", Seq(0.5))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("d"))
+    val mad = graft.operators.Metrics
+      .quantilesNearestBucketed(dev, "event_type", "d", Seq(0.5))
+      .select(col("event_type"), col("value").as("mad"))
+    base
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(madThreshold) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("med"), col("mad"), col("n"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double")).as("outlier_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    s"""WITH vals AS MATERIALIZED (
+       |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+       |ranked AS (SELECT event_type, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM vals),
+       |med AS (SELECT event_type, v AS med FROM ranked
+       |        WHERE rn = CAST(roundbankers(0.5 * (n - 1), 0) AS BIGINT) + 1),
+       |devs AS MATERIALIZED (SELECT vals.event_type, abs(v - med) AS d
+       |        FROM vals JOIN med USING (event_type)),
+       |dranked AS (SELECT event_type, d,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM devs),
+       |mad AS (SELECT event_type, d AS mad FROM dranked
+       |        WHERE rn = CAST(roundbankers(0.5 * (n - 1), 0) AS BIGINT) + 1)
+       |SELECT vals.event_type, med, mad, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN abs(v - med) > $madThreshold * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST(SUM(CASE WHEN abs(v - med) > $madThreshold * mad THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+       |FROM vals JOIN med USING (event_type) JOIN mad USING (event_type)
+       |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
+
   // ---- row 15e: per-group exact quantiles ----
 
   /** Exact per-event_type value quantiles through the same bucket-locate
@@ -767,6 +832,7 @@ object QueriesStats {
     "col_skew_profile" -> (colSkewProfileQ _),
     "shannon_entropy" -> (shannonEntropyQ _),
     "key_degree_hist" -> (keyDegreeHistQ _),
+    "mad_outliers" -> (madOutliersQ _),
     "hist2d" -> (hist2dQ _),
     "corr_matrix" -> (corrMatrixQ _),
     "group_quantiles" -> (groupQuantilesQ _),
@@ -788,6 +854,7 @@ object QueriesStats {
     "hll_ndv" -> hllNdvSql,
     "shannon_entropy" -> shannonEntropySql,
     "key_degree_hist" -> keyDegreeHistSql,
+    "mad_outliers" -> madOutliersSql,
     "col_skew_profile" -> colSkewProfileSql,
     "hist2d" -> hist2dSql,
     "corr_matrix" -> corrMatrixSql,

@@ -910,6 +910,44 @@ object QueriesText {
        |FROM w
        |ORDER BY doc_id""".stripMargin
 
+  // ---- row 27b: per-document token entropy (quality signal) ----
+
+  /** Per-document Shannon entropy of the token distribution — the
+    * quality signal that separates natural text (high entropy for its
+    * length) from keyword-stuffed or repeated-phrase spam, complementing
+    * repetition_ratio. Same portable-ln discipline as the column-level
+    * shannon_entropy: every ln-carrying term is DECIMAL(38,6)-quantized
+    * before the order-sensitive sum. One (doc_id, word) count shuffle.
+    * Docs with no tokens are omitted (explode yields no rows).
+    */
+  def tokenEntropyQ(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = col("cnt").cast("double")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokensExpr).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("ndv"),
+        sum((cnt * log(cnt)).cast("decimal(38,6)")).as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("ndv"),
+        (log(col("n_tokens").cast("double")).cast("decimal(38,6)").cast("double") -
+          col("__s").cast("double") / col("n_tokens").cast("double")).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenEntropySql: String =
+    s"""WITH $wordsCte,
+       |c AS (SELECT doc_id, word, COUNT(*) AS cnt
+       |      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2)
+       |SELECT doc_id, n_tokens, ndv,
+       |  CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+       |    - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS entropy
+       |FROM (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS ndv,
+       |        SUM(CAST(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,6))) AS s
+       |      FROM c GROUP BY 1)
+       |ORDER BY doc_id""".stripMargin
+
   def tokenCountQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCount(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1304,6 +1342,7 @@ object QueriesText {
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "token_count" -> (tokenCountQ _),
+    "token_entropy" -> (tokenEntropyQ _),
     "seq_pack" -> (seqPackQ _),
     "tfidf_terms" -> (tfidfTermsQ _),
     "doc_fingerprint" -> (docFingerprintQ _),
@@ -1343,6 +1382,7 @@ object QueriesText {
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
     "token_count" -> tokenCountSql,
+    "token_entropy" -> tokenEntropySql,
     "seq_pack" -> seqPackSql,
     "tfidf_terms" -> tfidfTermsSql,
     "doc_fingerprint" -> docFingerprintSql,
