@@ -376,7 +376,67 @@ object QueriesCorpus {
        |  CAST(covered AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
        |FROM cov ORDER BY doc_id""".stripMargin
 
+  // ---- zipf_fit: rank-frequency power-law regression ----
+
+  val zipfTopN = 1000
+
+  /** Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    * ln(rank) for the top-N words (slope ≈ −1 for natural language — a
+    * corpus-health statistic; synthetic or boilerplate-heavy corpora
+    * bend it). Ranks come from one vocabulary count shuffle + a top-N;
+    * the regression follows the portable exactness discipline: lns
+    * quantized to DECIMAL(38,6) (kept decimal for the plain sums),
+    * cross-moments on the 2^-20 binary grid, one fixed double tree for
+    * slope/intercept.
+    */
+  def zipfFitQ(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables(spark, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokensExpr).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(zipfTopN)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+    val feats = ranked
+      .select(
+        log(col("rn").cast("double")).cast("decimal(38,6)").as("xd"),
+        log(col("cnt").cast("double")).cast("decimal(38,6)").as("yd"))
+      .select(col("xd"), col("yd"),
+        col("xd").cast("double").as("x"), col("yd").cast("double").as("y"))
+    feats
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xd")).cast("double").as("sx"),
+        sum(col("yd")).cast("double").as("sy"),
+        (sum(floor(col("x") * col("x") * lit(1048576.0)).cast("bigint")).cast("double") /
+          lit(1048576.0)).as("sxx"),
+        (sum(floor(col("x") * col("y") * lit(1048576.0)).cast("bigint")).cast("double") /
+          lit(1048576.0)).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .select(col("n").cast("bigint").as("n_words"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+       |top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT $zipfTopN),
+       |ranked AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rn FROM top),
+       |f AS (SELECT CAST(ln(CAST(rn AS DOUBLE)) AS DECIMAL(38,6)) AS xd,
+       |             CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(38,6)) AS yd FROM ranked),
+       |f2 AS (SELECT xd, yd, CAST(xd AS DOUBLE) AS x, CAST(yd AS DOUBLE) AS y FROM f),
+       |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |        CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
+       |        CAST(SUM(CAST(FLOOR(x * x * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS sxx,
+       |        CAST(SUM(CAST(FLOOR(x * y * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0 AS sxy
+       |      FROM f2)
+       |SELECT CAST(n AS BIGINT) AS n_words, slope, (sy - slope * sx) / n AS intercept
+       |FROM (SELECT n, sx, sy, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf_fit" -> (zipfFitQ _),
     "bpe_pairs" -> (bpePairsQ _),
     "substring_dup" -> (substringDupQ _),
     "curation_pass" -> (curationPassQ _),
@@ -392,6 +452,7 @@ object QueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zipf_fit" -> zipfFitSql,
     "bpe_pairs" -> bpePairsSql,
     "substring_dup" -> substringDupSql,
     "curation_pass" -> curationPassSql,

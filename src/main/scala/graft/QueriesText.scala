@@ -361,17 +361,23 @@ object QueriesText {
 
   val simhashMaxHamming = 3
 
-  def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
-    TextOps
-      .simhashDups(
-        // the bands frame feeds 4 candidate self-joins + 2 verify joins —
-        // materialize it once instead of recomputing the aggregation per branch
-        Memo(spark, dir, "simhashBands")(
-          TextOps.simhashBands(Tables(spark, dir, "documents"))),
-        simhashMaxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** Verified simhash near-dup pairs; the bands frame feeds 4 candidate
+    * self-joins + 2 verify joins — materialize it once instead of
+    * recomputing the aggregation per branch.
+    */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashDups(
+      Memo(spark, dir, "simhashBands")(
+        TextOps.simhashBands(Tables(spark, dir, "documents"))),
+      simhashMaxHamming)
 
-  val simhashDupSql: String = {
+  def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** CTE chain ending in `sdup` (doc_a, doc_b, hamming) — shared by
+    * simhash_dup and simhash_clusters.
+    */
+  private val simhashPairCtes: String = {
     val wide = (0 until 4)
       .map(b => s"SUM(CASE WHEN band = $b THEN bv ELSE 0 END) AS b$b")
       .mkString(", ")
@@ -382,7 +388,7 @@ object QueriesText {
     val ham = (0 until 4)
       .map(b => s"bit_count(xor(la.b$b, lb.b$b))")
       .mkString(" + ")
-    s"""WITH $wordsCte,
+    s"""$wordsCte,
        |tok AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(ws) AS word FROM w)),
        |bits AS (
        |  SELECT doc_id, i,
@@ -397,14 +403,42 @@ object QueriesText {
        |wide AS (SELECT doc_id, $wide FROM bnd GROUP BY doc_id),
        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
        |$candArms
-       |))
-       |SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
-       |FROM cand c
-       |JOIN wide la ON la.doc_id = c.doc_a
-       |JOIN wide lb ON lb.doc_id = c.doc_b
-       |WHERE $ham <= $simhashMaxHamming
-       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |)),
+       |sdup AS (SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN wide la ON la.doc_id = c.doc_a
+       |  JOIN wide lb ON lb.doc_id = c.doc_b
+       |  WHERE $ham <= $simhashMaxHamming)""".stripMargin
   }
+
+  val simhashDupSql: String =
+    s"""WITH $simhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM sdup ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- row 22d: simhash near-dup clusters ----
+
+  /** Connected components over the verified simhash pairs — the cluster
+    * resolution step of the simhash dedup leg (same Pregel-style
+    * min-label propagation as dup_clusters, edge-list-only shuffles).
+    */
+  def simhashClustersQ(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "simhashComponents")(
+      graft.operators.Components
+        .connectedComponents(simhashPairs(spark, dir), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+      .orderBy(col("doc_id"))
+
+  val simhashClustersSql: String =
+    s"""WITH RECURSIVE $simhashPairCtes,
+       |sedges AS (SELECT doc_a AS a, doc_b AS b FROM sdup
+       |           UNION ALL SELECT doc_b, doc_a FROM sdup),
+       |sreach(node, r) AS (
+       |  SELECT a, a FROM sedges
+       |  UNION
+       |  SELECT e.a, r.r FROM sedges e JOIN sreach r ON e.b = r.node
+       |),
+       |sclusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM sreach GROUP BY node)
+       |SELECT doc_id, cluster_id FROM sclusters ORDER BY doc_id""".stripMargin
 
   // ---- row 23: n-gram Jaccard over (lang, source) candidate pairs ----
 
@@ -1328,6 +1362,7 @@ object QueriesText {
     "incremental_dedup" -> (incrementalDedupQ _),
     "dup_clusters" -> (dupClustersQ _),
     "simhash_dup" -> (simhashDupQ _),
+    "simhash_clusters" -> (simhashClustersQ _),
     "ngram_jaccard" -> (ngramJaccardQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
@@ -1374,6 +1409,7 @@ object QueriesText {
     "incremental_dedup" -> incrementalDedupSql,
     "dup_clusters" -> dupClustersSql,
     "simhash_dup" -> simhashDupSql,
+    "simhash_clusters" -> simhashClustersSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,

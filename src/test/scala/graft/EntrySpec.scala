@@ -38,7 +38,7 @@ class EntrySpec extends SparkSpec {
       "rolling_agg", "user_growth", "sliding_dau", "spike_detect",
       "props_extract", "decay_count", "kmv_setops", "ri_audit",
       "train_split", "term_search", "markov_transitions", "markov_stationary",
-      "bm25_rank", "bpe_pairs", "substring_dup", "cube_counts",
+      "bm25_rank", "bpe_pairs", "substring_dup", "zipf_fit", "simhash_clusters", "cube_counts",
       "compaction_plan", "vocab_coverage", "ks_test", "trend_fit",
       "value_deciles", "merge_upsert", "user_lifespan", "event_unpivot",
       "daily_signature", "dq_audit", "q3_join_agg", "returning_users",
