@@ -2011,7 +2011,65 @@ object QueriesAnalytics {
       |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS error_rate
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- cust_order_dist: TPC-H q13-shaped order-count distribution ----
+
+  /** Distribution of customers by order count, including the zero bucket
+    * (the left-outer + double-group TPC-H q13 shape). The first group
+    * lands on c_custkey, so the outer join's shuffle is reused by the
+    * aggregation; the second group is over ≤ a few hundred distinct
+    * counts — broadcast-light.
+    */
+  def custOrderDistQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey"))
+      .join(Tables(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  val custOrderDistSql: String =
+    """SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |      GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- dormant_customers: churn-candidate anti-window ----
+
+  val dormantDays = 90
+
+  /** Customers whose latest order is more than 90 days before the
+    * dataset's last order date — the churn-candidate roster. One
+    * aggregation over orders + a broadcast of the 1-row max date; the
+    * customer join only dresses the survivors with segment/balance.
+    */
+  def dormantCustomersQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+    val last = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"))
+      .crossJoin(broadcast(mx))
+      .filter(col("last_order") < col("mxd") - expr(s"INTERVAL $dormantDays DAYS"))
+    last.join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("last_order"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val dormantCustomersSql: String =
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+       |last AS (SELECT o_custkey, MAX(o_orderdate) AS last_order
+       |         FROM orders GROUP BY 1)
+       |SELECT c.c_custkey, c.c_mktsegment, l.last_order
+       |FROM last l CROSS JOIN mx JOIN customer c ON l.o_custkey = c.c_custkey
+       |WHERE l.last_order < mx.mxd - INTERVAL $dormantDays DAY
+       |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cust_order_dist" -> (custOrderDistQ _),
+    "dormant_customers" -> (dormantCustomersQ _),
     "rolling_agg" -> (rollingAggQ _),
     "user_growth" -> (userGrowthQ _),
     "sliding_dau" -> (slidingDauQ _),
@@ -2071,6 +2129,8 @@ object QueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cust_order_dist" -> custOrderDistSql,
+    "dormant_customers" -> dormantCustomersSql,
     "rolling_agg" -> rollingAggSql,
     "user_growth" -> userGrowthSql,
     "sliding_dau" -> slidingDauSql,

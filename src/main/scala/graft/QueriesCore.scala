@@ -312,7 +312,104 @@ object QueriesCore {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- zone_map_prune: layout-vs-pruning effectiveness simulation ----
+
+  val zmFiles = 64
+  val zmLo = 100000.0
+  val zmHi = 200000.0
+
+  /** Zone-map pruning effectiveness under three write layouts: orders
+    * range-bucketed into 64 "files" by custkey, by order date, and by
+    * total price (equal-width on the sort key — the arithmetic analogue
+    * of a range-partitioned writer, ONE scan per layout and no global
+    * sort). Per-file min/max of o_totalprice then the fraction of files
+    * a [100k, 200k] price predicate can skip: ~0 for the unrelated
+    * layouts, nearly all files for the price-clustered one. This is the
+    * measurement behind "sort your data by the filter column".
+    */
+  def zoneMapPruneQ(spark: SparkSession, dir: String): DataFrame = {
+    // one materialized slim projection instead of four parquet scans
+    // (bounds frame + three layout passes)
+    val o = Memo(spark, dir, "core:zmOrders")(
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice")))
+    val b = o.agg(
+      min(col("o_custkey")).as("mn_c"), max(col("o_custkey")).as("mx_c"),
+      min(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("mn_d"),
+      max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("mx_d"),
+      min(col("o_totalprice")).as("mn_p"), max(col("o_totalprice")).as("mx_p"))
+    val w = o.crossJoin(broadcast(b)).select(
+      col("o_totalprice").as("p"),
+      expr(s"((o_custkey - mn_c) * $zmFiles) div (mx_c - mn_c + 1)").as("f_cust"),
+      expr(s"((unix_micros(CAST(o_orderdate AS TIMESTAMP)) - mn_d) * $zmFiles) div (mx_d - mn_d + 1)").as("f_date"),
+      least(floor((col("o_totalprice") - col("mn_p")) * lit(zmFiles.toDouble) /
+        (col("mx_p") - col("mn_p"))).cast("bigint"), lit(zmFiles - 1L)).as("f_price"))
+    val z = Seq(("by_custkey", "f_cust"), ("by_date", "f_date"), ("by_price", "f_price"))
+      .map { case (name, f) =>
+        w.groupBy(col(f).as("f"))
+          .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+          .select(lit(name).as("layout"), col("mn"), col("mx"))
+      }
+      .reduce(_.unionAll(_))
+    z.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("mx") < zmLo || col("mn") > zmHi, 1L).otherwise(0L)).as("n_skipped"))
+      .withColumn("skip_frac", col("n_skipped").cast("double") / col("n_files"))
+      .orderBy(col("layout"))
+  }
+
+  val zoneMapPruneSql: String =
+    s"""WITH b AS (SELECT MIN(o_custkey) AS mn_c, MAX(o_custkey) AS mx_c,
+       |    MIN(epoch_us(o_orderdate)) AS mn_d, MAX(epoch_us(o_orderdate)) AS mx_d,
+       |    MIN(o_totalprice) AS mn_p, MAX(o_totalprice) AS mx_p FROM orders),
+       |w AS (SELECT o_totalprice AS p,
+       |    ((o_custkey - mn_c) * $zmFiles) // (mx_c - mn_c + 1) AS f_cust,
+       |    ((epoch_us(o_orderdate) - mn_d) * $zmFiles) // (mx_d - mn_d + 1) AS f_date,
+       |    LEAST(CAST(FLOOR((o_totalprice - mn_p) * $zmFiles.0 / (mx_p - mn_p)) AS BIGINT), ${zmFiles - 1}) AS f_price
+       |  FROM orders, b),
+       |z AS (SELECT 'by_custkey' AS layout, f_cust AS f, MIN(p) AS mn, MAX(p) AS mx FROM w GROUP BY 2
+       |  UNION ALL SELECT 'by_date', f_date, MIN(p), MAX(p) FROM w GROUP BY 2
+       |  UNION ALL SELECT 'by_price', f_price, MIN(p), MAX(p) FROM w GROUP BY 2)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(CASE WHEN mx < $zmLo OR mn > $zmHi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       |  CAST(SUM(CASE WHEN mx < $zmLo OR mn > $zmHi THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS skip_frac
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- shuffle_skew_audit: hash-partition balance diagnostic ----
+
+  val ssaParts = 32
+
+  /** The pre-flight skew diagnostic for a shuffle on l_orderkey: rows,
+    * distinct keys, and the hottest single key per hash partition (md5
+    * bucketing stands in for Spark's Murmur3 — same balance profile,
+    * portable to the oracle). Per-key counts first, so the partition
+    * rollup never rescans the fact table and hot keys are visible
+    * before they melt an executor.
+    */
+  def shuffleSkewAuditQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("pid",
+        conv(substring(md5(concat(lit("part:"), col("l_orderkey").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % ssaParts)
+      .groupBy(col("pid"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"))
+      .orderBy(col("pid"))
+
+  val shuffleSkewAuditSql: String =
+    s"""WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+       |           FROM lineitem GROUP BY 1),
+       |p AS (SELECT cnt,
+       |        CAST(('0x'||substr(md5('part:'||CAST(l_orderkey AS VARCHAR)),1,13)) AS BIGINT) % $ssaParts AS pid
+       |      FROM k)
+       |SELECT pid, CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zone_map_prune" -> (zoneMapPruneQ _),
+    "shuffle_skew_audit" -> (shuffleSkewAuditQ _),
     "q1_agg" -> (q1Agg _),
     "skew_join" -> (skewJoinQ _),
     "zorder_layout" -> (zorderLayoutQ _),
@@ -327,6 +424,8 @@ object QueriesCore {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zone_map_prune" -> zoneMapPruneSql,
+    "shuffle_skew_audit" -> shuffleSkewAuditSql,
     "q1_agg" -> q1AggSql,
     "skew_join" -> skewJoinSql,
     "zorder_layout" -> zorderLayoutSql,

@@ -358,7 +358,8 @@ object QueriesCorpus {
     * actually repeat. Docs with zero repeated spans are omitted.
     */
   def substringDupQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.substringDup(Tables(spark, dir, "documents"), ssdGram)
+    Corpus.substringDup(Tables(spark, dir, "documents"), ssdGram,
+      Memo(spark, dir, "corpus:ssdGrams")(_))
       .orderBy(col("doc_id"))
 
   val substringDupSql: String =
@@ -435,7 +436,132 @@ object QueriesCorpus {
        |SELECT CAST(n AS BIGINT) AS n_words, slope, (sy - slope * sx) / n AS intercept
        |FROM (SELECT n, sx, sy, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m)""".stripMargin
 
+  // ---- dsir_weights: hashed-n-gram importance weights (DSIR-style) ----
+
+  val dsirBuckets = 4096
+  val dsirTopN = 100
+
+  /** Data-selection importance weights à la DSIR: per-token hashed-
+    * unigram log-likelihood ratio of a target distribution (here the
+    * lang='en' slice) against the whole corpus, summed per document.
+    * The 4096-bucket model is two aggregations + a broadcast back onto
+    * the token stream — the classic importance-resampling preprocessing
+    * pass for LLM data curation. Each log is quantized to DECIMAL(38,6)
+    * before any arithmetic so the per-doc sums are exact decimal sums
+    * (aggregation-order-free, engine-portable).
+    */
+  def dsirWeightsQ(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Memo(spark, dir, "corpus:dsirTokens")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(graft.operators.TextOps.tokensExpr).as("word"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(concat(lit("dsir:"), col("word"))), 1, 13), 16, 10)
+            .cast("long") % dsirBuckets).as("b")))
+    val bs = tok.groupBy(col("b")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("ac"))
+    val tot = bs.agg(sum(col("tc")).as("tt"), sum(col("ac")).as("at2"))
+    val lr = bs.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("tc") + 0.5) / (col("tt") + lit(dsirBuckets / 2.0))).cast("decimal(38,6)") -
+        log((col("ac") + 0.5) / (col("at2") + lit(dsirBuckets / 2.0))).cast("decimal(38,6)")).as("lw"))
+    tok.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lw")).cast("decimal(38,6)").as("wsum"), count(lit(1)).as("n_tok"))
+      .orderBy(col("wsum").desc, col("doc_id")).limit(dsirTopN)
+      .select(col("doc_id"), col("n_tok"), col("wsum").cast("double").as("dsir_weight"))
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |tok AS (SELECT doc_id, lang,
+       |          CAST(('0x'||substr(md5('dsir:'||word),1,13)) AS BIGINT) % $dsirBuckets AS b
+       |        FROM (SELECT w.doc_id, d.lang, unnest(w.ws) AS word
+       |              FROM w JOIN documents d ON w.doc_id = d.doc_id)),
+       |bs AS (SELECT b,
+       |         CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+       |         CAST(COUNT(*) AS BIGINT) AS ac
+       |       FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(ac) AS BIGINT) AS at2 FROM bs),
+       |lr AS (SELECT b, CAST(ln((tc + 0.5) / (tt + ${dsirBuckets / 2.0})) AS DECIMAL(38,6))
+       |               - CAST(ln((ac + 0.5) / (at2 + ${dsirBuckets / 2.0})) AS DECIMAL(38,6)) AS lw
+       |       FROM bs, tot),
+       |ds AS (SELECT doc_id, CAST(SUM(lw) AS DECIMAL(38,6)) AS wsum, CAST(COUNT(*) AS BIGINT) AS n_tok
+       |       FROM tok JOIN lr USING (b) GROUP BY 1)
+       |SELECT doc_id, n_tok, CAST(wsum AS DOUBLE) AS dsir_weight
+       |FROM ds ORDER BY wsum DESC, doc_id LIMIT $dsirTopN""".stripMargin
+
+  // ---- mlm_mask: deterministic MLM-style token masking ----
+
+  val mlmPct = 15
+
+  /** BERT-style masked-LM batch preparation: each token position is
+    * masked with probability 15%, decided by a seeded md5 draw on
+    * (doc_id, position) — fully deterministic, reproducible shard by
+    * shard, no RNG state to coordinate across executors. One explode +
+    * one keyed aggregation.
+    */
+  def mlmMaskQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+      .select(col("doc_id"), (col("pos") + 1).as("p"))
+      .withColumn("m",
+        conv(substring(md5(concat(lit("mlm:"), col("doc_id").cast("string"),
+          lit(":"), col("p").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 100 < mlmPct)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        min(when(col("m"), col("p"))).as("first_masked"))
+      .orderBy(col("doc_id"))
+
+  val mlmMaskSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |tok AS (SELECT doc_id, p,
+       |         CAST(('0x'||substr(md5('mlm:'||CAST(doc_id AS VARCHAR)||':'||CAST(p AS VARCHAR)),1,13)) AS BIGINT) % 100 < $mlmPct AS m
+       |       FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS p FROM w))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |  MIN(CASE WHEN m THEN p END) AS first_masked
+       |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- tok_fertility: tokenizer fertility profile per language ----
+
+  /** Tokenizer fertility statistics per language — words per doc and
+    * chars per word, the quick health check before committing to a
+    * tokenizer at corpus scale. Exact integer sums with the final
+    * double divisions only at presentation.
+    */
+  def tokFertilityQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), graft.operators.TextOps.tokensExpr.as("ws"))
+      .select(col("lang"), size(col("ws")).as("nw"),
+        length(concat_ws("", col("ws"))).as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nc").cast("bigint")).as("n_word_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_word_chars"),
+        (col("n_words").cast("double") / col("n_docs")).as("words_per_doc"),
+        (col("n_word_chars").cast("double") / col("n_words")).as("chars_per_word"))
+      .orderBy(col("lang"))
+
+  val tokFertilitySql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |f AS (SELECT d.lang, len(w.ws) AS nw, strlen(array_to_string(w.ws, '')) AS nc
+       |      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+       |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(nw) AS BIGINT) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_word_chars
+       |      FROM f GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_word_chars,
+       |  CAST(n_words AS DOUBLE) / n_docs AS words_per_doc,
+       |  CAST(n_word_chars AS DOUBLE) / n_words AS chars_per_word
+       |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> (dsirWeightsQ _),
+    "mlm_mask" -> (mlmMaskQ _),
+    "tok_fertility" -> (tokFertilityQ _),
     "zipf_fit" -> (zipfFitQ _),
     "bpe_pairs" -> (bpePairsQ _),
     "substring_dup" -> (substringDupQ _),
@@ -452,6 +578,9 @@ object QueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dsir_weights" -> dsirWeightsSql,
+    "mlm_mask" -> mlmMaskSql,
+    "tok_fertility" -> tokFertilitySql,
     "zipf_fit" -> zipfFitSql,
     "bpe_pairs" -> bpePairsSql,
     "substring_dup" -> substringDupSql,

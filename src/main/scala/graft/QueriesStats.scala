@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Stats
@@ -256,13 +257,15 @@ object QueriesStats {
 
   def colQuantilesQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Metrics.quantilesNearestBucketed(
-      quantCols
-        .map { case (t, c) =>
-          Tables(spark, dir, t)
-            .filter(col(c).isNotNull)
-            .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
-        }
-        .reduce(_.unionAll(_)),
+      // the bucket-locate plan scans this union three times → memoize
+      Memo(spark, dir, "stats:quantColVals")(
+        quantCols
+          .map { case (t, c) =>
+            Tables(spark, dir, t)
+              .filter(col(c).isNotNull)
+              .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
+          }
+          .reduce(_.unionAll(_))),
       "col_name", "v")
 
   val colQuantilesSql: String = {
@@ -414,6 +417,17 @@ object QueriesStats {
     */
   val madThreshold = 4.4478
 
+  /** Slim (event_type, value) projection shared by the per-group
+    * quantile/MAD profiles: each bucket-locate pass scans it three
+    * times, so it is materialized once per session (same cached-slim-
+    * projection discipline as the minhash/pq frames).
+    */
+  private def eventVals(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "stats:eventVals")(
+      Tables(spark, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v")))
+
   /** Median-absolute-deviation outlier profile per event_type — the
     * robust counterpart of z-score spike detection (immune to the very
     * outliers it hunts). Exact medians come from the bucket-locate
@@ -423,14 +437,16 @@ object QueriesStats {
     * aggregation.
     */
   def madOutliersQ(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "events")
-      .filter(col("value").isNotNull)
-      .select(col("event_type"), col("value").cast("double").as("v"))
+    // The two bucket-locate median passes + the final outlier scan read
+    // this 2-column projection seven times — materialize it once (same
+    // cached-slim-projection discipline as the minhash/pq frames).
+    val base = eventVals(spark, dir)
     val med = graft.operators.Metrics
       .quantilesNearestBucketed(base, "event_type", "v", Seq(0.5))
       .select(col("event_type"), col("value").as("med"))
-    val dev = base.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("v") - col("med")).as("d"))
+    val dev = Memo(spark, dir, "stats:madDev")(
+      base.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("v") - col("med")).as("d")))
     val mad = graft.operators.Metrics
       .quantilesNearestBucketed(dev, "event_type", "d", Seq(0.5))
       .select(col("event_type"), col("value").as("mad"))
@@ -479,10 +495,7 @@ object QueriesStats {
     */
   def groupQuantilesQ(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Metrics.quantilesNearestBucketed(
-      Tables(spark, dir, "events")
-        .filter(col("value").isNotNull)
-        .select(col("event_type"), col("value").cast("double").as("v")),
-      "event_type", "v")
+      eventVals(spark, dir), "event_type", "v")
 
   val groupQuantilesSql: String = {
     val arms = graft.operators.Metrics.quantiles
@@ -761,10 +774,12 @@ object QueriesStats {
 
   def eqdepthHistQ(spark: SparkSession, dir: String): DataFrame = {
     val qs = (1 until eqdepthBins).map(_.toDouble / eqdepthBins)
-    val vals = Tables(spark, dir, "orders")
-      .filter(col("o_totalprice").isNotNull)
-      .select(lit("orders.o_totalprice").as("col_name"),
-        col("o_totalprice").cast("double").as("v"))
+    // three bucket-locate scans + the final binning scan → memoize
+    val vals = Memo(spark, dir, "stats:eqdepthVals")(
+      Tables(spark, dir, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .select(lit("orders.o_totalprice").as("col_name"),
+          col("o_totalprice").cast("double").as("v")))
     val bounds = graft.operators.Metrics
       .quantilesNearestBucketed(vals, "col_name", "v", qs)
       .agg(sort_array(collect_list(col("value"))).as("bs"))
@@ -828,7 +843,61 @@ object QueriesStats {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- sample_quantiles: bottom-k hash sample + rank-error audit ----
+
+  val sqK = 512
+
+  /** Decile estimates from a deterministic bottom-k-by-md5 sample (a
+    * KMV-style mergeable uniform sample: per-partition top-k then one
+    * driver merge — no global sort), audited against the full data: the
+    * true CDF at each estimate and a within_bound flag (rank error ≤
+    * 5%). The audit leg is one extra scan with a 9-row broadcast; at
+    * 100 TB you keep the sample leg and sample the audit.
+    */
+  def sampleQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("value").as("v"),
+        conv(substring(md5(concat(lit("sq:"), col("event_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("hk"))
+    val smp = h.orderBy(col("hk"), col("v")).limit(sqK).select(col("v"))
+    val ranked = smp
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+      .crossJoin(broadcast(smp.agg(count(lit(1)).as("m"))))
+    val qs = spark.range(1, 10).select((col("id").cast("double") / 10).as("q"))
+    val est = qs.join(ranked, col("rn") === ceil(col("q") * col("m")))
+      .groupBy(col("q")).agg(min(col("v")).as("est_v"))
+    h.crossJoin(broadcast(est))
+      .groupBy(col("q"), col("est_v"))
+      .agg(
+        sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("le"),
+        count(lit(1)).as("nn"))
+      .select(col("q"), col("est_v"),
+        (col("le").cast("double") / col("nn")).as("true_cdf"))
+      .withColumn("within_bound", abs(col("true_cdf") - col("q")) <= 0.05)
+      .orderBy(col("q"))
+  }
+
+  val sampleQuantilesSql: String =
+    s"""WITH h AS (SELECT value AS v,
+       |    CAST(('0x'||substr(md5('sq:'||CAST(event_id AS VARCHAR)),1,13)) AS BIGINT) AS hk
+       |  FROM events WHERE value IS NOT NULL),
+       |smp AS (SELECT v FROM h ORDER BY hk, v LIMIT $sqK),
+       |ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM smp),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM smp),
+       |qs AS (SELECT CAST(q AS DOUBLE)/10 AS q FROM range(1,10) t(q)),
+       |est AS (SELECT q, MIN(v) AS est_v
+       |        FROM qs CROSS JOIN m JOIN ranked ON rn = CAST(ceil(q * m) AS BIGINT) GROUP BY 1)
+       |SELECT q, est_v, CAST(le AS DOUBLE) / nn AS true_cdf,
+       |  (abs(CAST(le AS DOUBLE) / nn - q) <= 0.05) AS within_bound
+       |FROM (SELECT e.q, e.est_v,
+       |        CAST(SUM(CASE WHEN h.v <= e.est_v THEN 1 ELSE 0 END) AS BIGINT) AS le,
+       |        CAST(COUNT(*) AS BIGINT) AS nn
+       |      FROM est e CROSS JOIN h GROUP BY 1, 2)
+       |ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quantiles" -> (sampleQuantilesQ _),
     "col_skew_profile" -> (colSkewProfileQ _),
     "shannon_entropy" -> (shannonEntropyQ _),
     "key_degree_hist" -> (keyDegreeHistQ _),
@@ -851,6 +920,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_quantiles" -> sampleQuantilesSql,
     "hll_ndv" -> hllNdvSql,
     "shannon_entropy" -> shannonEntropySql,
     "key_degree_hist" -> keyDegreeHistSql,

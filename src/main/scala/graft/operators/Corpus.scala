@@ -207,14 +207,20 @@ object Corpus {
     * suffix-array-free formulation of the exact-substring dedup
     * statistic.
     */
-  def substringDup(documents: DataFrame, gram: Int): DataFrame = {
-    val grams = documents
+  def substringDup(
+      documents: DataFrame, gram: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    // `materialize` lets the caller cache the gram table: it feeds both
+    // the repeat-count aggregation and the span probe, and the
+    // tokenize + md5 + posexplode work dominates — computing it twice
+    // doubles the query's cost.
+    val grams = materialize(documents
       .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
       .filter(size(col("__ws")) >= gram)
       .select(col("doc_id"), size(col("__ws")).as("__n"),
         posexplode(expr(
           s"transform(sequence(1, size(__ws) - ${gram - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $gram))))")))
-      .select(col("doc_id"), col("__n"), (col("pos") + 1).as("p"), col("col").as("gh"))
+      .select(col("doc_id"), col("__n"), (col("pos") + 1).as("p"), col("col").as("gh")))
     val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ")).filter(col("occ") > 1)
     grams
       .join(rep.select(col("gh")), Seq("gh"), "leftsemi")

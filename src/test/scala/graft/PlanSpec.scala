@@ -12,6 +12,19 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Leaf node class names of the EXECUTED tree — InMemoryTableScan
+    * leaves do NOT expand to their cached child's file scan here, unlike
+    * the plan string, which embeds the cached relation's definition.
+    */
+  private def leaves(name: String): Seq[String] = {
+    // AQE wraps the whole tree in AdaptiveSparkPlanExec — itself a leaf
+    // — so the typed walk needs it off for this one planning pass.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      .collectLeaves().map(_.getClass.getSimpleName)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bpe_pairs is two keyed aggregations, no join (vocab-bounded pair work)") {
     val p = plan("bpe_pairs")
     assert(!p.contains("Join"), p.take(600))
@@ -211,5 +224,54 @@ class PlanSpec extends SparkSpec {
     // full outer join on the merge key: SortMergeJoin is expected (both
     // sides keyed); there must be no nested-loop fallback
     assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("triangle_count joins are all keyed (no cartesian path enumeration)") {
+    val p = plan("triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the 1-row n_edges × n_triangles combine is the only nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(800))
+  }
+
+  test("nation_pagerank iterates over the cached edge frame, not the parquet tables") {
+    // all 5 unrolled iterations must read the memoized aggregated graph;
+    // a file-scan leaf here means the 4-table join pipeline re-executes
+    // once per iteration
+    val ls = leaves("nation_pagerank")
+    assert(!ls.exists(_.contains("FileSourceScan")), ls.mkString(","))
+    assert(ls.exists(_.contains("InMemoryTableScan")), ls.mkString(","))
+  }
+
+  test("zone_map_prune reads the slim projection once, no joins beyond the 1-row bounds") {
+    val ls = leaves("zone_map_prune")
+    assert(!ls.exists(_.contains("FileSourceScan")), ls.mkString(","))
+    assert(!plan("zone_map_prune").contains("SortMergeJoin"))
+  }
+
+  test("shuffle_skew_audit never joins and aggregates per key before per partition") {
+    val p = plan("shuffle_skew_audit")
+    assert(!p.contains("Join"), p.take(800))
+    // key agg + partition agg + presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("mlm_mask reads only doc_id/text and shuffles once into the doc aggregation") {
+    val p = plan("mlm_mask")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("sample_quantiles takes the bottom-k without a global sort") {
+    val p = plan("sample_quantiles")
+    // per-partition top-k + driver merge, not Exchange+Sort over the table
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("cust_order_dist reuses the custkey shuffle for the first aggregation") {
+    val p = plan("cust_order_dist")
+    // outer join shuffle on custkey + count-distribution shuffle + sort
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
 }
