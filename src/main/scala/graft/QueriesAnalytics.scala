@@ -2067,7 +2067,101 @@ object QueriesAnalytics {
        |WHERE l.last_order < mx.mxd - INTERVAL $dormantDays DAY
        |ORDER BY c.c_custkey""".stripMargin
 
+  // ---- ewma_spikes: half-life-smoothed daily-count anomaly flags ----
+
+  val ewmaDays = 14
+
+  /** Exact-decimal CASE of (1/2)^age truncated to 6 dp — the truncated
+    * literal IS the weight definition, so both engines use the same
+    * constants (same discipline as decay_count).
+    */
+  private val ewmaCaseSql: String =
+    (1 to ewmaDays).map(j => f"WHEN $j THEN ${math.pow(0.5, j)}%.6f")
+      .mkString("CASE age ", " ", " END")
+
+  /** Per-(event_type, day) spike flags against a 14-day half-life EWMA
+    * baseline of the preceding days. The day-count frame is tiny
+    * (days × types), so the range self-join is broadcast-light at any
+    * raw-data scale — the heavy lifting is the single daily-count
+    * aggregation. The spike test multiplies through by the weight
+    * denominator (cnt·Σw > 3·Σ(w·c)) so it stays in exact decimal; the
+    * ewma itself is the one presentation-time double division.
+    */
+  def ewmaSpikesQ(spark: SparkSession, dir: String): DataFrame = {
+    val dc = Memo(spark, dir, "analytics:ewmaDayCounts")(
+      events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))
+    val w = expr(ewmaCaseSql)
+    dc.as("a").join(dc.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") < col("a.day") &&
+          col("b.day") >= col("a.day") - expr(s"INTERVAL $ewmaDays DAYS"))
+      .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+        col("a.cnt").as("cnt"),
+        expr("(unix_micros(a.day) - unix_micros(b.day)) div 86400000000").as("age"),
+        col("b.cnt").as("pcnt"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(col("cnt")).as("cnt"),
+        sum(col("pcnt") * w).cast("decimal(38,6)").as("ewma_num"),
+        sum(w).cast("decimal(38,6)").as("ewma_den"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("ewma_num").cast("double") / col("ewma_den").cast("double")).as("ewma"),
+        (col("cnt").cast("decimal(38,6)") * col("ewma_den") > lit(3) * col("ewma_num"))
+          .as("is_spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaSpikesSql: String =
+    s"""WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+       |            FROM events GROUP BY 1,2),
+       |pair AS (SELECT a.event_type, a.day, a.cnt,
+       |           CAST((epoch_us(a.day) - epoch_us(b.day)) // 86400000000 AS BIGINT) AS age, b.cnt AS pcnt
+       |         FROM dc a JOIN dc b ON a.event_type = b.event_type
+       |           AND b.day < a.day AND b.day >= a.day - INTERVAL $ewmaDays DAY),
+       |ew AS (SELECT event_type, day, MIN(cnt) AS cnt,
+       |         CAST(SUM(pcnt * ($ewmaCaseSql)) AS DECIMAL(38,6)) AS ewma_num,
+       |         CAST(SUM($ewmaCaseSql) AS DECIMAL(38,6)) AS ewma_den
+       |       FROM pair GROUP BY 1,2)
+       |SELECT event_type, day, cnt,
+       |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma,
+       |  (CAST(cnt AS DECIMAL(38,6)) * ewma_den > 3 * ewma_num) AS is_spike
+       |FROM ew ORDER BY 1, 2""".stripMargin
+
+  // ---- min_price_supplier: per-part argmin supplier (q2 shape) ----
+
+  /** The cheapest supplier per part by observed unit price — the TPC-H
+    * q2 argmin-per-group shape. Min-price first, then the tied rows are
+    * resolved by smallest suppkey: a deterministic argmin without
+    * min_by's tie lottery. Two keyed aggregations + one broadcast of
+    * the supplier dimension.
+    */
+  def minPriceSupplierQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        (col("l_extendedprice") / col("l_quantity")).as("up"))
+    val m = u.groupBy(col("pk")).agg(min(col("up")).as("min_unit_price"))
+    u.join(m.withColumnRenamed("pk", "mpk"),
+        col("pk") === col("mpk") && col("up") === col("min_unit_price"))
+      .groupBy(col("pk"))
+      .agg(min(col("sk")).as("best_supp"), min(col("min_unit_price")).as("min_unit_price"))
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), col("best_supp") === col("s_suppkey"))
+      .select(col("pk").as("p_partkey"), col("s_suppkey"), col("s_name"), col("min_unit_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val minPriceSupplierSql: String =
+    """WITH u AS (SELECT l_partkey AS pk, l_suppkey AS sk, l_extendedprice / l_quantity AS up FROM lineitem),
+      |m AS (SELECT pk, MIN(up) AS min_unit_price FROM u GROUP BY 1),
+      |a AS (SELECT u.pk, MIN(u.sk) AS best_supp, MIN(m.min_unit_price) AS min_unit_price
+      |      FROM u JOIN m ON u.pk = m.pk AND u.up = m.min_unit_price GROUP BY 1)
+      |SELECT a.pk AS p_partkey, s.s_suppkey, s.s_name, a.min_unit_price
+      |FROM a JOIN supplier s ON a.best_supp = s.s_suppkey ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ewma_spikes" -> (ewmaSpikesQ _),
+    "min_price_supplier" -> (minPriceSupplierQ _),
     "cust_order_dist" -> (custOrderDistQ _),
     "dormant_customers" -> (dormantCustomersQ _),
     "rolling_agg" -> (rollingAggQ _),
@@ -2129,6 +2223,8 @@ object QueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ewma_spikes" -> ewmaSpikesSql,
+    "min_price_supplier" -> minPriceSupplierSql,
     "cust_order_dist" -> custOrderDistSql,
     "dormant_customers" -> dormantCustomersSql,
     "rolling_agg" -> rollingAggSql,

@@ -525,6 +525,50 @@ object QueriesCorpus {
        |  MIN(CASE WHEN m THEN p END) AS first_masked
        |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- span_corrupt: T5-style span-corruption masking plan ----
+
+  val spanEvery = 20
+  val spanLen = 3
+
+  /** T5-style span corruption: each position opens a 3-token mask span
+    * with probability 1/20, decided by a seeded md5 draw — overlapping
+    * spans merge by construction (a position is masked iff any of the
+    * last 3 positions opened a span, a 2-PRECEDING window max). Same
+    * reproducibility contract as mlm_mask: shard-independent, no RNG
+    * state, the mask plan is a pure function of (doc_id, pos).
+    */
+  def spanCorruptQ(spark: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(spanLen - 1), Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+      .select(col("doc_id"), (col("pos") + 1).as("p"))
+      .withColumn("st",
+        conv(substring(md5(concat(lit("span:"), col("doc_id").cast("string"),
+          lit(":"), col("p").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % spanEvery === 0)
+      .withColumn("msk", max(when(col("st"), 1).otherwise(0)).over(win) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("msk"), 1L).otherwise(0L)).as("n_masked"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |tok AS (SELECT doc_id, p,
+       |         CAST(('0x'||substr(md5('span:'||CAST(doc_id AS VARCHAR)||':'||CAST(p AS VARCHAR)),1,13)) AS BIGINT) % $spanEvery = 0 AS st
+       |       FROM (SELECT doc_id, unnest(range(1, len(ws)+1)) AS p FROM w)),
+       |mk AS (SELECT doc_id, p, st,
+       |         MAX(CASE WHEN st THEN 1 ELSE 0 END) OVER
+       |           (PARTITION BY doc_id ORDER BY p ROWS BETWEEN ${spanLen - 1} PRECEDING AND CURRENT ROW) = 1 AS msk
+       |       FROM tok)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+       |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- tok_fertility: tokenizer fertility profile per language ----
 
   /** Tokenizer fertility statistics per language — words per doc and
@@ -558,7 +602,51 @@ object QueriesCorpus {
        |  CAST(n_word_chars AS DOUBLE) / n_words AS chars_per_word
        |FROM a ORDER BY lang""".stripMargin
 
+  // ---- lm_perplexity: char-bigram LM negative log-likelihood ----
+
+  /** Per-document average negative log-likelihood under a char-bigram
+    * conditional LM trained on the corpus itself — the classic
+    * perplexity-filter signal for LLM data curation (gibberish and
+    * boilerplate score far from the corpus mean). Model = two keyed
+    * aggregations (bigram counts, first-char totals); scoring = one
+    * broadcast of the ≤|Σ|² model back onto the bigram stream. Each
+    * log-prob is quantized to DECIMAL(38,6), so per-doc sums are exact
+    * and engine-portable; the only double division is the final mean.
+    */
+  def lmPerplexityQ(spark: SparkSession, dir: String): DataFrame = {
+    val big = Memo(spark, dir, "corpus:lmBigrams")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg")))
+    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val cc = bc.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum(col("c2")).as("c1n"))
+    val lp = bc.join(cc, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg"), log(col("c2").cast("double") / col("c1n")).cast("decimal(38,6)").as("lw"))
+    big.join(broadcast(lp), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lw")).cast("decimal(38,6)").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("s").cast("double") / col("n_bigrams")).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexitySql: String =
+    """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents WHERE strlen(lower(text)) >= 2),
+      |big AS (SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bg
+      |        FROM (SELECT doc_id, t, unnest(range(1, strlen(t))) AS i FROM t)),
+      |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+      |cc AS (SELECT substr(bg, 1, 1) AS c1, CAST(SUM(c2) AS BIGINT) AS c1n FROM bc GROUP BY 1),
+      |lp AS (SELECT bg, CAST(ln(CAST(c2 AS DOUBLE) / c1n) AS DECIMAL(38,6)) AS lw
+      |       FROM bc JOIN cc ON substr(bg, 1, 1) = cc.c1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  -CAST(CAST(SUM(lw) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS nll
+      |FROM big JOIN lp USING (bg) GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_perplexity" -> (lmPerplexityQ _),
+    "span_corrupt" -> (spanCorruptQ _),
     "dsir_weights" -> (dsirWeightsQ _),
     "mlm_mask" -> (mlmMaskQ _),
     "tok_fertility" -> (tokFertilityQ _),
@@ -578,6 +666,8 @@ object QueriesCorpus {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lm_perplexity" -> lmPerplexitySql,
+    "span_corrupt" -> spanCorruptSql,
     "dsir_weights" -> dsirWeightsSql,
     "mlm_mask" -> mlmMaskSql,
     "tok_fertility" -> tokFertilitySql,

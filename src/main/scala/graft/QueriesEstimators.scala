@@ -1501,7 +1501,67 @@ object QueriesEstimators {
        |LEFT JOIN lw ON s.o_orderkey = lw.l_orderkey
        |ORDER BY slot""".stripMargin
 
+  // ---- join_card_est: System-R join-size estimate vs ground truth ----
+
+  /** (edge label, fact table, fact filter, fact key, dim table,
+    * dim filter, dim key) — filters apply to the query; ndv stats come
+    * from the UNFILTERED tables, exactly as an optimizer's catalog
+    * would supply them.
+    */
+  val jceEdges: Seq[(String, String, String, String, String, String, String)] = Seq(
+    ("orders_hi-customer", "orders", "o_totalprice > 150000", "o_custkey",
+      "customer", "TRUE", "c_custkey"),
+    ("lineitem_q30-orders_urgent", "lineitem", "l_quantity > 30", "l_orderkey",
+      "orders", "o_orderpriority = '1-URGENT'", "o_orderkey"),
+    ("lineitem_disc-part_big", "lineitem", "l_discount > 0.05", "l_partkey",
+      "part", "p_size > 25", "p_partkey"))
+
+  /** The System-R join-size formula |A'|·|B'| / max(ndv_A, ndv_B) —
+    * filtered inputs, catalog (unfiltered) ndvs, independence assumed —
+    * audited against the true join count per FK edge, with the q-error
+    * alongside. This is the estimator an optimizer actually runs before
+    * picking a join order; the audit says how wrong independence is on
+    * this data. All integer arithmetic (div), one presentation double.
+    */
+  def joinCardEstQ(spark: SparkSession, dir: String): DataFrame =
+    jceEdges.map { case (label, ft, ff, fk, dt, df, dk) =>
+      val f = Tables(spark, dir, ft)
+      val d = Tables(spark, dir, dt)
+      val na = f.filter(expr(ff)).agg(count(lit(1)).as("na"))
+      val nb = d.filter(expr(df)).agg(count(lit(1)).as("nb"))
+      val da = f.agg(greatest(countDistinct(col(fk)), lit(1L)).as("da"))
+      val db = d.agg(greatest(countDistinct(col(dk)), lit(1L)).as("db"))
+      val actual = f.filter(expr(ff))
+        .join(d.filter(expr(df)), col(fk) === col(dk))
+        .agg(count(lit(1)).as("actual"))
+      na.crossJoin(nb).crossJoin(da).crossJoin(db).crossJoin(actual)
+        .select(lit(label).as("edge"), col("na"), col("nb"),
+          expr("(na * nb) div greatest(da, db)").as("est"), col("actual"))
+        .select(col("edge"), col("na"), col("nb"), col("est"), col("actual"),
+          (greatest(col("est"), col("actual")).cast("double") /
+            greatest(least(col("est"), col("actual")), lit(1L))).as("q_err"))
+    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+
+  val joinCardEstSql: String = {
+    val arms = jceEdges.map { case (label, ft, ff, fk, dt, df, dk) =>
+      s"""SELECT '$label' AS edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ft WHERE $ff) AS na,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $dt WHERE $df) AS nb,
+         |  (SELECT CAST(GREATEST(COUNT(DISTINCT $fk),1) AS BIGINT) FROM $ft) AS da,
+         |  (SELECT CAST(GREATEST(COUNT(DISTINCT $dk),1) AS BIGINT) FROM $dt) AS db,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ft JOIN $dt ON $fk = $dk
+         |   WHERE ($ff) AND ($df)) AS actual""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |$arms)
+       |SELECT edge, na, nb, CAST((na * nb) // GREATEST(da, db) AS BIGINT) AS est, actual,
+       |  CAST(GREATEST((na * nb) // GREATEST(da, db), actual) AS DOUBLE) /
+       |    GREATEST(LEAST((na * nb) // GREATEST(da, db), actual), 1) AS q_err
+       |FROM s ORDER BY edge""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_card_est" -> (joinCardEstQ _),
     "pred_eval" -> (predEvalQ _),
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
@@ -1526,6 +1586,7 @@ object QueriesEstimators {
     * DuckDB CTEs, so even the stochastic operator hash-matches.
     */
   val oracleSql: Map[String, String] = Map(
+    "join_card_est" -> joinCardEstSql,
     "pred_eval" -> predEvalSql,
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,

@@ -51,14 +51,23 @@ object QueriesGraph {
       .join(broadcast(d.select(col("x").as("v"), col("c").as("dv"))), Seq("v"))
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst")))
-    val paths = de.as("a").join(broadcast(de).as("b"),
-        col("a.src") === col("b.src") && col("a.dst") =!= col("b.dst"))
-      .select(col("a.dst").as("x1"), col("b.dst").as("x2"))
-    // each wedge matches at most one directed edge (de rows are unique
-    // pairs), so the semi-join count IS the triangle count
-    val tri = paths.join(broadcast(de).as("cl"),
-        col("x1") === col("cl.src") && col("x2") === col("cl.dst"), "leftsemi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersection counting: for each directed edge (u,v) the
+    // triangles closed through it are |N+(u) ∩ N+(v)| — each triangle
+    // is counted exactly once, at its unique two-out-edge apex. The
+    // wedge set (83 M rows at sf0.1) never materializes: one pass over
+    // the E-row edge list against a broadcast |V|-row adjacency table
+    // whose arrays the degree ordering caps at O(sqrt(E)) (≤97 here).
+    // For graphs whose adjacency outgrows a broadcast, drop the hints
+    // and the same plan runs as two shuffle joins.
+    val adj = de.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = de
+      .join(broadcast(adj.select(col("src").as("s1"), col("nbrs").as("nu"))),
+        col("src") === col("s1"))
+      .join(broadcast(adj.select(col("src").as("s2"), col("nbrs").as("nv"))),
+        col("dst") === col("s2"), "left")
+      .select(size(array_intersect(col("nu"),
+        coalesce(col("nv"), array().cast("array<bigint>")))).as("t"))
+      .agg(sum(col("t")).cast("bigint").as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
@@ -114,11 +123,15 @@ object QueriesGraph {
         floor(col("w").cast("double") * lit(prGrid) / col("od")).cast("bigint").as("pg"))
     val r0 = nodes.select(col("nk"), col("nn"),
       floor(lit(prGrid) / col("nn")).cast("bigint").as("rg"))
+    // Every frame in the loop is ≤|V|² rows: broadcast both join sides
+    // so the five iterations plan as local hash joins with zero
+    // exchanges between them, instead of 10 tiny 32-partition shuffles
+    // whose per-stage latency dominates the query.
     val rFinal = (1 to prIters).foldLeft(r0) { (r, _) =>
-      val contrib = r.join(p, r("nk") === p("u"))
+      val contrib = broadcast(r).join(p, r("nk") === p("u"))
         .groupBy(col("v").as("nk2"))
         .agg(sum(floor(col("rg").cast("double") * col("pg") / lit(prGrid)).cast("bigint")).as("s"))
-      nodes.join(contrib, col("nk") === col("nk2"), "left")
+      nodes.join(broadcast(contrib), col("nk") === col("nk2"), "left")
         .select(col("nk"), col("nn"),
           (floor(lit(0.15) * lit(prGrid) / col("nn")).cast("bigint") +
             floor(lit(0.85) * coalesce(col("s"), lit(0L))).cast("bigint")).as("rg"))

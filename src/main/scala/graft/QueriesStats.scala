@@ -896,7 +896,75 @@ object QueriesStats {
        |      FROM est e CROSS JOIN h GROUP BY 1, 2)
        |ORDER BY q""".stripMargin
 
+  // ---- bloom_prejoin: runtime-filter semi-join reduction audit ----
+
+  val bpjM = 4096
+  val bpjK = 3
+
+  /** The runtime-filter pattern measured end-to-end: a 4096-bit, 3-hash
+    * Bloom filter built from the dormant-customer roster, probed by
+    * every order row, scored against the exact semi-join. Membership is
+    * set-algebra on md5-derived bit positions (a join against the
+    * distinct-position set), so both engines compute the identical
+    * filter — no bitset state. Output: pass counts, false positives,
+    * and the realized fp rate — the number that says whether shipping
+    * this filter to the fact-scan side pays at 100 TB.
+    */
+  def bloomPrejoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+    val build = Memo(spark, dir, "stats:bloomBuild")(
+      o.groupBy(col("o_custkey").as("k"))
+        .agg(max(col("o_orderdate")).as("lo"))
+        .crossJoin(broadcast(mx))
+        .filter(col("lo") < col("mxd") - expr("INTERVAL 90 DAYS"))
+        .select(col("k")))
+    val probe = Memo(spark, dir, "stats:bloomProbe")(
+      o.select(col("o_orderkey"), col("o_custkey")))
+    val hs = spark.range(0, bpjK).select(col("id").as("h"))
+    def posOf(key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("b"), col("h").cast("string"), lit(":"),
+        key.cast("string"))), 1, 13), 16, 10).cast("long") % bpjM
+    val pos = build.crossJoin(hs).select(posOf(col("k")).as("p")).distinct()
+    val ph = probe.crossJoin(hs)
+      .select(col("o_orderkey"), col("o_custkey"), posOf(col("o_custkey")).as("p"))
+    val hits = ph.join(broadcast(pos), Seq("p"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === bpjK)
+    val ex = probe.join(build, col("o_custkey") === col("k"), "leftsemi")
+    build.agg(count(lit(1)).as("n_build"))
+      .crossJoin(probe.agg(count(lit(1)).as("n_probe")))
+      .crossJoin(hits.agg(count(lit(1)).as("bloom_pass")))
+      .crossJoin(ex.agg(count(lit(1)).as("exact_pass")))
+      .select(col("n_build"), col("n_probe"), col("bloom_pass"), col("exact_pass"),
+        (col("bloom_pass") - col("exact_pass")).as("false_pos"),
+        ((col("bloom_pass") - col("exact_pass")).cast("double") /
+          (col("n_probe") - col("exact_pass"))).as("fp_rate"))
+  }
+
+  val bloomPrejoinSql: String =
+    s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+       |build AS (SELECT o_custkey AS k FROM orders CROSS JOIN mx
+       |          GROUP BY 1, mxd HAVING MAX(o_orderdate) < mxd - INTERVAL 90 DAY),
+       |pos AS (SELECT DISTINCT CAST(('0x'||substr(md5('b'||CAST(h AS VARCHAR)||':'||CAST(k AS VARCHAR)),1,13)) AS BIGINT) % $bpjM AS p
+       |        FROM build, range(0,$bpjK) t(h)),
+       |probe AS (SELECT o_orderkey, o_custkey FROM orders),
+       |ph AS (SELECT o_orderkey, o_custkey,
+       |         CAST(('0x'||substr(md5('b'||CAST(h AS VARCHAR)||':'||CAST(o_custkey AS VARCHAR)),1,13)) AS BIGINT) % $bpjM AS p
+       |       FROM probe, range(0,$bpjK) t(h)),
+       |hits AS (SELECT o_orderkey, o_custkey FROM ph JOIN pos USING (p)
+       |         GROUP BY 1,2 HAVING COUNT(*) = $bpjK),
+       |ex AS (SELECT o_orderkey FROM probe SEMI JOIN build ON probe.o_custkey = build.k)
+       |SELECT n_build, n_probe, bloom_pass, exact_pass,
+       |  bloom_pass - exact_pass AS false_pos,
+       |  CAST(bloom_pass - exact_pass AS DOUBLE) / (n_probe - exact_pass) AS fp_rate
+       |FROM (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS bloom_pass,
+       |        (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS exact_pass)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_prejoin" -> (bloomPrejoinQ _),
     "sample_quantiles" -> (sampleQuantilesQ _),
     "col_skew_profile" -> (colSkewProfileQ _),
     "shannon_entropy" -> (shannonEntropyQ _),
@@ -920,6 +988,7 @@ object QueriesStats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "bloom_prejoin" -> bloomPrejoinSql,
     "sample_quantiles" -> sampleQuantilesSql,
     "hll_ndv" -> hllNdvSql,
     "shannon_entropy" -> shannonEntropySql,

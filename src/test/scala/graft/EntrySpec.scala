@@ -53,7 +53,9 @@ class EntrySpec extends SparkSpec {
       "error_rate",
       "triangle_count", "nation_pagerank", "cust_order_dist", "dormant_customers",
       "sample_quantiles", "dsir_weights", "mlm_mask", "tok_fertility",
-      "zone_map_prune", "shuffle_skew_audit")
+      "zone_map_prune", "shuffle_skew_audit",
+      "lm_perplexity", "ewma_spikes", "min_price_supplier", "bloom_prejoin",
+      "span_corrupt", "join_card_est")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -274,4 +274,25 @@ class PlanSpec extends SparkSpec {
     // outer join shuffle on custkey + count-distribution shuffle + sort
     assert("Exchange".r.findAllIn(p).size <= 4, p)
   }
+
+  test("lm_perplexity broadcasts the bigram model onto the token stream") {
+    val p = plan("lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
+  }
+
+  test("ewma_spikes self-joins the cached day-count frame, not the events table") {
+    val ls = leaves("ewma_spikes")
+    assert(!ls.exists(_.contains("FileSourceScan")), ls.mkString(","))
+  }
+
+  test("min_price_supplier broadcasts the supplier dimension") {
+    assert(plan("min_price_supplier").contains("BroadcastHashJoin"))
+  }
+
+  test("bloom_prejoin broadcasts the bit-position set into the probe") {
+    val p = plan("bloom_prejoin")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
 }
