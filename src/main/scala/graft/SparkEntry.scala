@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesEstimators.queries ++
       QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries ++
-      QueriesCorpus.queries ++ QueriesAnalytics.queries ++ QueriesGraph.queries
+      QueriesCorpus.queries ++ QueriesAnalytics.queries ++ QueriesGraph.queries ++
+      QueriesRelational.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesEstimators.oracleSql ++
       QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql ++
-      QueriesCorpus.oracleSql ++ QueriesAnalytics.oracleSql ++ QueriesGraph.oracleSql
+      QueriesCorpus.oracleSql ++ QueriesAnalytics.oracleSql ++ QueriesGraph.oracleSql ++
+      QueriesRelational.oracleSql
 }

@@ -295,4 +295,55 @@ class PlanSpec extends SparkSpec {
     val p = plan("bloom_prejoin")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
+
+  test("q4_priority_exists runs the EXISTS as a semi join, not a distinct") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"), p.take(800))
+  }
+
+  test("q7_trade_volume broadcasts both nation-filtered dimensions") {
+    val p = plan("q7_trade_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    // date column pruned: lineitem scan reads only the 5 used columns
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.exists(s => s.contains("l_shipdate") && !s.contains("l_tax")), p.take(800))
+  }
+
+  test("q8_market_share computes numerator and denominator in one aggregation pass") {
+    val p = plan("q8_market_share")
+    // a single pair of partial/final aggregates over the joined fact —
+    // not two scans of lineitem
+    assert("FileScan parquet.*lineitem".r.findAllIn(p).size <= 1, p.take(1200))
+  }
+
+  test("q10_returns takes the top 20 without a full sort of the aggregate") {
+    assert(plan("q10_returns").contains("TakeOrderedAndProject"))
+  }
+
+  test("q14_promo_share broadcasts the 2-column part dim") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.exists(s => s.contains("p_partkey") && !s.contains("p_name")), p.take(800))
+  }
+
+  test("q16_supplier_variety reduces to distinct pairs before the part join") {
+    val p = plan("q16_supplier_variety")
+    // the (partkey, suppkey) distinct happens on a 2-column scan
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.exists(s =>
+      s.contains("l_partkey") && s.contains("l_suppkey") && !s.contains("l_quantity")), p.take(800))
+  }
+
+  test("q17_small_qty broadcasts the brand part list and the per-part stats") {
+    val p = plan("q17_small_qty")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q22_idle_balance broadcasts the 1-row average and anti-joins pruned orders") {
+    val p = plan("q22_idle_balance")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
 }
