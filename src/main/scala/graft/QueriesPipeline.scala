@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline / analytics additions (SURVEY.md §2 rows 118-121):
+  * last-touch attribution, embedding centroid drift, a fixed-point
+  * power-iteration PCA direction, and a hash-shard write plan. All on
+  * the repo's portable-exactness grids (cents, 1e-6/1e-3 fixed point,
+  * sign-split integer division) so the DuckDB oracle hash-matches.
+  */
+object QueriesPipeline {
+
+  // ---- row 118: last-touch attribution ----
+
+  /** Last-touch revenue attribution: each purchase is attributed to the
+    * same user's most recent PRIOR click (strictly-before window frame),
+    * bucketed by the click's hour-of-day; purchases with no prior click
+    * fall in bucket -1. One user-partitioned window — a single shuffle
+    * by user_id, the natural key — then a 25-row aggregate. The window
+    * orders by (ts, event_id) so same-instant events break ties
+    * identically in both engines.
+    */
+  def lastTouchAttributionQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir, "events")
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(hour(col("last_click_ts")), lit(-1)).as("click_hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("attributed_c"))
+      .orderBy(col("click_hour"))
+  }
+
+  val lastTouchAttributionSql: String =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    max(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |  FROM events)
+      |SELECT COALESCE(CAST(hour(last_click_ts) AS INT), -1) AS click_hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS attributed_c
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- row 119: per-label centroid drift ----
+
+  /** Sign-split truncating integer division: both engines truncate
+    * non-negative integer quotients identically, so sign·(|a| div b)
+    * sidesteps the floor-vs-truncate ambiguity negative quotients have.
+    */
+  private def signDiv(a: Column, b: Column): Column =
+    (when(a < 0, lit(-1L)).otherwise(lit(1L))) *
+      expr(s"CAST(abs(${a.toString}) DIV ${b.toString} AS BIGINT)")
+
+  /** Per-label embedding centroid drift from the corpus centroid:
+    * squared L2 distance between the label mean and the global mean,
+    * entirely on the 1e-6 fixed-point grid (values quantized, means via
+    * sign-split integer division, distance a BIGINT sum of squared
+    * grid differences). The slice-vs-corpus distribution-shift monitor
+    * a curation pipeline runs per source/domain. One explode shuffle
+    * keyed (label, dim) — dims bounded (64), labels bounded, so the
+    * aggregate is tiny; the global centroid derives from the per-label
+    * sums, never a second data pass.
+    */
+  def centroidDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("i"),
+        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
+    // Memoized: the (label, dim) sums feed both the per-label leg and the
+    // derived global centroid — one embeddings scan, not two.
+    val per = Memo(spark, dir, "pipeline:centroidSums")(
+      q.groupBy(col("label"), col("i"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n")))
+    val glob = per.groupBy(col("i"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    per.join(broadcast(glob), Seq("i"))
+      .select(col("label"), col("n"),
+        (signDiv(col("s"), col("n")) - signDiv(col("gs"), col("gn"))).as("d"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("d") * col("d")).as("dist2_q"))
+      .select(col("label"), col("n_vecs"), col("dist2_q"),
+        (col("dist2_q").cast("double") / 1e12).as("drift2"))
+      .orderBy(col("label"))
+  }
+
+  val centroidDriftSql: String =
+    """WITH q AS (
+      |  SELECT label, i,
+      |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+      |  FROM embeddings, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i)),
+      |per AS (SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM q GROUP BY 1, 2),
+      |gctr AS (SELECT i, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+      |         FROM per GROUP BY 1),
+      |d AS (SELECT label, n,
+      |    (CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) // n) -
+      |    (CASE WHEN gs < 0 THEN -1 ELSE 1 END) * (abs(gs) // gn) AS d
+      |  FROM per JOIN gctr USING (i))
+      |SELECT label, MAX(n) AS n_vecs, CAST(SUM(d * d) AS BIGINT) AS dist2_q,
+      |  CAST(SUM(d * d) AS DOUBLE) / 1e12 AS drift2
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- row 120: fixed-point power-iteration PCA direction ----
+
+  /** Top principal direction (un-centered) of the embedding cloud via
+    * three power iterations on the Gram matrix, all in fixed point so
+    * the result is bit-identical across engines. The data pass is the
+    * standard distributed-PCA shape: ONE pass over the vectors
+    * accumulating the d×d second-moment matrix M (d=64 → 4096 cells;
+    * input on the 1e-3 grid keeps Σ qv_i·qv_j within BIGINT up to
+    * ~10^9 rows — the MLlib RowMatrix.computeGramianMatrix discipline).
+    * Iterations then run on the tiny M alone: w ← M·w as a broadcast
+    * join, renormalized to the 1e6 grid by sign-split division by
+    * max|raw| — no data rescan, no driver loop over rows.
+    */
+  def gramTopEigenQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = Memo(spark, dir, "pipeline:gramQ")(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("i"),
+          expr("CAST(floor(CAST(col AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)").as("qv")))
+    val m = Memo(spark, dir, "pipeline:gramM")(
+      q.select(col("vec_id"), col("i"), col("qv"))
+        .join(q.select(col("vec_id"), col("i").as("j"), col("qv").as("qw")), Seq("vec_id"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("qv") * col("qw")).cast("decimal(38,0)").as("mv")))
+    val w0 = m.select(col("j")).distinct()
+      .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("w"))
+    val w3 = (1 to 3).foldLeft(w0) { case (w, _) =>
+      val raw = m.join(broadcast(w), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("mv") * col("w")).as("raw"))
+      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          ((when(col("raw") < 0, lit(-1L)).otherwise(lit(1L))).cast("decimal(38,0)") *
+            expr("CAST((abs(raw) * 1000000) DIV mx AS DECIMAL(38,0))")).as("w"))
+    }
+    w3.select(col("j").as("i"), col("w").cast("bigint").as("eigvec_q"))
+      .orderBy(col("i"))
+  }
+
+  val gramTopEigenSql: String = {
+    def iter(prev: String, r: String, n: String, next: String): String =
+      s"""$r AS (SELECT m.i, SUM(CAST(mv AS HUGEINT) * w) AS raw
+         |  FROM m JOIN $prev ON m.j = $prev.j GROUP BY 1),
+         |$n AS (SELECT MAX(abs(raw)) AS mx FROM $r),
+         |$next AS (SELECT i AS j,
+         |    (CASE WHEN raw < 0 THEN -1 ELSE 1 END) *
+         |    ((CAST(abs(raw) AS HUGEINT) * 1000000) // mx) AS w
+         |  FROM $r, $n),""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qv
+       |  FROM embeddings, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i)),
+       |m AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS mv
+       |      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+       |w0 AS (SELECT DISTINCT j, CAST(1000000 AS HUGEINT) AS w FROM m),
+       |${iter("w0", "r1", "n1", "w1")}
+       |${iter("w1", "r2", "n2", "w2")}
+       |${iter("w2", "r3", "n3", "w3")}
+       |fin AS (SELECT 1 AS one)
+       |SELECT j AS i, CAST(w AS BIGINT) AS eigvec_q FROM w3 ORDER BY 1""".stripMargin
+  }
+
+  // ---- row 121: hash-shard write plan ----
+
+  /** Balanced shard plan for a corpus write: documents assigned to 16
+    * shards by salted md5 — NO global sort, no coordination, the same
+    * assignment every engine and every run — with per-shard doc / char
+    * / estimated-token loads and the max/min balance ratio audit
+    * (broadcast 1-row min/max back onto the 16-row plan). At 100 TB
+    * this is exactly a `repartition(16, hash)` write plan; the audit
+    * says whether hash sharding suffices or a size-aware packer is
+    * needed.
+    */
+  def shardPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables(spark, dir, "documents")
+      .select(
+        (conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long") % 16).as("shard"),
+        col("n_chars"),
+        (size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_tokens")).as("tokens"))
+    val bounds = shards.agg(max(col("chars")).as("max_chars"), min(col("chars")).as("min_chars"))
+    shards.crossJoin(broadcast(bounds))
+      .select(col("shard"), col("n_docs"), col("chars"), col("tokens"),
+        (col("max_chars").cast("double") / col("min_chars").cast("double")).as("balance_ratio"))
+      .orderBy(col("shard"))
+  }
+
+  val shardPlanSql: String =
+    """WITH s AS (
+      |  SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 16 AS shard,
+      |    n_chars, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |  FROM s GROUP BY 1),
+      |b AS (SELECT MAX(chars) AS max_chars, MIN(chars) AS min_chars FROM sh)
+      |SELECT shard, n_docs, chars, tokens,
+      |  CAST(max_chars AS DOUBLE) / CAST(min_chars AS DOUBLE) AS balance_ratio
+      |FROM sh, b ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "last_touch_attribution" -> (lastTouchAttributionQ _),
+    "centroid_drift" -> (centroidDriftQ _),
+    "gram_top_eigen" -> (gramTopEigenQ _),
+    "shard_plan" -> (shardPlanQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "last_touch_attribution" -> lastTouchAttributionSql,
+    "centroid_drift" -> centroidDriftSql,
+    "gram_top_eigen" -> gramTopEigenSql,
+    "shard_plan" -> shardPlanSql
+  )
+}

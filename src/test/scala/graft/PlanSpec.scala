@@ -346,4 +346,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
   }
+
+  test("last_touch_attribution shuffles once by user_id into the window") {
+    val p = plan("last_touch_attribution")
+    assert(p.contains("Window"), p.take(600))
+    // user_id shuffle + 25-row aggregate exchange + presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("centroid_drift derives the global centroid without a second embeddings scan") {
+    // the (label,dim) sums frame is memoized: executed-tree leaves are
+    // in-memory scans of it, never two parquet scans of embeddings
+    val ls = leaves("centroid_drift")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("gram_top_eigen iterates on the tiny Gram matrix via broadcast joins") {
+    val p = plan("gram_top_eigen")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the three w-updates and normalizers feed off the memoized Gram
+    // matrix — the executed tree never rescans the embeddings parquet
+    val ls = leaves("gram_top_eigen")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("shard_plan is one scan + one 16-row aggregate") {
+    val p = plan("shard_plan")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("lang")), p.take(800))
+  }
 }
