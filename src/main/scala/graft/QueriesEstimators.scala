@@ -125,7 +125,7 @@ object QueriesEstimators {
     if (model == "ols") olsEstFrame(spark, dir)
     else memoized(spark, dir, s"est:$model") {
       val statsRow = model match {
-        case "naive" => memoized(spark, dir, "predStats")(predStatsRow(spark, dir))
+        case "naive" | "ebo" => memoized(spark, dir, "predStats")(predStatsRow(spark, dir))
         case "hist" =>
           memoized(spark, dir, "modelStats:false")(modelStatsRow(eqViaMcv = false)(spark, dir))
         case "mcv" =>
@@ -134,6 +134,7 @@ object QueriesEstimators {
       }
       val estOf: (String, graft.query.ParsedQuery, Int) => Column = model match {
         case "naive" => (_, q, start) => naiveEstCol(q, start)
+        case "ebo"   => (_, q, start) => eboEstCol(q, start)
         case "hist"  => (_, q, start) => modelEstCol(eqViaMcv = false)(q, start)
         case "mcv"   => (_, q, start) => modelEstCol(eqViaMcv = true)(q, start)
         case "cin"   => (id, _, _) => cinEstCol(id)
@@ -239,6 +240,53 @@ object QueriesEstimators {
         val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
         val est = (j +: naiveFactorsSql(q)).mkString(" * ")
         s"SELECT '$id' AS query_id, $est AS est"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Exponential-backoff estimator (the SQL Server 2014+ correction to
+    * the independence assumption): selectivities sorted most-selective
+    * first, the k-th factor dampened to s^(1/2^k) — s·√s₂·⁴√s₃. The
+    * workload's ≤3 predicates let the runtime sort be a closed
+    * least/greatest/sum-residual form, the SAME fixed-order expression
+    * in Spark and the oracle (sqrt is IEEE-correctly-rounded in both),
+    * so the estimate is bit-exact without materializing a sorted list.
+    */
+  private def eboEstCol(q: graft.query.ParsedQuery, startIdx: Int): Column = {
+    val sels = q.predicates.zipWithIndex.map { case (p, j) =>
+      col(s"__m${startIdx + j}") / col(s"__n_${CardBenchmark.tableOf(p.col)}")
+    }
+    val damped = sels match {
+      case Seq(s1) => s1
+      case Seq(s1, s2) => least(s1, s2) * sqrt(greatest(s1, s2))
+      case Seq(s1, s2, s3) =>
+        val mn = least(s1, s2, s3)
+        val mx = greatest(s1, s2, s3)
+        val md = s1 + s2 + s3 - mn - mx
+        mn * sqrt(md) * sqrt(sqrt(mx))
+      case other =>
+        throw new IllegalArgumentException(s"ebo supports ≤3 predicates, got ${other.size}")
+    }
+    col("__j") * damped
+  }
+
+  def eboEstQ(spark: SparkSession, dir: String): DataFrame =
+    estFrame(spark, dir, "ebo")
+      .select(col("query_id"), col("est"))
+      .orderBy(col("query_id"))
+
+  val eboEstSql: String =
+    parsedSpecs
+      .map { case (id, q, _) =>
+        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+        val sels = naiveFactorsSql(q).zipWithIndex.map { case (s, i) => s"$s AS s${i + 1}" }
+        val damped = q.predicates.length match {
+          case 1 => "s1"
+          case 2 => "least(s1, s2) * sqrt(greatest(s1, s2))"
+          case 3 => "least(s1, s2, s3) * sqrt(s1 + s2 + s3 - least(s1, s2, s3) - greatest(s1, s2, s3)) * sqrt(sqrt(greatest(s1, s2, s3)))"
+          case n => throw new IllegalArgumentException(s"$n preds")
+        }
+        s"SELECT '$id' AS query_id, __j * ($damped) AS est FROM " +
+          s"(SELECT $j AS __j, ${sels.mkString(", ")})"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
@@ -1565,6 +1613,7 @@ object QueriesEstimators {
     "pred_eval" -> (predEvalQ _),
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
+    "ebo_est" -> (eboEstQ _),
     "hist_est" -> (histEstQ _),
     "mcv_est" -> (mcvEstQ _),
     "joint_est" -> (jointEstQ _),
@@ -1590,6 +1639,7 @@ object QueriesEstimators {
     "pred_eval" -> predEvalSql,
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,
+    "ebo_est" -> eboEstSql,
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
     "joint_est" -> jointEstSql,

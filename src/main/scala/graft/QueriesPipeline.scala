@@ -134,14 +134,20 @@ object QueriesPipeline {
         .agg(sum(col("qv") * col("qw")).cast("decimal(38,0)").as("mv")))
     val w0 = m.select(col("j")).distinct()
       .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("w"))
-    val w3 = (1 to 3).foldLeft(w0) { case (w, _) =>
-      val raw = m.join(broadcast(w), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("mv") * col("w")).as("raw"))
-      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("i").as("j"),
-          ((when(col("raw") < 0, lit(-1L)).otherwise(lit(1L))).cast("decimal(38,0)") *
-            expr("CAST((abs(raw) * 1000000) DIV mx AS DECIMAL(38,0))")).as("w"))
+    // Each iterate is memoized: `raw` feeds both the normalizer and the
+    // update, and the next iteration references this one — without the
+    // cache the lazy plan re-derives every earlier iteration per
+    // reference (2^k blow-up of the tiny matmul).
+    val w3 = (1 to 3).foldLeft(w0) { case (w, it) =>
+      Memo(spark, dir, s"pipeline:gramW$it") {
+        val raw = m.join(broadcast(w), Seq("j"))
+          .groupBy(col("i")).agg(sum(col("mv") * col("w")).as("raw"))
+        val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            ((when(col("raw") < 0, lit(-1L)).otherwise(lit(1L))).cast("decimal(38,0)") *
+              expr("CAST((abs(raw) * 1000000) DIV mx AS DECIMAL(38,0))")).as("w"))
+      }
     }
     w3.select(col("j").as("i"), col("w").cast("bigint").as("eigvec_q"))
       .orderBy(col("i"))
@@ -211,17 +217,217 @@ object QueriesPipeline {
       |  CAST(max_chars AS DOUBLE) / CAST(min_chars AS DOUBLE) AS balance_ratio
       |FROM sh, b ORDER BY 1""".stripMargin
 
+  // ---- row 122: watermark / out-of-order lateness profile ----
+
+  /** Ingest-batch size for the lateness profile: event_id is the arrival
+    * sequence, so `event_id div 8192` is a micro-batch. */
+  val lateBatchSize = 8192L
+
+  /** Out-of-order lateness profile — the statistic that picks a
+    * Structured Streaming watermark. Events are grouped into arrival
+    * micro-batches (event_id ranges); each batch's watermark is the max
+    * event-time of all PRIOR batches (a running max over the tiny
+    * batch-count frame, broadcast back); an event's lateness is how far
+    * its timestamp trails that watermark. Bucketed into a fixed CASE
+    * ladder — no global per-event running max, which would be a
+    * single-partition sort at scale.
+    */
+  def lateEventsQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("ts"),
+        expr(s"event_id DIV $lateBatchSize").as("batch"))
+    val batches = e.groupBy(col("batch")).agg(max(col("ts")).as("bmax"))
+    val wm = batches.select(col("batch"),
+      max(col("bmax")).over(Window.orderBy(col("batch"))
+        .rowsBetween(Window.unboundedPreceding, -1)).as("wm"))
+    val lateUs = expr("greatest(0, unix_micros(wm) - unix_micros(ts))")
+    e.join(broadcast(wm), Seq("batch"))
+      .select(col("event_id"),
+        when(col("wm").isNull, "first_batch")
+          .when(lateUs === 0, "on_time")
+          .when(lateUs <= 1000000L, "le_1s")
+          .when(lateUs <= 10000000L, "le_10s")
+          .when(lateUs <= 60000000L, "le_60s")
+          .when(lateUs <= 600000000L, "le_600s")
+          .otherwise("gt_600s").as("bucket"),
+        when(col("wm").isNull, lit(0L)).otherwise(lateUs).as("late_us"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("late_us")).cast("double") / 1e6).as("max_late_s"))
+      .orderBy(col("bucket"))
+  }
+
+  val lateEventsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, ts, event_id // $lateBatchSize AS batch FROM events),
+       |b AS (SELECT batch, MAX(ts) AS bmax FROM e GROUP BY 1),
+       |wm AS (SELECT batch,
+       |    MAX(bmax) OVER (ORDER BY batch
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+       |  FROM b),
+       |l AS (SELECT event_id, wm,
+       |    greatest(0, epoch_us(wm) - epoch_us(ts)) AS late_us
+       |  FROM e JOIN wm USING (batch))
+       |SELECT CASE WHEN wm IS NULL THEN 'first_batch'
+       |            WHEN late_us = 0 THEN 'on_time'
+       |            WHEN late_us <= 1000000 THEN 'le_1s'
+       |            WHEN late_us <= 10000000 THEN 'le_10s'
+       |            WHEN late_us <= 60000000 THEN 'le_60s'
+       |            WHEN late_us <= 600000000 THEN 'le_600s'
+       |            ELSE 'gt_600s' END AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MAX(CASE WHEN wm IS NULL THEN 0 ELSE late_us END) AS DOUBLE) / 1e6 AS max_late_s
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- row 123: bucket-count advisor ----
+
+  /** Estimated row widths (bytes) for the fixed-width tables; documents
+    * adds its measured char payload, embeddings its vector payload. */
+  val rowWidths: Map[String, Long] = Map(
+    "region" -> 32, "nation" -> 32, "customer" -> 56, "supplier" -> 48,
+    "part" -> 64, "orders" -> 56, "lineitem" -> 96, "events" -> 64,
+    "documents" -> 40, "embeddings" -> 268)
+
+  val targetFileBytes = 134217728L // 128 MiB
+
+  /** Bucket-count advisor: per table, the smallest power-of-two bucket
+    * count whose buckets stay under the 128 MiB target file size, from
+    * exact row counts and an estimated row width (documents add their
+    * measured text bytes). The power-of-two pick is a join against a
+    * 31-row powers table with pure integer comparisons — no log2, no
+    * floating point, so the recommendation is engine-exact. Per-table
+    * counts are metadata-cheap scans; the whole advisor output is
+    * 10 rows. This is the pre-flight for `bucketBy`/`repartition`
+    * write layouts at 100 TB.
+    */
+  def bucketAdvisorQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.all.map { t =>
+      val base = Tables(spark, dir, t)
+      val bytes =
+        if (t == "documents")
+          base.agg(count(lit(1)).as("n_rows"),
+            (sum(col("n_chars")) + count(lit(1)) * lit(rowWidths(t))).as("est_bytes"))
+        else
+          base.agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) * lit(rowWidths(t))).as("est_bytes"))
+      bytes.select(lit(t).as("table_name"), col("n_rows"), col("est_bytes"))
+    }.reduce(_ unionAll _)
+    val powers = spark.range(0, 31)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("buckets"))
+    stats.crossJoin(broadcast(powers))
+      .filter(col("buckets") * lit(targetFileBytes) >= col("est_bytes"))
+      .groupBy(col("table_name"))
+      .agg(max(col("n_rows")).as("n_rows"), max(col("est_bytes")).as("est_bytes"),
+        min(col("buckets")).as("buckets"))
+      .orderBy(col("table_name"))
+  }
+
+  val bucketAdvisorSql: String = {
+    val stats = Tables.all.map { t =>
+      if (t == "documents")
+        s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(n_chars) + COUNT(*) * ${rowWidths(t)} AS BIGINT) AS est_bytes FROM $t"
+      else
+        s"SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(COUNT(*) * ${rowWidths(t)} AS BIGINT) AS est_bytes FROM $t"
+    }.mkString(" UNION ALL ")
+    s"""WITH stats AS ($stats),
+       |powers AS (SELECT CAST(1 AS BIGINT) << CAST(p AS INT) AS buckets
+       |           FROM (SELECT unnest(range(0, 31)) AS p))
+       |SELECT table_name, MAX(n_rows) AS n_rows, MAX(est_bytes) AS est_bytes,
+       |  MIN(buckets) AS buckets
+       |FROM stats, powers
+       |WHERE buckets * $targetFileBytes >= est_bytes
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- row 124: pairwise mutual information over a discrete cube ----
+
+  /** Pairwise mutual information between four discretized lineitem
+    * columns (returnflag, linestatus, quantity decile-ish buckets,
+    * discount buckets) — the column-dependence statistic a learned
+    * cardinality estimator (and a Chow-Liu tree builder) starts from.
+    * ONE fact scan builds the ≤216-cell joint-count cube; every pair's
+    * 2-D table, both marginals, and N derive from the cube alone, so
+    * the six MI statistics cost six tiny window passes, not six scans.
+    * Each cell's log-ratio is quantized to DECIMAL(38,6) before the
+    * c·log weighting (the lm_perplexity discipline), keeping the sums
+    * exact and engine-portable; only the final /N is a double.
+    */
+  def mutualInfoQ(spark: SparkSession, dir: String): DataFrame = {
+    val cube = Memo(spark, dir, "pipeline:miCube")(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          expr("CAST(l_quantity AS BIGINT) DIV 10").cast("string").as("qb"),
+          expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT) DIV 2").cast("string").as("db"))
+        .groupBy(col("rf"), col("ls"), col("qb"), col("db"))
+        .agg(count(lit(1)).as("cnt")))
+    val pairs = Seq("rf" -> "ls", "rf" -> "qb", "rf" -> "db",
+      "ls" -> "qb", "ls" -> "db", "qb" -> "db")
+    pairs.map { case (a, b) =>
+      val xy = cube.groupBy(col(a).as("x"), col(b).as("y"))
+        .agg(sum(col("cnt")).as("cxy"))
+      val withMarg = xy
+        .withColumn("cx", sum(col("cxy")).over(Window.partitionBy(col("x"))))
+        .withColumn("cy", sum(col("cxy")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("cxy")).over())
+      withMarg
+        .select((col("cxy").cast("decimal(38,0)") *
+          expr("CAST(ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+            "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS DECIMAL(38,6))")).as("term"),
+          col("n"))
+        .agg(count(lit(1)).as("n_cells"),
+          (sum(col("term")).cast("decimal(38,6)").cast("double") /
+            max(col("n")).cast("double")).as("mi_nats"))
+        .select(lit(s"${a}_$b").as("pair"), col("n_cells"), col("mi_nats"))
+    }.reduce(_ unionAll _).orderBy(col("pair"))
+  }
+
+  val mutualInfoSql: String = {
+    val pairs = Seq("rf" -> "ls", "rf" -> "qb", "rf" -> "db",
+      "ls" -> "qb", "ls" -> "db", "qb" -> "db")
+    val legs = pairs.map { case (a, b) =>
+      s"""SELECT '${a}_$b' AS pair, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(CAST(SUM(CAST(cxy AS DECIMAL(38,0)) *
+         |      CAST(ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |               (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS DECIMAL(38,6)))
+         |    AS DECIMAL(38,6)) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mi_nats
+         |FROM (
+         |  SELECT x, y, cxy,
+         |    SUM(cxy) OVER (PARTITION BY x) AS cx,
+         |    SUM(cxy) OVER (PARTITION BY y) AS cy,
+         |    SUM(cxy) OVER () AS n
+         |  FROM (SELECT $a AS x, $b AS y, CAST(SUM(cnt) AS BIGINT) AS cxy
+         |        FROM cube GROUP BY 1, 2))""".stripMargin
+    }.mkString("\n UNION ALL \n")
+    s"""WITH cube AS (
+       |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |    CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS qb,
+       |    CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) // 2 AS VARCHAR) AS db,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1, 2, 3, 4)
+       |$legs
+       |ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "last_touch_attribution" -> (lastTouchAttributionQ _),
     "centroid_drift" -> (centroidDriftQ _),
     "gram_top_eigen" -> (gramTopEigenQ _),
-    "shard_plan" -> (shardPlanQ _)
+    "shard_plan" -> (shardPlanQ _),
+    "late_events" -> (lateEventsQ _),
+    "bucket_advisor" -> (bucketAdvisorQ _),
+    "mutual_info" -> (mutualInfoQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "last_touch_attribution" -> lastTouchAttributionSql,
     "centroid_drift" -> centroidDriftSql,
     "gram_top_eigen" -> gramTopEigenSql,
-    "shard_plan" -> shardPlanSql
+    "shard_plan" -> shardPlanSql,
+    "late_events" -> lateEventsSql,
+    "bucket_advisor" -> bucketAdvisorSql,
+    "mutual_info" -> mutualInfoSql
   )
 }

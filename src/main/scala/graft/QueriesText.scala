@@ -300,6 +300,35 @@ object QueriesText {
   val contamProbeMax = 10L
   val contamMinOverlap = 2L
 
+  /** Per-doc n-gram novelty: the share of a document's distinct 3-word
+    * shingles that occur in NO other document (corpus df = 1) — the
+    * "how much of this doc is new text" curation signal (boilerplate
+    * and template docs score near 0). One df aggregation over the
+    * shared shingle frame, joined back shingle-keyed — same bucketed
+    * shape as the dedup family, no all-pairs anything. Docs under 3
+    * words have no shingles and drop out (same in the oracle).
+    */
+  def ngramNoveltyQ(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")},
+       |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+       |FROM sh JOIN df USING (shingle) GROUP BY 1 ORDER BY 1""".stripMargin
+
   def contaminationQ(spark: SparkSession, dir: String): DataFrame = {
     val sh = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
     val probes = sh.filter(col("doc_id") < contamProbeMax)
@@ -1364,6 +1393,7 @@ object QueriesText {
     "simhash_dup" -> (simhashDupQ _),
     "simhash_clusters" -> (simhashClustersQ _),
     "ngram_jaccard" -> (ngramJaccardQ _),
+    "ngram_novelty" -> (ngramNoveltyQ _),
     "embed_cosine_topk" -> (embedCosineTopkQ _),
     "embed_lsh_ann" -> (embedLshAnnQ _),
     "ann_recall" -> (annRecallQ _),
@@ -1411,6 +1441,7 @@ object QueriesText {
     "simhash_dup" -> simhashDupSql,
     "simhash_clusters" -> simhashClustersSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "ngram_novelty" -> ngramNoveltySql,
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,
     "embed_pq" -> embedPqSql,

@@ -55,7 +55,11 @@ class EntrySpec extends SparkSpec {
       "sample_quantiles", "dsir_weights", "mlm_mask", "tok_fertility",
       "zone_map_prune", "shuffle_skew_audit",
       "lm_perplexity", "ewma_spikes", "min_price_supplier", "bloom_prejoin",
-      "span_corrupt", "join_card_est")
+      "span_corrupt", "join_card_est",
+      "q4_priority_exists", "q7_trade_volume", "q8_market_share", "q10_returns",
+      "q14_promo_share", "q16_supplier_variety", "q17_small_qty", "q22_idle_balance",
+      "last_touch_attribution", "centroid_drift", "gram_top_eigen", "shard_plan",
+      "late_events", "bucket_advisor", "mutual_info", "ebo_est", "ngram_novelty")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

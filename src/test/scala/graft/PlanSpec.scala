@@ -370,6 +370,22 @@ class PlanSpec extends SparkSpec {
     assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
   }
 
+  test("late_events broadcasts the batch watermarks back onto the events scan") {
+    val p = plan("late_events")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("mutual_info derives all six pairs from the memoized cube, not six scans") {
+    val ls = leaves("mutual_info")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("ngram_novelty reads only doc_id/text and stays shingle-keyed") {
+    val p = plan("ngram_novelty")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
+  }
+
   test("shard_plan is one scan + one 16-row aggregate") {
     val p = plan("shard_plan")
     assert(!p.contains("SortMergeJoin"), p.take(600))
