@@ -411,6 +411,84 @@ object QueriesPipeline {
        |ORDER BY pair""".stripMargin
   }
 
+  // ---- row 128: differentially-private counts with seeded noise ----
+
+  /** Per-language document counts with seeded Laplace(b=1) noise — the
+    * privacy-preserving release shape for corpus statistics. The noise
+    * draw is derived, not random: a salted 52-bit md5 of the group key
+    * becomes a uniform in (0,1), inverted through the Laplace CDF, with
+    * the ln-carrying term DECIMAL(38,6)-quantized — so the "noise" is
+    * reproducible across engines, runs, and shards (the property a
+    * distributed DP release pipeline actually needs: one draw per
+    * group, no coordinated RNG). One keyed aggregation; noise math is
+    * per-group scalar expressions over the tiny aggregate.
+    */
+  def dpNoiseCountQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("dp:"), col("lang"))), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val centered = u - lit(0.5)
+    val noise = (when(centered < 0, lit(1.0)).otherwise(lit(-1.0))) *
+      expr("CAST(ln(1.0 - 2.0 * abs(__u - 0.5)) AS DECIMAL(38,6))").cast("double")
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__u", u)
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs").cast("double") + noise).as("noisy_n"))
+      .orderBy(col("lang"))
+  }
+
+  val dpNoiseCountSql: String =
+    """WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |           FROM documents GROUP BY 1),
+      |u AS (SELECT lang, n_docs,
+      |    (CAST(('0x' || substr(md5('dp:' || lang), 1, 13)) AS BIGINT) + 0.5)
+      |      / 4503599627370496.0 AS uu
+      |  FROM g)
+      |SELECT lang, n_docs,
+      |  CAST(n_docs AS DOUBLE) +
+      |    (CASE WHEN uu - 0.5 < 0 THEN 1.0 ELSE -1.0 END) *
+      |    CAST(CAST(ln(1.0 - 2.0 * abs(uu - 0.5)) AS DECIMAL(38,6)) AS DOUBLE) AS noisy_n
+      |FROM u ORDER BY lang""".stripMargin
+
+  // ---- row 129: skew salt-factor plan ----
+
+  /** Salt-factor plan for the hottest shuffle keys: users whose event
+    * count exceeds 1.2× the mean get a power-of-two salt fan-out sized
+    * so each salted sub-key carries at most the mean — the pre-flight
+    * that turns a skewed `groupBy(user_id)` into
+    * `groupBy(user_id, salt)`. All thresholds are cross-multiplied
+    * integers (5·cnt·ndv > 6·N — no division), the fan-out picked from
+    * a 21-row powers table by pure integer comparison, and the top-20
+    * ranks on (cnt DESC, user_id) so the LIMIT boundary is
+    * engine-exact. One keyed count + tiny joins.
+    */
+  def skewSaltPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"))
+    val powers = spark.range(0, 21)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("salt"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("ndv") * lit(5L) > lit(6L) * col("n"))
+      .crossJoin(broadcast(powers))
+      .filter(col("cnt") * col("ndv") <= col("salt") * col("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("cnt")).as("cnt"), min(col("salt")).as("salt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val skewSaltPlanSql: String =
+    """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS ndv FROM c),
+      |powers AS (SELECT CAST(1 AS BIGINT) << CAST(p AS INT) AS salt
+      |           FROM (SELECT unnest(range(0, 21)) AS p))
+      |SELECT user_id, MAX(cnt) AS cnt, MIN(salt) AS salt
+      |FROM c, t, powers
+      |WHERE cnt * ndv * 5 > 6 * n AND cnt * ndv <= salt * n
+      |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "last_touch_attribution" -> (lastTouchAttributionQ _),
     "centroid_drift" -> (centroidDriftQ _),
@@ -418,7 +496,9 @@ object QueriesPipeline {
     "shard_plan" -> (shardPlanQ _),
     "late_events" -> (lateEventsQ _),
     "bucket_advisor" -> (bucketAdvisorQ _),
-    "mutual_info" -> (mutualInfoQ _)
+    "mutual_info" -> (mutualInfoQ _),
+    "dp_noise_count" -> (dpNoiseCountQ _),
+    "skew_salt_plan" -> (skewSaltPlanQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -428,6 +508,8 @@ object QueriesPipeline {
     "shard_plan" -> shardPlanSql,
     "late_events" -> lateEventsSql,
     "bucket_advisor" -> bucketAdvisorSql,
-    "mutual_info" -> mutualInfoSql
+    "mutual_info" -> mutualInfoSql,
+    "dp_noise_count" -> dpNoiseCountSql,
+    "skew_salt_plan" -> skewSaltPlanSql
   )
 }

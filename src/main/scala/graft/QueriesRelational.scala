@@ -367,6 +367,56 @@ object QueriesRelational {
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- row 127: q21 — sole late supplier per multi-supplier order ----
+
+  /** TPC-H q21 shape: suppliers who were the ONLY late shipper in a
+    * multi-supplier order, counted and top-10 ranked. The classic
+    * EXISTS + NOT-EXISTS pair over the same fact table collapses into
+    * two keyed aggregations — per-(order, supplier) lateness, then
+    * per-order supplier/late-supplier counts joined back — so the fact
+    * table is scanned ONCE and never self-joined row-to-row. Rank on
+    * (count DESC, suppkey) makes the LIMIT engine-deterministic.
+    */
+  def soleLateSupplierQ(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    // Memoized: the per-(order, supplier) lateness frame feeds both its
+    // own filter leg and the per-order rollup — one fact scan, not two.
+    val perSupp = Memo(spark, dir, "rel:soleLatePerSupp")(
+      l.groupBy(col("ok"), col("sk"))
+        .agg(max(when(col("late"), lit(1L)).otherwise(lit(0L))).as("sl")))
+    val perOrder = perSupp.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("sl")).as("n_late"))
+    perSupp.join(perOrder, Seq("ok"))
+      .filter(col("sl") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  val soleLateSupplierSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+      |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_supp AS (SELECT ok, sk, MAX(CASE WHEN late THEN 1 ELSE 0 END) AS sl
+      |             FROM l GROUP BY 1, 2),
+      |per_order AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n_supp,
+      |                CAST(SUM(sl) AS BIGINT) AS n_late
+      |              FROM per_supp GROUP BY 1)
+      |SELECT sk AS s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM per_supp JOIN per_order USING (ok)
+      |JOIN supplier ON sk = s_suppkey
+      |WHERE sl = 1 AND n_supp > 1 AND n_late = 1
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_priority_exists" -> (q4PriorityQ _),
     "q7_trade_volume" -> (q7TradeVolumeQ _),
@@ -375,7 +425,8 @@ object QueriesRelational {
     "q14_promo_share" -> (q14PromoShareQ _),
     "q16_supplier_variety" -> (q16SupplierVarietyQ _),
     "q17_small_qty" -> (q17SmallQtyQ _),
-    "q22_idle_balance" -> (q22IdleBalanceQ _)
+    "q22_idle_balance" -> (q22IdleBalanceQ _),
+    "sole_late_supplier" -> (soleLateSupplierQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -386,6 +437,7 @@ object QueriesRelational {
     "q14_promo_share" -> q14PromoShareSql,
     "q16_supplier_variety" -> q16SupplierVarietySql,
     "q17_small_qty" -> q17SmallQtySql,
-    "q22_idle_balance" -> q22IdleBalanceSql
+    "q22_idle_balance" -> q22IdleBalanceSql,
+    "sole_late_supplier" -> soleLateSupplierSql
   )
 }

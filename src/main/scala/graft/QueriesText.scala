@@ -973,6 +973,44 @@ object QueriesText {
        |FROM w
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-signal calibration: decile the corpus by heuristic quality
+    * score and report each decile's mean char-bigram NLL — do the two
+    * independent curation signals agree? Both per-doc frames are the
+    * session's memoized products (no rescans); the decile assignment is
+    * ntile(10) over (score, doc_id), deterministic under ties; decile
+    * means sum floor-grid (1e-6) quantized BIGINTs so neither partition
+    * order nor decimal-cast tie-rounding can move a bit. The standard "before you trust a filter, calibrate it
+    * against an independent signal" audit. The global ntile is a
+    * global sort of the (doc_id, score) pairs — at 100 TB swap it for
+    * the range-partitioned rank `dict_encode` uses, or decile via
+    * `sample_quantiles` cutpoints; the audit semantics are unchanged.
+    */
+  def qualityCalibrationQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = qualityScoreQ(spark, dir).select(col("doc_id"), col("score"))
+    val pp = QueriesCorpus.lmPerplexityQ(spark, dir).select(col("doc_id"), col("nll"))
+    qs.join(pp, Seq("doc_id"))
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(expr("CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)")).cast("double") /
+          1e6 / count(lit(1))).as("mean_score"),
+        (sum(expr("CAST(floor(nll * 1000000.0 + 0.5) AS BIGINT)")).cast("double") /
+          1e6 / count(lit(1))).as("mean_nll"))
+      .orderBy(col("decile"))
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH qs AS (SELECT doc_id, score FROM (${qualityScoreSql})),
+       |pp AS (SELECT doc_id, nll FROM (${QueriesCorpus.lmPerplexitySql})),
+       |j AS (SELECT qs.doc_id, score, nll,
+       |    ntile(10) OVER (ORDER BY score, qs.doc_id) AS decile
+       |  FROM qs JOIN pp ON qs.doc_id = pp.doc_id)
+       |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS mean_score,
+       |  CAST(SUM(CAST(floor(nll * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS mean_nll
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- row 27b: per-document token entropy (quality signal) ----
 
   /** Per-document Shannon entropy of the token distribution — the
@@ -1406,6 +1444,7 @@ object QueriesText {
     "ivf_kmeans_check" -> (ivfKmeansCheckQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
+    "quality_calibration" -> (qualityCalibrationQ _),
     "token_count" -> (tokenCountQ _),
     "token_entropy" -> (tokenEntropyQ _),
     "seq_pack" -> (seqPackQ _),
@@ -1448,6 +1487,7 @@ object QueriesText {
     "pq_adc_topk" -> pqAdcTopkSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
+    "quality_calibration" -> qualityCalibrationSql,
     "token_count" -> tokenCountSql,
     "token_entropy" -> tokenEntropySql,
     "seq_pack" -> seqPackSql,

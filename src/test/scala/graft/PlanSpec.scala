@@ -386,6 +386,19 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
   }
 
+  test("sole_late_supplier scans the fact table once (no row-level self-join)") {
+    // the per-(order,supplier) frame is memoized: the executed tree's
+    // only parquet leaf is the supplier dimension
+    val ls = leaves("sole_late_supplier")
+    assert(ls.count(_.contains("FileSourceScan")) <= 1, ls.mkString(","))
+  }
+
+  test("skew_salt_plan broadcasts the totals and the powers table") {
+    val p = plan("skew_salt_plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1 ||
+      p.contains("BroadcastExchange"), p.take(800))
+  }
+
   test("shard_plan is one scan + one 16-row aggregate") {
     val p = plan("shard_plan")
     assert(!p.contains("SortMergeJoin"), p.take(600))
