@@ -59,7 +59,8 @@ object QueriesGraph {
     // whose arrays the degree ordering caps at O(sqrt(E)) (≤97 here).
     // For graphs whose adjacency outgrows a broadcast, drop the hints
     // and the same plan runs as two shuffle joins.
-    val adj = de.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val adj = Memo(spark, dir, "graph:triAdj")(
+      de.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs")))
     val tri = de
       .join(broadcast(adj.select(col("src").as("s1"), col("nbrs").as("nu"))),
         col("src") === col("s1"))

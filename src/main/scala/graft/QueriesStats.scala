@@ -921,13 +921,20 @@ object QueriesStats {
         .select(col("k")))
     val probe = Memo(spark, dir, "stats:bloomProbe")(
       o.select(col("o_orderkey"), col("o_custkey")))
-    val hs = spark.range(0, bpjK).select(col("id").as("h"))
-    def posOf(key: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit("b"), col("h").cast("string"), lit(":"),
-        key.cast("string"))), 1, 13), 16, 10).cast("long") % bpjM
-    val pos = build.crossJoin(hs).select(posOf(col("k")).as("p")).distinct()
-    val ph = probe.crossJoin(hs)
-      .select(col("o_orderkey"), col("o_custkey"), posOf(col("o_custkey")).as("p"))
+    // One md5 per key, 3 positions from disjoint 12-bit slices of the
+    // 52-bit hash (the double-hashing trick) — a third of the hashing
+    // the per-(key, h) salted form pays, same Bloom semantics.
+    val hs = spark.range(0, bpjK).select(col("id").cast("int").as("h"))
+    def hashOf(key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("b:"), key.cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+    def posOf(h52: org.apache.spark.sql.Column) =
+      expr(s"CAST(h52 AS BIGINT) DIV CAST(pow(CAST($bpjM AS BIGINT), h) AS BIGINT)") % bpjM
+    val pos = build.select(hashOf(col("k")).as("h52")).crossJoin(hs)
+      .select(posOf(col("h52")).as("p")).distinct()
+    val ph = probe.select(col("o_orderkey"), col("o_custkey"),
+        hashOf(col("o_custkey")).as("h52")).crossJoin(hs)
+      .select(col("o_orderkey"), col("o_custkey"), posOf(col("h52")).as("p"))
     val hits = ph.join(broadcast(pos), Seq("p"))
       .groupBy(col("o_orderkey"), col("o_custkey"))
       .agg(count(lit(1)).as("c")).filter(col("c") === bpjK)
@@ -946,11 +953,14 @@ object QueriesStats {
     s"""WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
        |build AS (SELECT o_custkey AS k FROM orders CROSS JOIN mx
        |          GROUP BY 1, mxd HAVING MAX(o_orderdate) < mxd - INTERVAL 90 DAY),
-       |pos AS (SELECT DISTINCT CAST(('0x'||substr(md5('b'||CAST(h AS VARCHAR)||':'||CAST(k AS VARCHAR)),1,13)) AS BIGINT) % $bpjM AS p
+       |pos AS (SELECT DISTINCT
+       |          (CAST(('0x'||substr(md5('b:'||CAST(k AS VARCHAR)),1,13)) AS BIGINT)
+       |           // CAST(pow($bpjM, h) AS BIGINT)) % $bpjM AS p
        |        FROM build, range(0,$bpjK) t(h)),
        |probe AS (SELECT o_orderkey, o_custkey FROM orders),
        |ph AS (SELECT o_orderkey, o_custkey,
-       |         CAST(('0x'||substr(md5('b'||CAST(h AS VARCHAR)||':'||CAST(o_custkey AS VARCHAR)),1,13)) AS BIGINT) % $bpjM AS p
+       |         (CAST(('0x'||substr(md5('b:'||CAST(o_custkey AS VARCHAR)),1,13)) AS BIGINT)
+       |          // CAST(pow($bpjM, h) AS BIGINT)) % $bpjM AS p
        |       FROM probe, range(0,$bpjK) t(h)),
        |hits AS (SELECT o_orderkey, o_custkey FROM ph JOIN pos USING (p)
        |         GROUP BY 1,2 HAVING COUNT(*) = $bpjK),
