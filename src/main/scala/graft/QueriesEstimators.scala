@@ -994,7 +994,8 @@ object QueriesEstimators {
 
   // ---- row 13c: per-model q-error (the reference's eval_batch shape) ----
 
-  /** q-error of EVERY stats model (naive / hist / mcv) over the
+  /** q-error of EVERY stats model (naive / ebo / hist / mcv / cin /
+    * ols) over the
     * workload — the reference's per-estimator evaluation output
     * (run.py eval_batch). One traversal of each spec's join tree serves
     * all three models: the (join size, true card) one-row frame is
@@ -1003,7 +1004,7 @@ object QueriesEstimators {
     * join passes.
     */
   def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame =
-    Seq("cin", "hist", "mcv", "naive", "ols")
+    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
       .map { model =>
         estFrame(spark, dir, model)
           .select(
@@ -1013,11 +1014,11 @@ object QueriesEstimators {
       .reduce(_.unionAll(_))
       .orderBy(col("model"), col("query_id"))
 
-  val qErrorModelsSql: String = {
-    // Each model maps (id, parsed query) → its full est expression; the
-    // stats models are |J| × Π selectivities, cin is its own factor
-    // product (no |J| base).
-    val models: Seq[(String, (String, graft.query.ParsedQuery) => String)] = Seq(
+  /** Each model maps (id, parsed query) → its full est expression; the
+    * stats models are |J| × Π selectivities, cin is its own factor
+    * product (no |J| base). Shared by q_error_models and calib_est_bias.
+    */
+  private lazy val modelSqlEst: Seq[(String, (String, graft.query.ParsedQuery) => String)] = Seq(
       "cin" -> ((id: String, _: graft.query.ParsedQuery) => cinEstExprSql(id)),
       "hist" -> ((id: String, q: graft.query.ParsedQuery) =>
         (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
@@ -1027,10 +1028,26 @@ object QueriesEstimators {
           StatsSql.factors(eqViaMcv = true)(q)).mkString(" * ")),
       "naive" -> ((id: String, q: graft.query.ParsedQuery) =>
         (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")),
+      "ebo" -> ((id: String, q: graft.query.ParsedQuery) => {
+        // Same closed sorted form as eboEstSql; the selectivity
+        // subqueries are repeated inline (DuckDB CSEs them) — the VALUE
+        // is identical to the bound-once form, which is all parity needs.
+        val ss = naiveFactorsSql(q)
+        val damped = ss match {
+          case Seq(a) => a
+          case Seq(a, b) => s"least($a, $b) * sqrt(greatest($a, $b))"
+          case Seq(a, b, c) =>
+            s"least($a, $b, $c) * sqrt($a + $b + $c - least($a, $b, $c) - greatest($a, $b, $c)) * sqrt(sqrt(greatest($a, $b, $c)))"
+          case other => throw new IllegalArgumentException(s"${other.size} preds")
+        }
+        s"CAST((${joinOnlySql(id)}) AS DOUBLE) * ($damped)"
+      }),
       "ols" -> ((id: String, _: graft.query.ParsedQuery) =>
         s"(SELECT $olsEstExprSql FROM olsfeat, olsm WHERE olsfeat.query_id = '$id')"))
+
+  val qErrorModelsSql: String = {
     val arms = for {
-      (model, estOf) <- models
+      (model, estOf) <- modelSqlEst
       (id, q, _) <- parsedSpecs
     } yield {
       val est = estOf(id, q)
@@ -1041,6 +1058,45 @@ object QueriesEstimators {
         s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, $tru AS t) AS s"
     }
     s"WITH ${StatsSql.mcvCtes},\n$olsCtes\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
+  }
+
+  // ---- row 13e: per-model signed calibration bias ----
+
+  /** Signed calibration bias per model: mean ln(est/true) over the
+    * workload. q-error is magnitude-only; this is the direction — a
+    * systematically negative bias (under-estimation) breaks join-order
+    * choices differently than a positive one. Specs where the model
+    * estimates 0 (possible for the MCV zero tail) are excluded and
+    * surfaced in n_used. Each ln term is DECIMAL(38,6)-quantized before
+    * the sum, the house portable-ln discipline; everything reuses the
+    * memoized per-model est frames — no new scans.
+    */
+  def calibEstBiasQ(spark: SparkSession, dir: String): DataFrame =
+    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
+      .map { m =>
+        estFrame(spark, dir, m)
+          .filter(col("est") > 0 && col("__card") > 0)
+          .select(expr("CAST(ln(est / __card) AS DECIMAL(38,6))").as("lb"))
+          .agg(count(lit(1)).as("n_used"),
+            (sum(col("lb")).cast("decimal(38,6)").cast("double") / count(lit(1)))
+              .as("bias_nats"))
+          .select(lit(m).as("model"), col("n_used"), col("bias_nats"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("model"))
+
+  val calibEstBiasSql: String = {
+    val arms = modelSqlEst.map { case (model, estOf) =>
+      val rows = parsedSpecs.map { case (id, q, _) =>
+        val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
+        s"SELECT (${estOf(id, q)}) AS e, $tru AS t"
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT '$model' AS model, CAST(COUNT(*) AS BIGINT) AS n_used,
+         |  CAST(CAST(SUM(CAST(ln(e / t) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         |    / COUNT(*) AS bias_nats
+         |FROM ($rows) WHERE e > 0 AND t > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${StatsSql.mcvCtes},\n$olsCtes\n$arms\nORDER BY model"
   }
 
   // ---- row 13d: per-model q-error quantiles (run.py:967-973 per estimator) ----
@@ -1614,6 +1670,7 @@ object QueriesEstimators {
     "true_card" -> (trueCardQ _),
     "naive_est" -> (naiveEstQ _),
     "ebo_est" -> (eboEstQ _),
+    "calib_est_bias" -> (calibEstBiasQ _),
     "hist_est" -> (histEstQ _),
     "mcv_est" -> (mcvEstQ _),
     "joint_est" -> (jointEstQ _),
@@ -1640,6 +1697,7 @@ object QueriesEstimators {
     "true_card" -> trueCardSql,
     "naive_est" -> naiveEstSql,
     "ebo_est" -> eboEstSql,
+    "calib_est_bias" -> calibEstBiasSql,
     "hist_est" -> histEstSql,
     "mcv_est" -> mcvEstSql,
     "joint_est" -> jointEstSql,
