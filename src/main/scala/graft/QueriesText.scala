@@ -471,20 +471,26 @@ object QueriesText {
 
   // ---- row 23: n-gram Jaccard over (lang, source) candidate pairs ----
 
-  /** Dense within-group pair verification: every (lang, source) group is
-    * all-pairs, so ship each doc's distinct bigram SET once per pair and
-    * intersect arrays — no exploded shingle self-join.
+  /** Exact word-bigram Jaccard for same-(lang, source) LSH candidate
+    * pairs — the verify leg of the n-gram dedup path. The candidate set
+    * is the memoized 3-shingle MinHash band join (signature-collapsed),
+    * NOT an all-pairs blow-up per (lang, source) group: at 100 TB a
+    * single (lang, source) slice is millions of documents and all-pairs
+    * is 10¹²; the band join materializes only probable near-dups, and
+    * the bigram-set intersect ships each doc's distinct bigram SET once
+    * per surviving candidate. Pairs with an empty bigram intersection
+    * are dropped (inter > 0).
     */
   def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
     val sets = Memo(spark, dir, "shArr2ls")(
       TextOps.shingleArrays(
         Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
-    val a = sets.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
-      col("sh").as("sha"), size(col("sh")).as("na"))
-    val b = sets.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
-      col("sh").as("shb"), size(col("sh")).as("nb"))
-    a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+    TextOps.lshCandidatesCollapsed(mhWide(spark, dir))
+      .join(sets.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+        col("sh").as("sha"), size(col("sh")).as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("sh").as("shb"), size(col("sh")).as("nb")), "doc_b")
+      .filter(col("lang") === col("lang_b") && col("source") === col("source_b"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .filter(col("inter") > 0)
       .select(
@@ -496,16 +502,25 @@ object QueriesText {
 
   val ngramJaccardSql: String =
     s"""WITH $wordsCte,
+       |${shinglesCte(3, "sh")},
+       |$sigsCte,
+       |bands AS (
+       |$bandArms
+       |),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        |sets AS (SELECT w.doc_id, d.lang, d.source,
        |    list_distinct(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) AS sh
        |  FROM w JOIN documents d ON d.doc_id = w.doc_id),
-       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
-       |         FROM sets a JOIN sets b
-       |           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+       |pr AS (SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+       |       FROM cand c
+       |       JOIN sets a ON a.doc_id = c.doc_a
+       |       JOIN sets b ON b.doc_id = c.doc_b AND a.lang = b.lang AND a.source = b.source)
        |SELECT doc_a, doc_b,
        |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
-       |FROM cand WHERE inter > 0
+       |FROM pr WHERE inter > 0
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- rows 24/25: embedding similarity ----

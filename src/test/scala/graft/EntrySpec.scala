@@ -60,7 +60,8 @@ class EntrySpec extends SparkSpec {
       "q14_promo_share", "q16_supplier_variety", "q17_small_qty", "q22_idle_balance",
       "last_touch_attribution", "centroid_drift", "gram_top_eigen", "shard_plan",
       "late_events", "bucket_advisor", "mutual_info", "ebo_est", "ngram_novelty",
-      "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration")
+      "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration",
+      "calib_est_bias")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
