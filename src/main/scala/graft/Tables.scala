@@ -32,14 +32,23 @@ object Tables {
   )
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
     // a nanos LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by our
     // session builders). Truncate to micros — the same floor DuckDB's
     // ns→us conversion applies — so both engines see identical instants.
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    // Newer testdata writes timestamps as TIMESTAMP_NTZ. Our sessions pin
+    // spark.sql.session.timeZone=UTC, so casting NTZ → TIMESTAMP keeps the
+    // exact instant (and unix_micros etc. resolve); DuckDB reads the same
+    // parquet natively, so the oracle sees identical values.
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(nanosFixed) {
+      (acc, f) => acc.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
   }
 }
