@@ -1605,6 +1605,128 @@ object QueriesEstimators {
        |LEFT JOIN lw ON s.o_orderkey = lw.l_orderkey
        |ORDER BY slot""".stripMargin
 
+  // ---- rows 11h/11i: learned NAR density model (the reference's model) ----
+
+  private val narHidden = 8
+  private val narSeed = 101L
+
+  /** q-error gate for the learned model — observed worst case across
+    * test scales is ≈1.08 (the ~2000-slot sample's own noise floor), so
+    * 4.0 leaves real margin while still tripping on a broken model
+    * (wrong conditioning, label off-by-one, collapsed softmax, missing
+    * fanout downweight — the latter alone reads ≈3.9).
+    */
+  private val narBound = 4.0
+
+  /** (query_id, needs-orders, needs-lineitem, Spark predicate over the
+    * DECODED joint, same predicate as SQL). Predicates touch only the
+    * training batch's encoded columns, so the model can answer them.
+    */
+  private[graft] val narSpecs: Seq[(String, Boolean, Boolean, Column, String)] = Seq(
+    ("n01", true, true,
+      col("c_mktsegment") === "BUILDING" && col("l_returnflag") === "R",
+      "c_mktsegment = 'BUILDING' AND l_returnflag = 'R'"),
+    ("n02", true, false, col("o_orderstatus") === "F", "o_orderstatus = 'F'"),
+    ("n03", true, false,
+      col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY") && col("o_orderstatus") === "O",
+      "c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND o_orderstatus = 'O'"),
+    ("n04", true, true, col("l_returnflag") =!= "N", "l_returnflag != 'N'"))
+
+  /** The trained model's exact joint, decoded back to values (code 1 →
+    * NULL = absent) — trained ONCE per (session, dir) and reused by
+    * nar_est and nar_check, the way the reference loads one checkpoint
+    * for a whole workload.
+    */
+  private def narJointDecoded(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narJoint") {
+      import graft.operators.{Encoding, NarModel}
+      def dict(t: String, c: String) =
+        Encoding.dictionary(Tables(spark, dir, t), c)
+      def dmax(d: DataFrame): Int =
+        d.agg(max(col("code"))).head().getInt(0)
+      val (dc, dd, dl) = (dict("customer", "c_mktsegment"),
+        dict("orders", "o_orderstatus"), dict("lineitem", "l_returnflag"))
+      val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
+      val fMax = math.min(
+        batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
+      NarModel.joint(batch, dmax(dc), dmax(dd), dmax(dl), fMax, narHidden, narSeed)
+        .join(broadcast(dc.withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
+        .join(broadcast(dd.withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
+        .join(broadcast(dl.withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
+    }
+
+  /** est = W × Σ P̂(combo) over combos satisfying the predicate and the
+    * spec's table-presence flags — sample_est's formula with the LEARNED
+    * density in place of the empirical sample fractions. Specs that do
+    * NOT reach lineitem are order-level counts: slot mass is
+    * per-lineitem (universal relation), so each combo is downweighted
+    * by the model's E[1/fanout | combo] — the reference's fanout
+    * scaling.
+    */
+  private def narEstFrame(spark: SparkSession, dir: String): DataFrame = {
+    val joint = narJointDecoded(spark, dir)
+    val w = JoinSample.totalWeight(chain, "customer", Fanouts.loader(spark, dir))
+      .select(col("total_weight").cast("double").as("__w"))
+    narSpecs.map { case (id, needO, needL, pred, _) =>
+      val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+        (if (needL) Seq(col("l_code") =!= 1) else Nil)
+      val sat = (pred +: flags).reduce(_ && _)
+      val mass = if (needL) col("p") else col("p") * col("einv")
+      joint
+        .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+        .crossJoin(w)
+        .select(lit(id).as("query_id"),
+          greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Rows-only (an MLP checkpoint is not reproducible in the oracle):
+    * the learned density model's estimate per covered spec. Its
+    * correctness gate is nar_check.
+    */
+  def narEstQ(spark: SparkSession, dir: String): DataFrame =
+    narEstFrame(spark, dir).orderBy(col("query_id"))
+
+  /** True cardinalities of the nar specs, as one small union of join
+    * counts (the same chain joins every estimator here is audited
+    * against).
+    */
+  private def narTruths(spark: SparkSession, dir: String): DataFrame =
+    narSpecs.map { case (id, _, needL, pred, _) =>
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      val base = c.join(o, col("c_custkey") === col("o_custkey"))
+      val joined =
+        if (needL)
+          base.join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        else base
+      joined.filter(pred)
+        .agg(count(lit(1)).cast("double").as("__t"))
+        .select(lit(id).as("query_id"), col("__t"))
+    }.reduce(_.unionAll(_))
+
+  /** Hash-checked verdict for the trained density model, in the
+    * ivf_kmeans_check discipline: the checkpoint itself is not
+    * oracle-reproducible, but "estimates are finite, ≥ 1, and within a
+    * q-error bound of the true cardinality" is a fixed contract the
+    * oracle asserts — a broken trained model fails the correctness gate
+    * instead of hiding behind rows-only.
+    */
+  def narCheckQ(spark: SparkSession, dir: String): DataFrame =
+    narEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .select(col("query_id"),
+        (!isnan(col("est")) && col("est").isNotNull).as("finite_ok"),
+        (col("est") >= 1.0).as("pos_ok"),
+        (greatest(col("est"), col("__t")) /
+          greatest(least(col("est"), col("__t")), lit(1.0)) <= narBound).as("qerr_ok"))
+      .orderBy(col("query_id"))
+
+  val narCheckSql: String =
+    narSpecs.map { case (id, _, _, _, _) =>
+      s"SELECT '$id' AS query_id, TRUE AS finite_ok, TRUE AS pos_ok, TRUE AS qerr_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
 
   /** (edge label, fact table, fact filter, fact key, dim table,
@@ -1684,7 +1806,9 @@ object QueriesEstimators {
     "sample_est" -> (sampleEstQ _),
     "progressive_est" -> (progressiveEstQ _),
     "ols_est" -> (olsEstQ _),
-    "training_batch" -> (trainingBatchQ _)
+    "training_batch" -> (trainingBatchQ _),
+    "nar_est" -> (narEstQ _),
+    "nar_check" -> (narCheckQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -1711,6 +1835,9 @@ object QueriesEstimators {
     "sample_est" -> sampleEstSql,
     "progressive_est" -> progressiveEstSql,
     "ols_est" -> olsEstSql,
+    // nar_est is rows-only (MLP checkpoint not oracle-reproducible);
+    // nar_check is its hash-checked contract.
+    "nar_check" -> narCheckSql,
     "training_batch" -> trainingBatchSql
   )
 }

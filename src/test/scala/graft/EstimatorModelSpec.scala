@@ -48,6 +48,27 @@ class EstimatorModelSpec extends SparkSpec {
     }
   }
 
+  test("nar density model: joint sums to 1, einv in (0,1], estimates within 2× of truth") {
+    val joint = graft.operators.NarModel.joint(
+      QueriesEstimators.trainingBatchQ(spark, sf), 6, 4, 4, 8, 8, 101L)
+    val mass = joint.agg(sum($"p")).as[Double].collect().head
+    assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
+    joint.select($"einv").as[Double].collect().foreach { e =>
+      assert(e > 0.0 && e <= 1.0 + 1e-9, s"einv $e")
+    }
+    // the structural zero: a padded order never carries a real lineitem
+    val leak = joint.filter($"o_code" === 1 && $"l_code" =!= 1)
+      .agg(sum($"p")).as[Double].collect().head
+    assert(leak == 0.0)
+    // end-to-end accuracy: tighter in-test than the oracle gate's 4×
+    val checks = QueriesEstimators.narCheckQ(spark, sf)
+      .as[(String, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(checks.map(_._1) == Seq("n01", "n02", "n03", "n04"))
+    checks.foreach { case (id, fin, pos, q) =>
+      assert(fin && pos && q, s"$id verdict ($fin, $pos, $q)")
+    }
+  }
+
   test("shannon entropy sits between Rényi-2 and ln(ndv), exact on a known distribution") {
     // H(1/2, 1/4, 1/4) = 1.5 ln 2; column built as 2×a, 1×b, 1×c
     val d = Seq("a", "a", "b", "c").toDF("v")
