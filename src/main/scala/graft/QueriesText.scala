@@ -478,19 +478,27 @@ object QueriesText {
     * single (lang, source) slice is millions of documents and all-pairs
     * is 10¹²; the band join materializes only probable near-dups, and
     * the bigram-set intersect ships each doc's distinct bigram SET once
-    * per surviving candidate. Pairs with an empty bigram intersection
-    * are dropped (inter > 0).
+    * per surviving candidate. Candidates first join a SLIM
+    * (doc_id, lang, source) projection so cross-(lang, source) pairs
+    * die before either side's bigram array enters a shuffle; only
+    * same-group survivors attach the sets. Pairs with an empty bigram
+    * intersection are dropped (inter > 0).
     */
   def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
     val sets = Memo(spark, dir, "shArr2ls")(
       TextOps.shingleArrays(
         Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
+    val meta = sets.select(col("doc_id"), col("lang"), col("source"))
+    val arrs = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     TextOps.lshCandidatesCollapsed(mhWide(spark, dir))
-      .join(sets.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
-        col("sh").as("sha"), size(col("sh")).as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("sh").as("shb"), size(col("sh")).as("nb")), "doc_b")
+      .join(meta.select(col("doc_id").as("doc_a"), col("lang"), col("source")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b")), "doc_b")
       .filter(col("lang") === col("lang_b") && col("source") === col("source_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("n").as("nb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .filter(col("inter") > 0)
       .select(

@@ -137,4 +137,58 @@ class EdgeCaseSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(blocked == naive)
   }
+
+  test("ngram_jaccard: multi-family corpus — cross-group expansion and (lang,source) filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_njc").toString
+    val docs = Seq(
+      // family A (en/web): one exact-dup pair + two near-dups
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "web"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs away slow", "en", "web"),
+      (4L, "the quick brown fox jumps over the lazy dog and walks away fast", "en", "web"),
+      // identical text, different lang — a CANDIDATE the filter must drop
+      (5L, "the quick brown fox jumps over the lazy dog and runs away fast", "de", "web"),
+      // family B (en/book): an all-identical group (sig-collapse path)
+      (6L, "pack my box with five dozen liquor jugs said the old brewer today", "en", "book"),
+      (7L, "pack my box with five dozen liquor jugs said the old brewer today", "en", "book"),
+      (8L, "pack my box with five dozen liquor jugs said the old brewer today", "en", "book"),
+      // identical to family B, different source — candidate, filtered
+      (9L, "pack my box with five dozen liquor jugs said the old brewer today", "en", "web"),
+      (10L, "completely different content about numerical linear algebra routines", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = QueriesText.ngramJaccardQ(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // independent reference: the NAIVE (uncollapsed) band join + brute
+    // bigram-set Jaccard with the lang/source equality inside the join —
+    // the DuckDB oracle's formulation re-expressed in Spark
+    val cands = TextOps.lshCandidates(
+      TextOps.lshBands(TextOps.minhashWide(TextOps.docShingles(docs, 3))))
+    val sets = TextOps.shingleArrays(docs, 2, extraCols = Seq("lang", "source"))
+    val want = cands
+      .join(sets.select($"doc_id".as("doc_a"), $"lang", $"source",
+        $"sh".as("sha"), size($"sh").as("na")), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"lang".as("lb"),
+        $"source".as("sb"), $"sh".as("shb"), size($"sh").as("nb")), "doc_b")
+      .filter($"lang" === $"lb" && $"source" === $"sb")
+      .withColumn("inter", size(array_intersect($"sha", $"shb")))
+      .filter($"inter" > 0)
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double")).as("j"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.sorted == want.sorted)
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // identical-signature pairs are candidates by construction
+    assert(Set((1L, 2L), (6L, 7L), (6L, 8L), (7L, 8L)).subsetOf(pairs))
+    got.filter(t => Set((1L, 2L), (6L, 7L)).contains((t._1, t._2)))
+      .foreach(t => assert(t._3 == 1.0, s"exact dup pair $t"))
+    // the cross-(lang, source) exact dups WERE candidates…
+    val rawPairs = cands.as[(Long, Long)].collect().toSet
+    assert(Set((1L, 5L), (6L, 9L)).subsetOf(rawPairs))
+    // …and the filter dropped every one of them: doc 5 (de) pairs with
+    // nothing; doc 9 (web) never pairs into the book family
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+    assert(!pairs.exists { case (a, b) =>
+      Set(a, b).contains(9L) && Set(a, b).intersect(Set(6L, 7L, 8L)).nonEmpty })
+  }
 }
