@@ -1237,12 +1237,18 @@ object QueriesAnalytics {
       .select(col("user_id"),
         expr("(unix_micros(max_day) - unix_micros(last_day)) div 86400000000").as("recency_days"),
         col("frequency"), col("monetary"))
-    val rw = Window.orderBy(col("recency_days"), col("user_id"))
-    val fw = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mw = Window.orderBy(col("monetary").desc, col("user_id"))
-    f.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
-        ntile(3).over(rw).as("r_tier"), ntile(3).over(fw).as("f_tier"),
-        ntile(3).over(mw).as("m_tier"))
+    // three NTILE(3)-exact tiers via the range-partitioned distributed
+    // rank — each tier is one repartitionByRange shuffle instead of a
+    // single-partition global-sort window over every user
+    import graft.operators.Layout.rankedNtile
+    val tiered = rankedNtile(
+      rankedNtile(
+        rankedNtile(f, Seq(col("recency_days"), col("user_id")), 3, "r_tier"),
+        Seq(col("frequency").desc, col("user_id")), 3, "f_tier"),
+      Seq(col("monetary").desc, col("user_id")), 3, "m_tier")
+    tiered
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_tier"), col("f_tier"), col("m_tier"))
       .withColumn("segment",
         concat_ws("-", col("r_tier"), col("f_tier"), col("m_tier")))
       .orderBy(col("user_id"))

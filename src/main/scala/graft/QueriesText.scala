@@ -1000,20 +1000,19 @@ object QueriesText {
     * score and report each decile's mean char-bigram NLL — do the two
     * independent curation signals agree? Both per-doc frames are the
     * session's memoized products (no rescans); the decile assignment is
-    * ntile(10) over (score, doc_id), deterministic under ties; decile
-    * means sum floor-grid (1e-6) quantized BIGINTs so neither partition
-    * order nor decimal-cast tie-rounding can move a bit. The standard "before you trust a filter, calibrate it
-    * against an independent signal" audit. The global ntile is a
-    * global sort of the (doc_id, score) pairs — at 100 TB swap it for
-    * the range-partitioned rank `dict_encode` uses, or decile via
-    * `sample_quantiles` cutpoints; the audit semantics are unchanged.
+    * NTILE(10)-exact over (score, doc_id) but computed with the
+    * range-partitioned distributed rank (`Layout.rankedNtile` — no
+    * single-partition global sort, the plan that survives 100 TB);
+    * decile means sum floor-grid (1e-6) quantized BIGINTs so neither
+    * partition order nor decimal-cast tie-rounding can move a bit. The
+    * standard "before you trust a filter, calibrate it against an
+    * independent signal" audit.
     */
   def qualityCalibrationQ(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qs = qualityScoreQ(spark, dir).select(col("doc_id"), col("score"))
     val pp = QueriesCorpus.lmPerplexityQ(spark, dir).select(col("doc_id"), col("nll"))
-    qs.join(pp, Seq("doc_id"))
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("score"), col("doc_id"))))
+    graft.operators.Layout.rankedNtile(
+        qs.join(pp, Seq("doc_id")), Seq(col("score"), col("doc_id")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(expr("CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)")).cast("double") /

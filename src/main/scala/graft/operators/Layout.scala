@@ -13,6 +13,47 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Exact global NTILE(n) OVER (ORDER BY sortCols) WITHOUT the
+    * single-partition window: range-partition by the sort key, stamp
+    * partition ids, turn per-partition counts into cumulative offsets
+    * (a window over ≤ #shuffle-partitions rows — trivially small), rank
+    * = offset + per-partition row_number, and bucket from rank with the
+    * exact SQL NTILE size rule (the first N mod n buckets carry one
+    * extra row). Identical output to the built-in ntile for a TIE-FREE
+    * sort order (callers append a unique id), but every stage is
+    * distributed — the plan that survives a 100 TB input.
+    */
+  def rankedNtile(df: DataFrame, sortCols: Seq[Column], n: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stamped = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = stamped.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val offs = counts
+      .withColumn("__off",
+        coalesce(
+          sum(col("__n")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val total = counts.agg(sum(col("__n")).as("__N"))
+    stamped
+      .join(broadcast(offs), "__pid")
+      .withColumn("__r0",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*)) +
+          col("__off") - lit(1L))
+      .crossJoin(broadcast(total))
+      .withColumn(out,
+        when(col("__r0") < (col("__N") % n) * (expr(s"__N div $n") + 1),
+          expr(s"__r0 div ((__N div $n) + 1)") + 1)
+          .otherwise(
+            col("__N") % n +
+              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div (__N div $n)") + 1)
+          .cast("int"))
+      .drop("__pid", "__off", "__r0", "__N")
+  }
+
   /** Z-value (Morton code) of two non-negative keys over their low
     * `bits` bits: output bit 2i+1 = bit i of a, bit 2i = bit i of b.
     * A flat sum of shift/mask terms — whole-stage-codegen'd, no UDF.

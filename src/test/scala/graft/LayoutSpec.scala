@@ -60,6 +60,19 @@ class LayoutSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rankedNtile matches built-in ntile for N<n, N%n==0, and ragged N") {
+    import org.apache.spark.sql.expressions.Window
+    for ((rows, n) <- Seq((3, 10), (30, 10), (37, 10), (100, 3), (1, 3))) {
+      // values deliberately shuffled and non-contiguous
+      val d = (0 until rows).map(i => ((i * 7919) % 104729, i.toLong)).toDF("v", "id")
+      val want = d.withColumn("t", ntile(n).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Layout.rankedNtile(d, Seq(col("v"), col("id")), n, "t")
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"rows=$rows n=$n")
+    }
+  }
+
   test("saltedJoin returns exactly the plain equi-join rows") {
     // skewed fact: one hot key holds half the rows
     val fact = (0L until 400L).map(i => (if (i < 200) 1L else i % 37, i)).toDF("fk", "payload")
