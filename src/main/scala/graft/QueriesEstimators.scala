@@ -1705,26 +1705,78 @@ object QueriesEstimators {
         .select(lit(id).as("query_id"), col("__t"))
     }.reduce(_.unionAll(_))
 
+  // ---- row 11j: progressive sampling FROM the trained model ----
+
+  private val narProgN = 4096L
+
+  /** The reference's actual inference path (estimators.py:913
+    * ProgressiveSampling run against the NAR conditionals), Spark-first:
+    * S md5-seeded uniforms inverse-CDF through the model joint's
+    * cumulative distribution — the joint IS the broadcast checkpoint,
+    * so the "sampler" is one broadcast range join, no driver loop —
+    * and each spec's estimate is W × mean over samples of 1{sat}
+    * (× the sampled combo's E[1/fanout] for order-level specs). The
+    * tiny cumulative window runs over the model's combo table (domain
+    * cross-product, double digits), never over data. Rows-only; gated
+    * against the exact-enumeration leg by nar_check's prog_ok.
+    */
+  private def narProgFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cw = Window.orderBy(col("c_code"), col("o_code"), col("l_code"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = narJointDecoded(spark, dir)
+      .withColumn("__hi", sum(col("p")).over(cw))
+      .withColumn("__lo", col("__hi") - col("p"))
+    val draws = spark.range(narProgN).select(
+      (conv(substring(md5(concat(lit("narp:"), col("id").cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(JoinSample.H)).as("__u"))
+    val picked = draws.join(broadcast(cum),
+      col("__u") >= col("__lo") && col("__u") < col("__hi"))
+    val w = JoinSample.totalWeight(chain, "customer", Fanouts.loader(spark, dir))
+      .select(col("total_weight").cast("double").as("__w"))
+    narSpecs.map { case (id, needO, needL, pred, _) =>
+      val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+        (if (needL) Seq(col("l_code") =!= 1) else Nil)
+      val sat = (pred +: flags).reduce(_ && _)
+      val mass = if (needL) lit(1.0) else col("einv")
+      picked
+        .agg((sum(when(sat, mass).otherwise(0.0)) / lit(narProgN.toDouble)).as("__pm"))
+        .crossJoin(w)
+        .select(lit(id).as("query_id"),
+          greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+    }.reduce(_.unionAll(_))
+  }
+
+  def narProgressiveQ(spark: SparkSession, dir: String): DataFrame =
+    narProgFrame(spark, dir).orderBy(col("query_id"))
+
   /** Hash-checked verdict for the trained density model, in the
     * ivf_kmeans_check discipline: the checkpoint itself is not
-    * oracle-reproducible, but "estimates are finite, ≥ 1, and within a
-    * q-error bound of the true cardinality" is a fixed contract the
-    * oracle asserts — a broken trained model fails the correctness gate
-    * instead of hiding behind rows-only.
+    * oracle-reproducible, but "estimates are finite, ≥ 1, within a
+    * q-error bound of the true cardinality, and the progressive-sampling
+    * leg agrees with exact enumeration" is a fixed contract the oracle
+    * asserts — a broken trained model (or a broken sampler) fails the
+    * correctness gate instead of hiding behind rows-only.
     */
   def narCheckQ(spark: SparkSession, dir: String): DataFrame =
     narEstFrame(spark, dir)
       .join(narTruths(spark, dir), Seq("query_id"))
+      .join(narProgFrame(spark, dir).withColumnRenamed("est", "__prog"), Seq("query_id"))
       .select(col("query_id"),
         (!isnan(col("est")) && col("est").isNotNull).as("finite_ok"),
         (col("est") >= 1.0).as("pos_ok"),
         (greatest(col("est"), col("__t")) /
-          greatest(least(col("est"), col("__t")), lit(1.0)) <= narBound).as("qerr_ok"))
+          greatest(least(col("est"), col("__t")), lit(1.0)) <= narBound).as("qerr_ok"),
+        // 4096 forward samples put the sampler within ~10% of exact
+        // enumeration at these selectivities; 2× flags a real breakage
+        (greatest(col("est"), col("__prog")) /
+          greatest(least(col("est"), col("__prog")), lit(1.0)) <= 2.0).as("prog_ok"))
       .orderBy(col("query_id"))
 
   val narCheckSql: String =
     narSpecs.map { case (id, _, _, _, _) =>
-      s"SELECT '$id' AS query_id, TRUE AS finite_ok, TRUE AS pos_ok, TRUE AS qerr_ok"
+      s"SELECT '$id' AS query_id, TRUE AS finite_ok, TRUE AS pos_ok," +
+        " TRUE AS qerr_ok, TRUE AS prog_ok"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
@@ -1808,6 +1860,7 @@ object QueriesEstimators {
     "ols_est" -> (olsEstQ _),
     "training_batch" -> (trainingBatchQ _),
     "nar_est" -> (narEstQ _),
+    "nar_progressive" -> (narProgressiveQ _),
     "nar_check" -> (narCheckQ _)
   )
 

@@ -62,10 +62,10 @@ class EstimatorModelSpec extends SparkSpec {
     assert(leak == 0.0)
     // end-to-end accuracy: tighter in-test than the oracle gate's 4×
     val checks = QueriesEstimators.narCheckQ(spark, sf)
-      .as[(String, Boolean, Boolean, Boolean)].collect().toSeq
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
     assert(checks.map(_._1) == Seq("n01", "n02", "n03", "n04"))
-    checks.foreach { case (id, fin, pos, q) =>
-      assert(fin && pos && q, s"$id verdict ($fin, $pos, $q)")
+    checks.foreach { case (id, fin, pos, q, prog) =>
+      assert(fin && pos && q && prog, s"$id verdict ($fin, $pos, $q, $prog)")
     }
   }
 
