@@ -417,7 +417,231 @@ object QueriesRelational {
       |WHERE sl = 1 AND n_supp > 1 AND n_late = 1
       |GROUP BY 1, 2 ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin
 
+  // ---- row 131: q6 — forecast-revenue single-scan aggregate ----
+
+  /** TPC-H q6 shape: one predicate-heavy scan, no join, one global sum.
+    * The whole query is a parquet scan with every filter pushed down
+    * (date range, discount band, quantity cap) + a partial/final agg —
+    * the canonical "filters must reach the scan" probe. Revenue is the
+    * exact cents × pct integer grid; ONE double division at the end.
+    */
+  def q6ForecastRevenueQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)")).cast("double") / 10000.0)
+        .as("revenue"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |                CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |         / 10000.0 AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- row 132: q9 — product-line profit by nation and year ----
+
+  /** TPC-H q9 shape (no partsupp in the testdata: supply cost ≈ the
+    * part's retail price × quantity). The p_name LIKE filter prunes
+    * part BEFORE its join (broadcast after filter); nation broadcasts
+    * onto supplier; the fact shuffles once per join key, profit stays
+    * in exact integer cents until presentation.
+    */
+  def q9ProfitQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("cost_c"))
+    val s = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))), Seq("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables(spark, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(((sum(revCents) - lit(10000L) *
+        sum(col("cost_c") * expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")))
+        .cast("double") / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |           CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) -
+      |       10000 * SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) *
+      |                   CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- row 133: q12 — late-shipment priority split ----
+
+  /** TPC-H q12 shape (no shipmode/commitdate columns: the mode becomes
+    * l_linestatus, "committed late" becomes shipped >30 days after the
+    * order date). The non-equi lateness predicate rides INSIDE the join
+    * condition with the key equality, so non-late lines never reach the
+    * aggregation; the date window prunes the fact scan.
+    */
+  def q12PrioritySplitQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  val q12PrioritySplitSql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- row 134: q15 — top supplier by quarterly revenue ----
+
+  /** TPC-H q15 shape: the revenue "view" is built once and memoized; the
+    * scalar MAX broadcasts back onto it (exact integer cents, so the
+    * max-equality join cannot drift), then the surviving supplier(s)
+    * attach names. No window, no second fact scan.
+    */
+  def q15TopSupplierQ(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Memo(spark, dir, "rel:q15rev")(
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revCents).as("rev_c")))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("rev_c")).as("max_c"))))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(Tables(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_c").cast("double") / 10000.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |        CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 10000.0 AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- row 135: q18 — large-volume orders ----
+
+  /** TPC-H q18 shape: the HAVING SUM(qty) aggregation runs FIRST on the
+    * slim (orderkey, qty) projection — one fact shuffle on the join key
+    * it already needs — and only qualifying orders (a tiny set) join
+    * customer and orders. Quantities are integral by data contract;
+    * summed as BIGINT so the threshold is exact. Rank on (qty DESC,
+    * orderkey) makes the LIMIT deterministic.
+    */
+  def q18BigOrdersQ(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("q")).as("sum_qty"))
+      .filter(col("sum_qty") > 150L)
+    big
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum_qty > 150)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---- row 136: q19 — disjunctive brand/size/quantity revenue ----
+
+  /** TPC-H q19 shape: an OR of three (brand, size-band, quantity-band)
+    * conjunct groups across the part join. The shared part of every
+    * disjunct (size ≥ 1) would push to the part scan; the per-brand
+    * residuals evaluate inside the join — exactly how an engine should
+    * execute a disjunctive join predicate without unioning three scans.
+    */
+  def q19DisjunctiveRevQ(spark: SparkSession, dir: String): DataFrame = {
+    val arm = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size") >= 1 && col("p_size") <= szHi &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey") &&
+          (arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+            arm("Brand#34", 15, 20, 30)))
+      .agg((sum(revCents).cast("double") / 10000.0).as("revenue"))
+  }
+
+  val q19DisjunctiveRevSql: String =
+    """SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+      |                CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |         / 10000.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenueQ _),
+    "q9_profit_by_nation" -> (q9ProfitQ _),
+    "q12_priority_split" -> (q12PrioritySplitQ _),
+    "q15_top_supplier" -> (q15TopSupplierQ _),
+    "q18_big_orders" -> (q18BigOrdersQ _),
+    "q19_disjunctive_rev" -> (q19DisjunctiveRevQ _),
     "q4_priority_exists" -> (q4PriorityQ _),
     "q7_trade_volume" -> (q7TradeVolumeQ _),
     "q8_market_share" -> (q8MarketShareQ _),
@@ -430,6 +654,12 @@ object QueriesRelational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q9_profit_by_nation" -> q9ProfitSql,
+    "q12_priority_split" -> q12PrioritySplitSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q18_big_orders" -> q18BigOrdersSql,
+    "q19_disjunctive_rev" -> q19DisjunctiveRevSql,
     "q4_priority_exists" -> q4PrioritySql,
     "q7_trade_volume" -> q7TradeVolumeSql,
     "q8_market_share" -> q8MarketShareSql,

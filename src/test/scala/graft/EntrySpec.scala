@@ -58,6 +58,8 @@ class EntrySpec extends SparkSpec {
       "span_corrupt", "join_card_est",
       "q4_priority_exists", "q7_trade_volume", "q8_market_share", "q10_returns",
       "q14_promo_share", "q16_supplier_variety", "q17_small_qty", "q22_idle_balance",
+      "q6_forecast_revenue", "q9_profit_by_nation", "q12_priority_split",
+      "q15_top_supplier", "q18_big_orders", "q19_disjunctive_rev",
       "last_touch_attribution", "centroid_drift", "gram_top_eigen", "shard_plan",
       "late_events", "bucket_advisor", "mutual_info", "ebo_est", "ngram_novelty",
       "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration",
