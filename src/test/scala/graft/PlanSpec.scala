@@ -405,4 +405,54 @@ class PlanSpec extends SparkSpec {
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
     assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("lang")), p.take(800))
   }
+
+  test("q6_forecast_revenue pushes every filter to the scan; one agg exchange") {
+    val p = plan("q6_forecast_revenue")
+    // toString truncates the PushedFilters list; the data-filter node
+    // shows the full conjunction that reached the scan stage
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1600))
+    assert(p.contains(">= 0.05") && p.contains("< 24.0"), p.take(1600))
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q9_profit_by_nation pushes the name LIKE into the part scan and broadcasts dims") {
+    val p = plan("q9_profit_by_nation")
+    assert(p.contains("StringContains(p_name,widget)"), p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q12_priority_split prunes the fact scan by date and keeps one agg pass") {
+    val p = plan("q12_priority_split")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(1200))
+    // lineitem reads only the 3 used columns
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.exists(s =>
+      s.contains("l_linestatus") && !s.contains("l_extendedprice")), p.take(1200))
+  }
+
+  test("q15_top_supplier broadcasts the scalar max back onto the cached revenue view") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+  }
+
+  test("q18_big_orders aggregates the slim projection before any join") {
+    val p = plan("q18_big_orders")
+    // lineitem feeds the HAVING agg with only (orderkey, quantity)
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.exists(s => s.contains("l_orderkey") &&
+      s.contains("l_quantity") && !s.contains("l_partkey")), p.take(1200))
+    // top-20 without a full sort of the joined result
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q19_disjunctive_rev evaluates the OR inside one part join (no 3-scan union)") {
+    val p = plan("q19_disjunctive_rev")
+    // exactly two scans total (lineitem + part) — no per-brand union
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(1200))
+    assert(!p.contains("Union"), p.take(600))
+    // the three-brand OR rides inside the single part join
+    assert(p.contains("BroadcastHashJoin") && p.contains("Brand#23"), p.take(1200))
+  }
 }
