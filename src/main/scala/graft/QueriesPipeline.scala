@@ -489,7 +489,94 @@ object QueriesPipeline {
       |WHERE cnt * ndv * 5 > 6 * n AND cnt * ndv <= salt * n
       |GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
 
+  // ---- row 137: join-order advisor (System-R DP leg, catalog-only) ----
+
+  /** (query_id, left-deep order label, Seq of (fact tbl, fact key, dim
+    * tbl, dim key) — the single intermediate join whose estimated size
+    * is the order's cost; final join size is order-invariant for a
+    * chain, so the intermediate IS the System-R cost difference.)
+    */
+  private val joaSpecs: Seq[(String, Seq[(String, String, String, String, String)])] = Seq(
+    ("joa1_cust_ord_line", Seq(
+      ("(customer⋈orders)⋈lineitem", "customer", "c_custkey", "orders", "o_custkey"),
+      ("(orders⋈lineitem)⋈customer", "orders", "o_orderkey", "lineitem", "l_orderkey"))),
+    ("joa2_part_line_supp", Seq(
+      ("(part⋈lineitem)⋈supplier", "part", "p_partkey", "lineitem", "l_partkey"),
+      ("(supplier⋈lineitem)⋈part", "supplier", "s_suppkey", "lineitem", "l_suppkey"))),
+    ("joa3_reg_nat_cust", Seq(
+      ("(region⋈nation)⋈customer", "region", "r_regionkey", "nation", "n_regionkey"),
+      ("(nation⋈customer)⋈region", "nation", "n_nationkey", "customer", "c_nationkey"))))
+
+  /** The optimizer-side CONSUMER of the catalog stats — what every
+    * cardinality estimate in this engine is FOR: per 3-table chain
+    * spec, cost each left-deep join order by its intermediate size
+    * under the System-R formula (|A|·|B| div max ndv — the same
+    * integer arithmetic join_card_est audits), pick the cheapest, and
+    * report best/worst orders with the cost ratio an optimizer would
+    * save. Stats are one tiny agg per base table crossJoined into a
+    * single broadcast row; the arms and argmin run over a frame of
+    * #orders rows — nothing here rescans data per order. Ties break to
+    * the lexicographically first order label on both engines.
+    */
+  def joinOrderAdvisorQ(spark: SparkSession, dir: String): DataFrame = {
+    val tables = joaSpecs.flatMap(_._2.flatMap(a => Seq(a._2, a._4))).distinct
+    val keys = joaSpecs.flatMap(_._2.flatMap(a => Seq((a._2, a._3), (a._4, a._5)))).distinct
+    val stats = tables.map { t =>
+      val ndvs = keys.filter(_._1 == t).map { case (_, k) =>
+        greatest(countDistinct(col(k)), lit(1L)).as(s"ndv_$k")
+      }
+      Tables(spark, dir, t).agg(count(lit(1)).as(s"cnt_$t"), ndvs: _*)
+    }.reduce(_.crossJoin(_))
+    val arms = joaSpecs.flatMap { case (id, orders) =>
+      orders.map { case (label, ta, ka, tb, kb) =>
+        stats.select(
+          lit(id).as("query_id"), lit(label).as("ord"),
+          expr(s"(cnt_$ta * cnt_$tb) div greatest(ndv_$ka, ndv_$kb)").as("cost"))
+      }
+    }.reduce(_.unionAll(_))
+    val ranked = arms.groupBy(col("query_id"))
+      .agg(min(col("cost")).as("best_cost"), max(col("cost")).as("worst_cost"))
+    arms.join(ranked, Seq("query_id"))
+      .filter(col("cost") === col("best_cost"))
+      .groupBy(col("query_id"), col("best_cost"), col("worst_cost"))
+      .agg(min(col("ord")).as("best_order"))
+      .select(col("query_id"), col("best_order"), col("best_cost"), col("worst_cost"),
+        (col("worst_cost").cast("double") /
+          greatest(col("best_cost"), lit(1L)).cast("double")).as("cost_ratio"))
+      .orderBy(col("query_id"))
+  }
+
+  val joinOrderAdvisorSql: String = {
+    val tables = joaSpecs.flatMap(_._2.flatMap(a => Seq(a._2, a._4))).distinct
+    val keys = joaSpecs.flatMap(_._2.flatMap(a => Seq((a._2, a._3), (a._4, a._5)))).distinct
+    val statSelects = tables.map { t =>
+      val ndvs = keys.filter(_._1 == t)
+        .map { case (_, k) => s"GREATEST(COUNT(DISTINCT $k), 1) AS ndv_$k" }
+      s"(SELECT CAST(COUNT(*) AS BIGINT) AS cnt_$t${ndvs.map(", " + _).mkString} FROM $t) s_$t"
+    }.mkString(",\n")
+    val armSelects = joaSpecs.flatMap { case (id, orders) =>
+      orders.map { case (label, ta, ka, tb, kb) =>
+        s"SELECT '$id' AS query_id, '$label' AS ord," +
+          s" CAST((cnt_$ta * cnt_$tb) // GREATEST(ndv_$ka, ndv_$kb) AS BIGINT) AS cost" +
+          s" FROM stats"
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH stats AS (SELECT * FROM
+       |$statSelects),
+       |arms AS (
+       |$armSelects),
+       |ranked AS (SELECT query_id, MIN(cost) AS best_cost, MAX(cost) AS worst_cost
+       |           FROM arms GROUP BY 1)
+       |SELECT a.query_id, MIN(a.ord) AS best_order,
+       |  r.best_cost, r.worst_cost,
+       |  CAST(r.worst_cost AS DOUBLE) / CAST(GREATEST(r.best_cost, 1) AS DOUBLE) AS cost_ratio
+       |FROM arms a JOIN ranked r ON a.query_id = r.query_id AND a.cost = r.best_cost
+       |GROUP BY 1, 3, 4
+       |ORDER BY a.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_order_advisor" -> (joinOrderAdvisorQ _),
     "last_touch_attribution" -> (lastTouchAttributionQ _),
     "centroid_drift" -> (centroidDriftQ _),
     "gram_top_eigen" -> (gramTopEigenQ _),
@@ -502,6 +589,7 @@ object QueriesPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_order_advisor" -> joinOrderAdvisorSql,
     "last_touch_attribution" -> lastTouchAttributionSql,
     "centroid_drift" -> centroidDriftSql,
     "gram_top_eigen" -> gramTopEigenSql,

@@ -60,6 +60,7 @@ class EntrySpec extends SparkSpec {
       "q14_promo_share", "q16_supplier_variety", "q17_small_qty", "q22_idle_balance",
       "q6_forecast_revenue", "q9_profit_by_nation", "q12_priority_split",
       "q15_top_supplier", "q18_big_orders", "q19_disjunctive_rev",
+      "join_order_advisor",
       "last_touch_attribution", "centroid_drift", "gram_top_eigen", "shard_plan",
       "late_events", "bucket_advisor", "mutual_info", "ebo_est", "ngram_novelty",
       "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration",
