@@ -2165,7 +2165,59 @@ object QueriesAnalytics {
       |SELECT a.pk AS p_partkey, s.s_suppkey, s.s_name, a.min_unit_price
       |FROM a JOIN supplier s ON a.best_supp = s.s_suppkey ORDER BY 1""".stripMargin
 
+  // ---- row 138: basket_itemsets — distributed FP-Growth market baskets ----
+
+  private val basketMinSupport = 0.02
+
+  /** Frequent brand itemsets over per-order baskets, mined with MLlib's
+    * FPGrowth — the distributed PFP algorithm (item-suffix partitioned),
+    * the plan that survives a 100 TB fact table where an a-priori
+    * self-join per itemset size would not. FP-Growth counts are exact
+    * and deterministic, so the size-≤2 slice of the lattice is
+    * hash-checked against the oracle's count/self-join formulation —
+    * an MLlib trainer leg whose OUTPUT is fully oracle-gated, no
+    * rows-only escape hatch. Baskets are distinct (order, brand) pairs:
+    * one fact shuffle into collect_set; itemset strings are sorted so
+    * both engines agree on identity.
+    */
+  def basketItemsetsQ(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val baskets = ob.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("items"))
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(basketMinSupport)
+      .fit(baskets)
+    model.freqItemsets
+      .filter(size(col("items")) <= 2)
+      .select(
+        concat_ws(",", sort_array(col("items"))).as("items"),
+        size(col("items")).cast("int").as("n_items"),
+        col("freq").cast("bigint").as("freq"))
+      .orderBy(col("items"))
+  }
+
+  val basketItemsetsSql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+       |singles AS (SELECT p_brand AS items, CAST(1 AS INTEGER) AS n_items,
+       |              CAST(COUNT(*) AS BIGINT) AS freq
+       |            FROM ob GROUP BY 1),
+       |pairs AS (SELECT a.p_brand || ',' || b.p_brand AS items,
+       |            CAST(2 AS INTEGER) AS n_items, CAST(COUNT(*) AS BIGINT) AS freq
+       |          FROM ob a JOIN ob b
+       |            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+       |          GROUP BY 1)
+       |SELECT items, n_items, freq
+       |FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs) u, n
+       |WHERE freq >= CAST(ceil($basketMinSupport * n) AS BIGINT)
+       |ORDER BY items""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_itemsets" -> (basketItemsetsQ _),
     "ewma_spikes" -> (ewmaSpikesQ _),
     "min_price_supplier" -> (minPriceSupplierQ _),
     "cust_order_dist" -> (custOrderDistQ _),
@@ -2229,6 +2281,7 @@ object QueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "basket_itemsets" -> basketItemsetsSql,
     "ewma_spikes" -> ewmaSpikesSql,
     "min_price_supplier" -> minPriceSupplierSql,
     "cust_order_dist" -> custOrderDistSql,
