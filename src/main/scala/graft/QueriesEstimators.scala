@@ -1663,10 +1663,18 @@ object QueriesEstimators {
     * by the model's E[1/fanout | combo] — the reference's fanout
     * scaling.
     */
-  private def narEstFrame(spark: SparkSession, dir: String): DataFrame = {
+  /** Total chain weight, materialized once per (session, dir): the
+    * est/progressive/check legs all scale by the same W — one Fanouts
+    * traversal, not one per leg.
+    */
+  private def narW(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narW")(
+      JoinSample.totalWeight(chain, "customer", Fanouts.loader(spark, dir))
+        .select(col("total_weight").cast("double").as("__w")))
+
+  private def narEstFrame(spark: SparkSession, dir: String): DataFrame = memoized(spark, dir, "narEstFrame") {
     val joint = narJointDecoded(spark, dir)
-    val w = JoinSample.totalWeight(chain, "customer", Fanouts.loader(spark, dir))
-      .select(col("total_weight").cast("double").as("__w"))
+    val w = narW(spark, dir)
     narSpecs.map { case (id, needO, needL, pred, _) =>
       val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
         (if (needL) Seq(col("l_code") =!= 1) else Nil)
@@ -1720,7 +1728,7 @@ object QueriesEstimators {
     * cross-product, double digits), never over data. Rows-only; gated
     * against the exact-enumeration leg by nar_check's prog_ok.
     */
-  private def narProgFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def narProgFrame(spark: SparkSession, dir: String): DataFrame = memoized(spark, dir, "narProgFrame") {
     import org.apache.spark.sql.expressions.Window
     val cw = Window.orderBy(col("c_code"), col("o_code"), col("l_code"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1732,8 +1740,7 @@ object QueriesEstimators {
         .cast("long").cast("double") / lit(JoinSample.H)).as("__u"))
     val picked = draws.join(broadcast(cum),
       col("__u") >= col("__lo") && col("__u") < col("__hi"))
-    val w = JoinSample.totalWeight(chain, "customer", Fanouts.loader(spark, dir))
-      .select(col("total_weight").cast("double").as("__w"))
+    val w = narW(spark, dir)
     narSpecs.map { case (id, needO, needL, pred, _) =>
       val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
         (if (needL) Seq(col("l_code") =!= 1) else Nil)
