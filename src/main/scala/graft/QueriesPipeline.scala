@@ -112,11 +112,15 @@ object QueriesPipeline {
 
   /** Top principal direction (un-centered) of the embedding cloud via
     * three power iterations on the Gram matrix, all in fixed point so
-    * the result is bit-identical across engines. The data pass is the
-    * standard distributed-PCA shape: ONE pass over the vectors
-    * accumulating the d×d second-moment matrix M (d=64 → 4096 cells;
-    * input on the 1e-3 grid keeps Σ qv_i·qv_j within BIGINT up to
-    * ~10^9 rows — the MLlib RowMatrix.computeGramianMatrix discipline).
+    * the result is bit-identical across engines. The Gram build SCANS
+    * the vectors once, but is expressed as a position-exploded
+    * self-join (d² = 4096 intermediate rows per vector before map-side
+    * partial aggregation), not a true accumulator pass — same
+    * asymptotic result as MLlib RowMatrix.computeGramianMatrix's
+    * per-partition BLAS accumulation, heavier constant; fine at d=64,
+    * and the swap-in point for a real accumulator is this one join
+    * (input on the 1e-3 grid keeps Σ qv_i·qv_j within BIGINT up to
+    * ~10^9 rows).
     * Iterations then run on the tiny M alone: w ← M·w as a broadcast
     * join, renormalized to the 1e6 grid by sign-split division by
     * max|raw| — no data rescan, no driver loop over rows.

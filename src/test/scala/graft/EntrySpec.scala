@@ -11,6 +11,18 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every registered query resolves and plans against the test schema") {
+    // The round-5 testdata drift (TIMESTAMP_NTZ) surfaced as per-query
+    // ANALYSIS errors that silently dropped five queries from the
+    // driver's correctness run. Analysis failures are catchable at plan
+    // time without executing anything — so force-plan ALL of them.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).queryExecution.executedPlan; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("SURVEY §2 inventory is fully declared") {
     val expected = Set(
       "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes", "ur_size",

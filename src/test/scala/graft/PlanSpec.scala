@@ -406,6 +406,23 @@ class PlanSpec extends SparkSpec {
     assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("lang")), p.take(800))
   }
 
+  test("ngram_jaccard joins LSH candidates by doc id, never all-pairs per (lang, source)") {
+    val p = plan("ngram_jaccard")
+    // the r4-weak plan was a.join(b, Seq("lang","source")) — a group
+    // cross product whose join keys were EXACTLY [lang, source]; in the
+    // re-target every join key list includes a doc id (the lang/source
+    // equalities may legitimately fold in as extra keys)
+    assert("Join \\[lang#[0-9]+, source#[0-9]+\\]".r.findFirstIn(p).isEmpty, p.take(1200))
+    assert(p.contains("doc_a") && p.contains("doc_b"), p.take(800))
+  }
+
+  test("quality_calibration deciles without a single-partition ntile window") {
+    val p = plan("quality_calibration")
+    assert(!p.contains("ntile("), p.take(1200))
+    // the distributed rank: range-partition stamp + per-partition window
+    assert(p.contains("__pid"), p.take(1200))
+  }
+
   test("q6_forecast_revenue pushes every filter to the scan; one agg exchange") {
     val p = plan("q6_forecast_revenue")
     // toString truncates the PushedFilters list; the data-filter node
