@@ -2185,8 +2185,12 @@ object QueriesAnalytics {
       .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()
-    val baskets = ob.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("p_brand")).as("items"))
+    // FP-Growth makes two passes (frequent items, then FP-trees) —
+    // materialize the baskets once instead of re-running the fact join
+    // and distinct per pass
+    val baskets = Memo(spark, dir, "brandBaskets")(
+      ob.groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_brand")).as("items")))
     val model = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items").setMinSupport(basketMinSupport)
       .fit(baskets)
