@@ -2220,7 +2220,35 @@ object QueriesAnalytics {
        |WHERE freq >= CAST(ceil($basketMinSupport * n) AS BIGINT)
        |ORDER BY items""".stripMargin
 
+  // ---- row 139: pareto_skyline — distributed skyline operator ----
+
+  /** Skyline of the part catalog: parts where no other part is
+    * simultaneously cheaper-or-equal AND larger-or-equal (strict in
+    * one) — the classic Pareto-frontier OLAP operator, executed with
+    * [[graft.operators.Layout.skylineMin2]]'s range-partitioned sweep
+    * (per-x minima → per-partition prefix minima → cross-partition
+    * carry over a ≤ #partitions-row window) instead of the
+    * single-partition sorted scan. Maximize-size is minimize(-size).
+    */
+  def paretoSkylineQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        (-col("p_size")).as("__negsz"))
+    graft.operators.Layout.skylineMin2(p, "p_retailprice", "__negsz")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val paretoSkylineSql: String =
+    """SELECT a.p_partkey, a.p_retailprice, a.p_size
+      |FROM part a
+      |WHERE NOT EXISTS (SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY a.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pareto_skyline" -> (paretoSkylineQ _),
     "basket_itemsets" -> (basketItemsetsQ _),
     "ewma_spikes" -> (ewmaSpikesQ _),
     "min_price_supplier" -> (minPriceSupplierQ _),
@@ -2285,6 +2313,7 @@ object QueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pareto_skyline" -> paretoSkylineSql,
     "basket_itemsets" -> basketItemsetsSql,
     "ewma_spikes" -> ewmaSpikesSql,
     "min_price_supplier" -> minPriceSupplierSql,

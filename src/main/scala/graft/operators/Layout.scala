@@ -54,6 +54,43 @@ object Layout {
       .drop("__pid", "__off", "__r0", "__N")
   }
 
+  /** 2-D skyline (Pareto frontier, minimize BOTH x and y) without a
+    * single-partition sweep. A point is dominated iff another point is
+    * ≤ in both dimensions and < in one. Classic sweep = global sort by
+    * x, running min of y — one partition at scale. Here the same sweep
+    * distributes exactly like [[rankedNtile]]'s rank: collapse to
+    * per-x group minima, range-partition by x, per-partition prefix
+    * minima via a partitioned window, and carry each partition's
+    * running minimum across partitions through a ≤ #partitions-row
+    * cumulative window, broadcast back. Survivors: y < prefix-min of
+    * all strictly-smaller x AND y = its x-group minimum (ties on both
+    * dims are mutually non-dominating and all survive — the join back
+    * to `df` keeps duplicates). Output = the skyline rows of `df`.
+    */
+  def skylineMin2(df: DataFrame, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(x)).agg(min(col(y)).as("__gy"))
+      .repartitionByRange(col(x))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // strict-prefix min inside each partition…
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(x))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // …plus each partition's full min, cumulated EXCLUSIVELY over the
+    // tiny ordered partition list, carried in as the cross-partition seed
+    val carry = g.groupBy(col("__pid")).agg(min(col("__gy")).as("__pm"))
+      .withColumn("__carry",
+        min(col("__pm")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__carry"))
+    val survivors = g
+      .join(broadcast(carry), "__pid")
+      .withColumn("__prefix", least(min(col("__gy")).over(wLocal), col("__carry")))
+      .filter(col("__prefix").isNull || col("__gy") < col("__prefix"))
+      .select(col(x), col("__gy"))
+    df.join(survivors, df(x) === survivors(x) && df(y) === survivors("__gy"), "leftsemi")
+  }
+
   /** Z-value (Morton code) of two non-negative keys over their low
     * `bits` bits: output bit 2i+1 = bit i of a, bit 2i = bit i of b.
     * A flat sum of shift/mask terms — whole-stage-codegen'd, no UDF.

@@ -73,6 +73,25 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("skylineMin2 equals brute-force domination, ties and duplicates included") {
+    // deterministic pseudo-random points with deliberate duplicates
+    val pts = (0 until 300).map { i =>
+      val x = (i * 7919) % 23; val y = (i * 104729) % 19
+      (i.toLong, x.toLong, y.toLong)
+    } ++ Seq((900L, 0L, 0L), (901L, 0L, 0L)) // duplicate minimal points
+    val d = pts.toDF("id", "x", "y")
+    val got = Layout.skylineMin2(d, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 <= x && y2 <= y && (x2 < x || y2 < y)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    // both duplicate minimal points survive (mutual non-domination)
+    assert(Set(900L, 901L).subsetOf(got))
+  }
+
   test("saltedJoin returns exactly the plain equi-join rows") {
     // skewed fact: one hot key holds half the rows
     val fact = (0L until 400L).map(i => (if (i < 200) 1L else i % 37, i)).toDF("fk", "payload")
