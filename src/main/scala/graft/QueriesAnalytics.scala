@@ -2247,7 +2247,43 @@ object QueriesAnalytics {
       |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
       |ORDER BY a.p_partkey""".stripMargin
 
+  // ---- row 140: grouping_sets_report — custom marginals in one pass ----
+
+  /** Marginal report over events: per-type totals, per-hour-of-day
+    * totals, and the grand total — GROUPING SETS ((type), (hod), ())
+    * is neither a cube nor a rollup (no (type, hod) cell), so the
+    * engine computes exactly the three requested groupings in ONE
+    * expand+aggregate pass instead of three scans or a full cube it
+    * would then throw away. Money stays decimal-exact to the end.
+    */
+  def groupingSetsReportQ(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("hod")), Seq()),
+        col("event_type"), col("hod"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"),
+        grouping(col("event_type")).as("__gt"),
+        grouping(col("hod")).as("__gh"))
+      .select(
+        when(col("__gt") === 1, "ALL").otherwise(col("event_type")).as("event_type"),
+        when(col("__gh") === 1, -1).otherwise(col("hod")).cast("int").as("hod"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("event_type"), col("hod"))
+
+  val groupingSetsReportSql: String =
+    """SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+      |  CAST(CASE WHEN GROUPING(hod) = 1 THEN -1 ELSE hod END AS INTEGER) AS hod,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM (SELECT event_type, hour(ts) AS hod, value FROM events) e
+      |GROUP BY GROUPING SETS ((event_type), (hod), ())
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets_report" -> (groupingSetsReportQ _),
     "pareto_skyline" -> (paretoSkylineQ _),
     "basket_itemsets" -> (basketItemsetsQ _),
     "ewma_spikes" -> (ewmaSpikesQ _),
@@ -2313,6 +2349,7 @@ object QueriesAnalytics {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "grouping_sets_report" -> groupingSetsReportSql,
     "pareto_skyline" -> paretoSkylineSql,
     "basket_itemsets" -> basketItemsetsSql,
     "ewma_spikes" -> ewmaSpikesSql,

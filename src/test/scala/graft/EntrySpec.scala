@@ -62,7 +62,7 @@ class EntrySpec extends SparkSpec {
       "bigram_lift", "rollup_revenue", "audience_jaccard",
       "revenue_mom", "embed_dist_hist", "order_fill_latency",
       "discount_impact", "user_type_matrix", "token_positions", "shared_vocab",
-      "error_rate", "basket_itemsets", "pareto_skyline",
+      "error_rate", "basket_itemsets", "pareto_skyline", "grouping_sets_report",
       "triangle_count", "nation_pagerank", "cust_order_dist", "dormant_customers",
       "sample_quantiles", "dsir_weights", "mlm_mask", "tok_fertility",
       "zone_map_prune", "shuffle_skew_audit",
