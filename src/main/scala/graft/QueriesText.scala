@@ -628,6 +628,99 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
+  // ---- row 25j: SemDeDup — semantic dedup inside embedding clusters ----
+
+  /** Real corpora run SemDeDup at τ ≈ 0.95+; the synthetic embeddings
+    * are near-orthogonal (max pairwise cosine ≈ 0.44), so τ is
+    * calibrated down to keep the DROP path exercised by the test data
+    * rather than vacuously empty.
+    */
+  private val semDupTau = 0.35
+
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    * call two documents semantic duplicates when their cosine exceeds τ
+    * WITHIN a cluster — the all-pairs work is bounded by cluster size,
+    * never corpus size, which is the published method's entire scaling
+    * argument. Centroids are the deterministic vector slice the IVF
+    * index uses (so the whole operator is oracle-reproducible; the
+    * MLlib-k-means flavor of the same index is ivf_kmeans_ann's job);
+    * assignment is argmax cosine (ties → lower centroid id); the keep
+    * rule is deterministic min-id: drop v iff some u < v in its cluster
+    * has cos(u, v) ≥ τ, reporting that u as dup_of. Quantized integer
+    * dot products via the native codegen expression keep both engines
+    * bit-identical.
+    */
+  def semanticDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.quantExpr.as("qv"))
+      .withColumn("nn", expr("quantized_dot(qv, qv)"))
+    val cents = q.filter(col("vec_id") >= ivfCentLo && col("vec_id") < ivfCentLo + ivfNCent)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"), col("nn").as("ncent"))
+    val assign = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        expr("quantized_dot(qv, cv)").cast("double") /
+          sqrt(col("nn").cast("double")) / sqrt(col("ncent").cast("double")))
+      .groupBy(col("vec_id"), col("qv"), col("nn"))
+      .agg(max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id"))).as("list_id"))
+    val dups = assign.select(col("list_id"), col("vec_id").as("va"),
+        col("qv").as("qa"), col("nn").as("na"))
+      .join(assign.select(col("list_id"), col("vec_id").as("vb"),
+        col("qv").as("qb"), col("nn").as("nb")), Seq("list_id"))
+      .filter(col("va") < col("vb"))
+      .filter(
+        expr("quantized_dot(qa, qb)").cast("double") /
+          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")) >= semDupTau)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"))
+    assign.select(col("vec_id"), col("list_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |cent AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+       |         WHERE vec_id >= $ivfCentLo AND vec_id < ${ivfCentLo + ivfNCent}),
+       |asex AS (SELECT v.vec_id, c.cent_id, v.qv AS qv, c.cv AS cv,
+       |                unnest(range(1, len(v.qv) + 1)) AS i
+       |         FROM q v, cent c),
+       |adots AS (SELECT vec_id, cent_id, CAST(SUM(qv[i] * cv[i]) AS BIGINT) AS dot
+       |          FROM asex GROUP BY 1, 2),
+       |acos AS (SELECT a.vec_id, a.cent_id,
+       |           CAST(a.dot AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos_c
+       |         FROM adots a
+       |         JOIN norms nv ON nv.vec_id = a.vec_id
+       |         JOIN norms nc ON nc.vec_id = a.cent_id),
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM (
+       |             SELECT vec_id, cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |             FROM acos) WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |          FROM assign a JOIN assign b
+       |            ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+       |pex AS (SELECT p.va, p.vb, qa.qv AS qa, qb.qv AS qb,
+       |               unnest(range(1, len(qa.qv) + 1)) AS i
+       |        FROM pairs p JOIN q qa ON qa.vec_id = p.va JOIN q qb ON qb.vec_id = p.vb),
+       |pdots AS (SELECT va, vb, CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
+       |          FROM pex GROUP BY 1, 2),
+       |dups AS (SELECT vb AS vec_id, MIN(va) AS dup_of
+       |         FROM pdots
+       |         JOIN norms na ON na.vec_id = va
+       |         JOIN norms nb ON nb.vec_id = vb
+       |         WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE)) >= $semDupTau
+       |         GROUP BY 1)
+       |SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+       |  d.dup_of IS NULL AS kept, d.dup_of
+       |FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---- row 25d: product-quantization encode ----
 
   val pqNSub = 4
@@ -1460,6 +1553,7 @@ object QueriesText {
     "embed_int8" -> (embedInt8Q _),
     "embed_dup" -> (embedDupQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
+    "semantic_dedup" -> (semanticDedupQ _),
     "embed_pq" -> (embedPqQ _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
@@ -1505,6 +1599,7 @@ object QueriesText {
     "ngram_novelty" -> ngramNoveltySql,
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,
+    "semantic_dedup" -> semanticDedupSql,
     "embed_pq" -> embedPqSql,
     "pq_adc_topk" -> pqAdcTopkSql,
     "lang_id" -> langIdSql,
