@@ -1700,18 +1700,27 @@ object QueriesEstimators {
     * against).
     */
   private def narTruths(spark: SparkSession, dir: String): DataFrame =
-    narSpecs.map { case (id, _, needL, pred, _) =>
-      val c = Tables(spark, dir, "customer")
-      val o = Tables(spark, dir, "orders")
-      val base = c.join(o, col("c_custkey") === col("o_custkey"))
-      val joined =
-        if (needL)
-          base.join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        else base
-      joined.filter(pred)
-        .agg(count(lit(1)).cast("double").as("__t"))
-        .select(lit(id).as("query_id"), col("__t"))
-    }.reduce(_.unionAll(_))
+    memoized(spark, dir, "narTruths") {
+      // one conditional-aggregation pass per join SHAPE (with/without
+      // lineitem), unpivoted to (query_id, __t) — 2 joins, not 4
+      narSpecs.groupBy(_._3).map { case (needL, specs) =>
+        val c = Tables(spark, dir, "customer")
+        val o = Tables(spark, dir, "orders")
+        val base = c.join(o, col("c_custkey") === col("o_custkey"))
+        val joined =
+          if (needL)
+            base.join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          else base
+        val aggs = specs.map { case (id, _, _, pred, _) =>
+          sum(when(pred, 1L).otherwise(0L)).cast("double").as(id)
+        }
+        val entries = specs.flatMap { case (id, _, _, _, _) => Seq(lit(id), col(id)) }
+        joined
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(map(entries: _*)))
+          .select(col("key").as("query_id"), col("value").as("__t"))
+      }.reduce(_.unionAll(_))
+    }
 
   // ---- row 11j: progressive sampling FROM the trained model ----
 

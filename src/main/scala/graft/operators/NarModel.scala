@@ -101,12 +101,23 @@ object NarModel {
     import spark.implicits._
     val codeFeats =
       Seq("c_code" -> cMax, "o_code" -> oMax, "l_code" -> lMax)
-    val po = head(batch, "slot", Seq("c_code" -> cMax), "o_code", oMax, hidden, seed)
-    val pl = head(batch, "slot", Seq("c_code" -> cMax, "o_code" -> oMax),
-      "l_code", lMax, hidden, seed + 1)
-    val pf = head(
+    // the three heads are independent fits over the same cached batch —
+    // train them as concurrent Spark jobs (same session, same seeds,
+    // same single-partition inputs: results are unchanged, wall time is
+    // the slowest head instead of the sum)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fPo = Future(
+      head(batch, "slot", Seq("c_code" -> cMax), "o_code", oMax, hidden, seed))
+    val fPl = Future(head(batch, "slot", Seq("c_code" -> cMax, "o_code" -> oMax),
+      "l_code", lMax, hidden, seed + 1))
+    val fPf = Future(head(
       batch.withColumn("f_code", least(col("lo_fanout"), lit(fMax.toLong)).cast("int")),
-      "slot", codeFeats, "f_code", fMax, hidden, seed + 2)
+      "slot", codeFeats, "f_code", fMax, hidden, seed + 2))
+    val po = Await.result(fPo, Duration.Inf)
+    val pl = Await.result(fPl, Duration.Inf)
+    val pf = Await.result(fPf, Duration.Inf)
     // root marginal is the exact empirical distribution of the sample —
     // the reference's first autoregressive slot is likewise fit directly
     val n = batch.agg(count(lit(1)).cast("double").as("__n"))
