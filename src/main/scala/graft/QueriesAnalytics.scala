@@ -2191,16 +2191,19 @@ object QueriesAnalytics {
     val baskets = Memo(spark, dir, "brandBaskets")(
       ob.groupBy(col("l_orderkey"))
         .agg(collect_set(col("p_brand")).as("items")))
-    val model = new org.apache.spark.ml.fpm.FPGrowth()
-      .setItemsCol("items").setMinSupport(basketMinSupport)
-      .fit(baskets)
-    model.freqItemsets
-      .filter(size(col("items")) <= 2)
-      .select(
-        concat_ws(",", sort_array(col("items"))).as("items"),
-        size(col("items")).cast("int").as("n_items"),
-        col("freq").cast("bigint").as("freq"))
-      .orderBy(col("items"))
+    // the mined lattice is itself a materialized product (FP-Growth
+    // refitting per consumer would re-scan the baskets)
+    Memo(spark, dir, "basketItemsets") {
+      val model = new org.apache.spark.ml.fpm.FPGrowth()
+        .setItemsCol("items").setMinSupport(basketMinSupport)
+        .fit(baskets)
+      model.freqItemsets
+        .filter(size(col("items")) <= 2)
+        .select(
+          concat_ws(",", sort_array(col("items"))).as("items"),
+          size(col("items")).cast("int").as("n_items"),
+          col("freq").cast("bigint").as("freq"))
+    }.orderBy(col("items"))
   }
 
   val basketItemsetsSql: String =

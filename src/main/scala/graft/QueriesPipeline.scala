@@ -525,12 +525,14 @@ object QueriesPipeline {
   def joinOrderAdvisorQ(spark: SparkSession, dir: String): DataFrame = {
     val tables = joaSpecs.flatMap(_._2.flatMap(a => Seq(a._2, a._4))).distinct
     val keys = joaSpecs.flatMap(_._2.flatMap(a => Seq((a._2, a._3), (a._4, a._5)))).distinct
-    val stats = tables.map { t =>
+    // the catalog-stats row is session state, like an engine's statistics
+    // cache — built once, served to every advisor call
+    val stats = Memo(spark, dir, "joaStats")(tables.map { t =>
       val ndvs = keys.filter(_._1 == t).map { case (_, k) =>
         greatest(countDistinct(col(k)), lit(1L)).as(s"ndv_$k")
       }
       Tables(spark, dir, t).agg(count(lit(1)).as(s"cnt_$t"), ndvs: _*)
-    }.reduce(_.crossJoin(_))
+    }.reduce(_.crossJoin(_)))
     val arms = joaSpecs.flatMap { case (id, orders) =>
       orders.map { case (label, ta, ka, tb, kb) =>
         stats.select(
