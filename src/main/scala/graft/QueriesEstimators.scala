@@ -1649,7 +1649,20 @@ object QueriesEstimators {
       val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
       val fMax = math.min(
         batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
-      NarModel.joint(batch, dmax(dc), dmax(dd), dmax(dl), fMax, narHidden, narSeed)
+      // The enumerated joint IS the model checkpoint — catalog-sized
+      // (domain cross-product) by construction. Materialize it to a
+      // LITERAL frame (the kmeansCentroids discipline: trained
+      // parameters become a tiny local table): the raw frame's plan
+      // embeds the heads' ML-transform UDFs, which are nondeterministic
+      // to the cache canonicalizer, so every downstream action would
+      // re-run the softmax evaluation instead of hitting the cache.
+      import spark.implicits._
+      val checkpoint = NarModel
+        .joint(batch, dmax(dc), dmax(dd), dmax(dl), fMax, narHidden, narSeed)
+        .select(col("c_code"), col("o_code"), col("l_code"), col("p"), col("einv"))
+        .as[(Int, Int, Int, Double, Double)].collect().toSeq
+        .toDF("c_code", "o_code", "l_code", "p", "einv")
+      checkpoint
         .join(broadcast(dc.withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
         .join(broadcast(dd.withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
         .join(broadcast(dl.withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
