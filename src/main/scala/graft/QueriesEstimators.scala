@@ -1605,6 +1605,62 @@ object QueriesEstimators {
        |LEFT JOIN lw ON s.o_orderkey = lw.l_orderkey
        |ORDER BY slot""".stripMargin
 
+  // ---- row 13e: ensemble_est — median-of-models estimator ----
+
+  /** Median ensemble over the six closed-form/trained estimators
+    * (cin, ebo, hist, mcv, naive, ols) — the standard "no single
+    * estimator wins everywhere" hedge, per spec: sort the six
+    * estimates (ties broken by model name), average ranks 3 and 4
+    * explicitly (both engines do the identical IEEE add-and-halve —
+    * no interpolation-convention drift), report est + q-error. All
+    * inputs are the session's memoized est frames; the ensemble adds
+    * one 6-rows-per-spec window, zero data scans.
+    */
+  def ensembleEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("est"), col("model"))
+    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
+      .map { m =>
+        estFrame(spark, dir, m)
+          .select(col("query_id"), lit(m).as("model"), col("est"), col("__card"))
+      }
+      .reduce(_.unionAll(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn").isin(3, 4))
+      .groupBy(col("query_id"))
+      .agg((sum(col("est")) / 2.0).as("est"), max(col("__card")).as("__t"))
+      .select(col("query_id"), col("est"), qErrCol(col("est"), col("__t")).as("q_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val ensembleEstSql: String = {
+    val arms = for {
+      (model, estOf) <- modelSqlEst
+      (id, q, _) <- parsedSpecs
+    } yield s"SELECT '$model' AS model, '$id' AS query_id, (${estOf(id, q)}) AS e"
+    val tru = parsedSpecs
+      .map { case (id, _, _) =>
+        s"SELECT '$id' AS query_id, CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE) AS t"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${StatsSql.mcvCtes},
+       |$olsCtes,
+       |arms AS (
+       |${arms.mkString("\nUNION ALL\n")}
+       |),
+       |tru AS (
+       |$tru
+       |),
+       |mid AS (SELECT query_id, e FROM (
+       |  SELECT query_id, e,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY e, model) AS rn
+       |  FROM arms) WHERE rn IN (3, 4)),
+       |med AS (SELECT query_id, SUM(e) / 2.0 AS est FROM mid GROUP BY 1)
+       |SELECT m.query_id, m.est, ${qErrSqlOf("m.est", "tru.t")} AS q_err
+       |FROM med m JOIN tru ON m.query_id = tru.query_id
+       |ORDER BY m.query_id""".stripMargin
+  }
+
   // ---- rows 11h/11i: learned NAR density model (the reference's model) ----
 
   private val narHidden = 8
@@ -1887,6 +1943,7 @@ object QueriesEstimators {
     "sample_est" -> (sampleEstQ _),
     "progressive_est" -> (progressiveEstQ _),
     "ols_est" -> (olsEstQ _),
+    "ensemble_est" -> (ensembleEstQ _),
     "training_batch" -> (trainingBatchQ _),
     "nar_est" -> (narEstQ _),
     "nar_progressive" -> (narProgressiveQ _),
@@ -1917,6 +1974,7 @@ object QueriesEstimators {
     "sample_est" -> sampleEstSql,
     "progressive_est" -> progressiveEstSql,
     "ols_est" -> olsEstSql,
+    "ensemble_est" -> ensembleEstSql,
     // nar_est is rows-only (MLP checkpoint not oracle-reproducible);
     // nar_check is its hash-checked contract.
     "nar_check" -> narCheckSql,
