@@ -252,6 +252,42 @@ object QueriesText {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- row 21e: dedup-method agreement audit ----
+
+  /** Pair-level agreement between the two near-dup detectors — the
+    * dedup counterpart of ann_recall's eval loop: before trusting a
+    * cheaper method at 100 TB, measure how far its pair set diverges
+    * from the established one. Both pair frames are the session's
+    * memoized products; the audit is one semi-join + three counts, no
+    * corpus rescans. `agreement` is pair-set Jaccard.
+    */
+  def dedupMethodAgreementQ(spark: SparkSession, dir: String): DataFrame = {
+    val a = lshPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val b = simhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    a.agg(count(lit(1)).as("n_minhash"))
+      .crossJoin(b.agg(count(lit(1)).as("n_simhash")))
+      .crossJoin(a.join(b, Seq("doc_a", "doc_b"), "leftsemi")
+        .agg(count(lit(1)).as("n_both")))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        (col("n_both").cast("double") /
+          greatest(col("n_minhash") + col("n_simhash") - col("n_both"), lit(1L))
+            .cast("double")).as("agreement"))
+  }
+
+  // lazy: simhashDupSql is declared later in this object
+  lazy val dedupMethodAgreementSql: String =
+    s"""WITH a AS (SELECT doc_a, doc_b FROM ($minhashLshDupSql)),
+       |b AS (SELECT doc_a, doc_b FROM ($simhashDupSql)),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_minhash FROM a),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_simhash FROM b),
+       |nboth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       |          FROM a JOIN b USING (doc_a, doc_b))
+       |SELECT na.n_minhash, nb.n_simhash, nboth.n_both,
+       |  CAST(nboth.n_both AS DOUBLE) /
+       |    CAST(GREATEST(na.n_minhash + nb.n_simhash - nboth.n_both, 1) AS DOUBLE)
+       |    AS agreement
+       |FROM na, nb, nboth""".stripMargin
+
   // ---- row 21b: near-dup cluster resolution ----
 
   /** Transitive closure of the verified LSH pairs → one cluster id (the
@@ -1554,6 +1590,7 @@ object QueriesText {
     "embed_dup" -> (embedDupQ _),
     "embed_ivf_ann" -> (embedIvfAnnQ _),
     "semantic_dedup" -> (semanticDedupQ _),
+    "dedup_method_agreement" -> (dedupMethodAgreementQ _),
     "embed_pq" -> (embedPqQ _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
@@ -1600,6 +1637,7 @@ object QueriesText {
     "embed_cosine_topk" -> embedCosineTopkSql,
     "embed_ivf_ann" -> embedIvfAnnSql,
     "semantic_dedup" -> semanticDedupSql,
+    "dedup_method_agreement" -> dedupMethodAgreementSql,
     "embed_pq" -> embedPqSql,
     "pq_adc_topk" -> pqAdcTopkSql,
     "lang_id" -> langIdSql,

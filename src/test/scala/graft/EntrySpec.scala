@@ -37,6 +37,7 @@ class EntrySpec extends SparkSpec {
       "contamination", "prefix_dedup",
       "ngram_jaccard", "embed_cosine_topk", "embed_lsh_ann", "embed_ivf_ann", "embed_pq", "pq_adc_topk", "ivf_kmeans_ann", "lang_id",
       "ann_recall", "embed_int8", "key_degree_hist", "ivf_kmeans_check", "semantic_dedup",
+      "dedup_method_agreement",
       "quality_score", "token_count", "token_entropy", "mad_outliers", "tfidf_terms", "doc_fingerprint", "pii_scrub", "url_stats", "mm_meta", "mm_frames",
       "window_agg", "sessionize", "topk_events", "interval_join", "skew_agg",
       "stratified_sample", "chi2_drift", "ngram_freq", "doc_filter",
