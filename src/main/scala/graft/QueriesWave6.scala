@@ -198,16 +198,21 @@ object QueriesWave6 {
     * rows.
     */
   def psiDriftQ(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val bounds = docs.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-    val cnt = docs.crossJoin(broadcast(bounds))
-      .groupBy(col("source"),
-        expr(s"least(greatest(((n_chars - lo) * $psiBins) div (hi - lo + 1), 0), ${psiBins - 1})").as("bin"))
-      .agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
-    val grid = tot.crossJoin(spark.range(psiBins.toLong).select(col("id").as("bin")))
-      .join(cnt, Seq("source", "bin"), "left")
-      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    // the (source × bin) grid feeds BOTH sides of the pair self-join —
+    // materialize it once so documents is scanned once per session, not
+    // once per plan reference
+    val grid = Memo(spark, dir, "wave6:psiGrid") {
+      val docs = Tables(spark, dir, "documents")
+      val bounds = docs.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      val cnt = docs.crossJoin(broadcast(bounds))
+        .groupBy(col("source"),
+          expr(s"least(greatest(((n_chars - lo) * $psiBins) div (hi - lo + 1), 0), ${psiBins - 1})").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      tot.crossJoin(spark.range(psiBins.toLong).select(col("id").as("bin")))
+        .join(cnt, Seq("source", "bin"), "left")
+        .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"), col("n"))
+    }
     val pairs = grid.select(col("source").as("source_a"), col("bin"),
         (col("c") + 1L).as("ca"), (col("n") + lit(psiBins.toLong)).as("na"))
       .join(grid.select(col("source").as("source_b"), col("bin"),
@@ -259,9 +264,12 @@ object QueriesWave6 {
     * sqrt, one divide so both engines round identically.
     */
   def autocorrQ(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "events")
-      .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
-      .agg(count(lit(1)).as("n"))
+    // both lag-join sides read the same calendar-bounded series — one
+    // events scan per session, not two per plan
+    val daily = Memo(spark, dir, "wave6:dailyEvents")(
+      Tables(spark, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+        .agg(count(lit(1)).as("n")))
     val lags = spark.range(1L, acfMaxLag + 1L).select(col("id").as("lag"))
     daily.select(col("day_us"), col("n").as("x")).crossJoin(lags)
       .join(daily.select(col("day_us").as("__bd"), col("n").as("y")),
@@ -302,17 +310,275 @@ object QueriesWave6 {
        |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS r
        |FROM m ORDER BY lag""".stripMargin
 
+  // ---- bootstrap_ci: Poisson-bootstrap confidence intervals ----
+
+  val bootstrapR = 32
+
+  /** Integer thresholds t_k = floor(P[Pois(1) ≤ k] · 2^52): the Poisson
+    * draw becomes a pure BIGINT compare against the 52-bit md5 hash, so
+    * both engines make bit-identical draws with no double parsing in
+    * the hot path.
+    */
+  val poisThresholds: Seq[Long] = {
+    val fact = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0)
+    val e1 = math.exp(-1.0)
+    fact.indices.map { k =>
+      val cdf = (0 to k).map(j => e1 / fact(j)).sum
+      (cdf * 4503599627370496.0).toLong
+    }
+  }
+
+  private def poisCaseSqlExpr(h: String): String =
+    poisThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poisThresholds.size} END")
+
+  /** Per-priority mean order value with a 95% bootstrap confidence
+    * interval — the error bars a sampled 100 TB aggregate must carry.
+    * Poisson(1) bootstrap (the only bootstrap that works distributed:
+    * each row draws its replicate multiplicities independently, no
+    * global resample pass), R = 32 replicates materialized as one
+    * row-explode, seeded by md5(replicate, orderkey) so every engine
+    * redraws the identical weights. CI bounds are the nearest-rank
+    * 2.5%/97.5% over 32 replicate means — rank 1 and rank 32, i.e.
+    * MIN/MAX, so no window is needed at all; means stay integer cents
+    * via truncating division. One orders scan + a 5·R-row aggregate.
+    */
+  def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val reps = spark.range(bootstrapR.toLong).select(col("id").as("r"))
+    val w = o.crossJoin(reps)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("boot:"), col("r").cast("string"), lit(":"),
+          col("o_orderkey").cast("string"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w", expr(poisCaseSqlExpr("h")).cast("long"))
+    val repMeans = w.groupBy(col("priority"), col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("cents")).as("swc"))
+      .select(col("priority"),
+        expr("swc div greatest(sw, 1)").as("mean_r"))
+    val point = o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(col("priority"), col("n"), expr("sc div n").as("mean_c"))
+    point.join(
+        repMeans.groupBy(col("priority"))
+          .agg(min(col("mean_r")).as("lo_c"), max(col("mean_r")).as("hi_c")),
+        Seq("priority"))
+      .orderBy(col("priority"))
+  }
+
+  val bootstrapCiSql: String =
+    s"""WITH o AS (SELECT o_orderpriority AS priority, o_orderkey,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+       |w AS (SELECT priority, r.r, cents,
+       |    ${poisCaseSqlExpr(s"CAST(('0x' || substr(md5('boot:' || CAST(r.r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)")} AS w
+       |  FROM o CROSS JOIN (SELECT unnest(range(0, $bootstrapR)) AS r) r),
+       |rm AS (SELECT priority, r, CAST(SUM(w * cents) // GREATEST(SUM(w), 1) AS BIGINT) AS mean_r
+       |  FROM w GROUP BY 1, 2),
+       |pt AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_c FROM o GROUP BY 1)
+       |SELECT pt.priority, pt.n, pt.mean_c,
+       |  CAST(MIN(rm.mean_r) AS BIGINT) AS lo_c, CAST(MAX(rm.mean_r) AS BIGINT) AS hi_c
+       |FROM pt JOIN rm ON rm.priority = pt.priority
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  // ---- knn_graph: mutual-kNN graph over embeddings ----
+
+  val knnK = 3
+
+  /** Mutual-kNN graph over the embedding cloud — the neighborhood
+    * structure semantic clustering, label propagation, and kNN-based
+    * outlier pruning all start from. Candidate pairs stay WITHIN a
+    * label partition (the cluster-bounded discipline of semantic_dedup:
+    * all-pairs work bounded by partition size, never corpus size — at
+    * 100 TB the label is the IVF list id); per-node top-3 by cosine on
+    * quantized integer dots, tie-broken by neighbor id; an edge
+    * survives only if BOTH endpoints rank each other (the mutual
+    * filter that kills hub artifacts). Emitted once per unordered pair
+    * with the a→b orientation's cosine.
+    */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = Memo(spark, dir, "wave6:knnQ")(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), graft.operators.Similarity.quantExpr.as("qv"))
+        .withColumn("nn", expr("quantized_dot(qv, qv)")))
+    val topk = q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
+      .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"), col("nn").as("nb")),
+        Seq("label"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos",
+        expr("quantized_dot(qa, qb)").cast("double") /
+          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))))
+      .filter(col("rnk") <= knnK)
+      .select(col("label"), col("va"), col("vb"), col("cos"))
+    val fwd = topk.filter(col("va") < col("vb"))
+    val rev = topk.filter(col("va") > col("vb"))
+      .select(col("vb").as("va"), col("va").as("vb"))
+    fwd.join(rev, Seq("va", "vb"), "leftsemi")
+      .select(col("label"), col("va").as("a"), col("vb").as("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH q AS (SELECT vec_id, label,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |pex AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, a.qv AS qa, b.qv AS qb,
+       |    unnest(range(1, len(a.qv) + 1)) AS i
+       |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |dots AS (SELECT label, va, vb, CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
+       |  FROM pex GROUP BY 1, 2, 3),
+       |cs AS (SELECT d.label, d.va, d.vb,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE)) AS cos
+       |  FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb),
+       |topk AS (SELECT label, va, vb, cos FROM (
+       |    SELECT label, va, vb, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
+       |    FROM cs) WHERE rnk <= $knnK)
+       |SELECT f.label, f.va AS a, f.vb AS b, f.cos
+       |FROM topk f
+       |WHERE f.va < f.vb
+       |  AND EXISTS (SELECT 1 FROM topk r WHERE r.va = f.vb AND r.vb = f.va)
+       |ORDER BY a, b""".stripMargin
+
+  // ---- negative_sampling: seeded negatives for recommender training ----
+
+  val negK = 3
+
+  /** Seeded negative sampling for (customer → brand) training pairs:
+    * positives are the brands each customer actually bought; each
+    * positive-bearing customer draws 3 negatives uniformly from the
+    * non-purchased brands by md5 ranking — the contrastive-training
+    * data layout (one positive set + k seeded negatives per user).
+    * The candidate space is customers × a broadcast 25-row brand
+    * dimension with the positives removed by anti-join, then a
+    * per-customer window picks the 3 smallest hashes: one shuffle
+    * keyed by the training key, reproducible across engines, shards,
+    * and epochs (reseed = change the salt).
+    */
+  def negativeSamplingQ(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Memo(spark, dir, "wave6:posPairs")(
+      Tables(spark, dir, "orders").select(col("o_custkey").as("custkey"), col("o_orderkey"))
+        .join(Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("custkey"), col("brand")).distinct())
+    val brands = Tables(spark, dir, "part").select(col("p_brand").as("brand")).distinct()
+    val users = pos.select(col("custkey")).distinct()
+    users.crossJoin(broadcast(brands))
+      .join(pos, Seq("custkey", "brand"), "left_anti")
+      .withColumn("h", md5(concat(lit("neg:"), col("custkey").cast("string"),
+        lit(":"), col("brand"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("custkey")).orderBy(col("h"), col("brand"))))
+      .filter(col("rnk") <= negK)
+      .select(col("custkey"), col("brand"), col("rnk"))
+      .orderBy(col("custkey"), col("rnk"))
+  }
+
+  val negativeSamplingSql: String =
+    s"""WITH pos AS (SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN part p ON p.p_partkey = l.l_partkey),
+       |cand AS (SELECT u.custkey, b.brand,
+       |    md5('neg:' || CAST(u.custkey AS VARCHAR) || ':' || b.brand) AS h
+       |  FROM (SELECT DISTINCT custkey FROM pos) u
+       |  CROSS JOIN (SELECT DISTINCT p_brand AS brand FROM part) b
+       |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+       |                    WHERE p.custkey = u.custkey AND p.brand = b.brand))
+       |SELECT custkey, brand, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT custkey, brand,
+       |    ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY h, brand) AS rnk
+       |  FROM cand) WHERE rnk <= $negK
+       |ORDER BY custkey, rnk""".stripMargin
+
+  // ---- seasonal_decompose: trend + weekday effect + residual ----
+
+  /** Additive seasonal decomposition of daily order revenue:
+    * trend = 7-day centered moving average, weekday effect = mean
+    * detrended residual per ISO weekday, residual = the rest — the
+    * classic pre-forecasting split. The moving average is NOT a global
+    * window: each daily row fans out to the 7 target days it
+    * contributes to and re-aggregates keyed by day (an offset-explode,
+    * the sliding_dau discipline), so the plan has no single-partition
+    * sort even though the frame is calendar-bounded. Days with an
+    * incomplete ±3 neighborhood (series edges / calendar gaps) drop
+    * out of the decomposition, in both engines. Integer cents with
+    * truncating (sign-split) division throughout.
+    */
+  def seasonalDecomposeQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Memo(spark, dir, "wave6:dailyRev")(
+      Tables(spark, dir, "orders")
+        .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_c")))
+    val offs = spark.range(-3L, 4L).select(col("id").as("off"))
+    val trend = daily.crossJoin(offs)
+      .groupBy((col("day_us") + col("off") * lit(usPerDay)).as("t_us"))
+      .agg(sum(col("rev_c")).as("s"), count(lit(1)).as("m"))
+      .filter(col("m") === 7)
+      .select(col("t_us"), expr("s div 7").as("trend_c"))
+    val det = daily.join(trend, col("day_us") === col("t_us"))
+      .select(col("day_us"), col("rev_c"), col("trend_c"),
+        (col("rev_c") - col("trend_c")).as("det_c"),
+        expr("weekday(timestamp_micros(day_us)) + 1").as("dow"))
+    val eff = det.groupBy(col("dow"))
+      .agg(sum(col("det_c")).as("s"), count(lit(1)).as("n"))
+      .select(col("dow"),
+        expr("(CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) div n)").as("eff_c"))
+    det.join(broadcast(eff), Seq("dow"))
+      .select(expr("timestamp_micros(day_us)").as("day"), col("rev_c"),
+        col("trend_c"), col("dow"), col("eff_c"),
+        (col("det_c") - col("eff_c")).as("resid_c"))
+      .orderBy(col("day"))
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH daily AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |trend AS (SELECT t_us, CAST(s // 7 AS BIGINT) AS trend_c FROM (
+       |    SELECT day_us + o.off * $usPerDay AS t_us,
+       |      CAST(SUM(rev_c) AS BIGINT) AS s, COUNT(*) AS m
+       |    FROM daily CROSS JOIN (SELECT unnest(range(-3, 4)) AS off) o
+       |    GROUP BY 1) WHERE m = 7),
+       |det AS (SELECT day_us, rev_c, trend_c, rev_c - trend_c AS det_c,
+       |    isodow(make_timestamp(day_us)) AS dow
+       |  FROM daily JOIN trend ON day_us = t_us),
+       |eff AS (SELECT dow,
+       |    (CASE WHEN SUM(det_c) < 0 THEN -1 ELSE 1 END) * (abs(SUM(det_c)) // COUNT(*)) AS eff_c
+       |  FROM det GROUP BY 1)
+       |SELECT make_timestamp(d.day_us) AS day, d.rev_c, d.trend_c,
+       |  CAST(d.dow AS INT) AS dow, CAST(e.eff_c AS BIGINT) AS eff_c,
+       |  CAST(d.det_c - e.eff_c AS BIGINT) AS resid_c
+       |FROM det d JOIN eff e ON e.dow = d.dow
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hist_join_est" -> (histJoinEstQ _),
     "kmv_join_est" -> (kmvJoinEstQ _),
     "psi_drift" -> (psiDriftQ _),
-    "autocorr" -> (autocorrQ _)
+    "autocorr" -> (autocorrQ _),
+    "bootstrap_ci" -> (bootstrapCiQ _),
+    "knn_graph" -> (knnGraphQ _),
+    "negative_sampling" -> (negativeSamplingQ _),
+    "seasonal_decompose" -> (seasonalDecomposeQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "hist_join_est" -> histJoinEstSql,
     "kmv_join_est" -> kmvJoinEstSql,
     "psi_drift" -> psiDriftSql,
-    "autocorr" -> autocorrSql
+    "autocorr" -> autocorrSql,
+    "bootstrap_ci" -> bootstrapCiSql,
+    "knn_graph" -> knnGraphSql,
+    "negative_sampling" -> negativeSamplingSql,
+    "seasonal_decompose" -> seasonalDecomposeSql
   )
 }

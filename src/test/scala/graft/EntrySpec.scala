@@ -77,7 +77,9 @@ class EntrySpec extends SparkSpec {
       "last_touch_attribution", "centroid_drift", "gram_top_eigen", "shard_plan",
       "late_events", "bucket_advisor", "mutual_info", "ebo_est", "ngram_novelty",
       "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration",
-      "calib_est_bias")
+      "calib_est_bias",
+      "hist_join_est", "kmv_join_est", "psi_drift", "autocorr",
+      "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

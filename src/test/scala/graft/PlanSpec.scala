@@ -472,4 +472,41 @@ class PlanSpec extends SparkSpec {
     // the three-brand OR rides inside the single part join
     assert(p.contains("BroadcastHashJoin") && p.contains("Brand#23"), p.take(1200))
   }
+
+  test("kmv_join_est bounds the sketch with TakeOrdered, never a global sort") {
+    val p = plan("kmv_join_est")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("hist_join_est broadcasts the catalog bounds onto every bucketed agg") {
+    val p = plan("hist_join_est")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("bootstrap_ci explodes replicates without any window") {
+    val p = plan("bootstrap_ci")
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("knn_graph pairs stay label-keyed (no cartesian, window partitioned)") {
+    val p = plan("knn_graph")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the top-k window is partitioned by the source node, never global
+    assert(p.contains("Window"), p.take(600))
+    assert(!p.toLowerCase.contains("window [") ||
+      "windowspecdefinition\\(va".r.findFirstIn(p.toLowerCase).isDefined, p.take(1200))
+  }
+
+  test("negative_sampling broadcasts the brand dimension and anti-joins positives") {
+    val p = plan("negative_sampling")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("seasonal_decompose has no window at all (offset-explode moving average)") {
+    val p = plan("seasonal_decompose")
+    assert(!p.contains("Window"), p.take(600))
+  }
 }
