@@ -431,10 +431,15 @@ object QueriesText {
     * recomputing the aggregation per branch.
     */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.simhashDups(
-      Memo(spark, dir, "simhashBands")(
-        TextOps.simhashBands(Tables(spark, dir, "documents"))),
-      simhashMaxHamming)
+    // the verified PAIR frame is the shared product (simhash_dup,
+    // simhash_clusters, dedup_method_agreement reference it up to twice
+    // per plan) — memoize it, not just the band frame, or the band
+    // self-join re-runs on every reference
+    Memo(spark, dir, "simhashPairs")(
+      TextOps.simhashDups(
+        Memo(spark, dir, "simhashBands")(
+          TextOps.simhashBands(Tables(spark, dir, "documents"))),
+        simhashMaxHamming))
 
   def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))

@@ -560,7 +560,175 @@ object QueriesWave6 {
        |FROM det d JOIN eff e ON e.dow = d.dow
        |ORDER BY day""".stripMargin
 
+  // ---- source_temp_mix: temperature-reweighted corpus mix planner ----
+
+  val tempMixBudget = 1000000L
+
+  /** Temperature-reweighted source sampling plan (the multilingual /
+    * multi-source mix trick: sample source i ∝ n_i^α with α < 1 so
+    * small sources are upweighted; α = 1/2 here, so the weight is a
+    * correctly-rounded sqrt both engines agree on bit-for-bit).
+    * Weights are quantized to integers s_i = round(1e6·√n_i) and the
+    * 1M-char epoch budget is allocated by LARGEST-REMAINDER rounding:
+    * base_i = B·s_i div S, the leftover B − Σ base_i handed out by
+    * descending (B·s_i mod S, source) — so the plan is exactly
+    * budget-exhausting and integer-deterministic, never a float share
+    * that sums to 0.9999. One documents scan; everything after the
+    * per-source aggregate is ≤|sources| rows.
+    */
+  def sourceTempMixQ(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_q", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+    val tot = per.agg(sum(col("s_q")).as("ss"), count(lit(1)).as("k"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($tempMixBudget * s_q) div ss"))
+      .withColumn("frac", expr(s"($tempMixBudget * s_q) % ss"))
+    val rem = base.agg((lit(tempMixBudget) - sum(col("base"))).as("r"))
+    base.crossJoin(broadcast(rem))
+      // global window, but over the ≤|sources| post-aggregate rows — the
+      // remainder handout is a catalog-sized step, like mcv's top-k rank
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("frac").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("s_q"),
+        (col("s_q").cast("double") / col("ss").cast("double")).as("share"),
+        (col("base") + when(col("rnk") <= col("r"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val sourceTempMixSql: String =
+    s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s_q
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(s_q) AS BIGINT) AS ss FROM per),
+       |base AS (SELECT source, n_docs, s_q, ss,
+       |    ($tempMixBudget * s_q) // ss AS base, ($tempMixBudget * s_q) % ss AS frac
+       |  FROM per, tot),
+       |rem AS (SELECT $tempMixBudget - CAST(SUM(base) AS BIGINT) AS r FROM base)
+       |SELECT source, n_docs, s_q,
+       |  CAST(s_q AS DOUBLE) / CAST(ss AS DOUBLE) AS share,
+       |  CAST(base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, source) <= r
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+       |FROM base, rem ORDER BY source""".stripMargin
+
+  // ---- cross_corr: lead-lag correlation between click and purchase series ----
+
+  /** Lead-lag cross-correlation between the daily click and purchase
+    * series (lag −7..7: negative = purchases lead clicks): the
+    * does-marketing-convert-and-when probe. Same discipline as
+    * `autocorr` — the raw stream collapses to one calendar-bounded row
+    * per day FIRST (conditional counts, one scan, memoized), lags are a
+    * self-join on epoch-micro day keys, moments are exact BIGINTs, and
+    * r is assembled with one multiply/sqrt/divide.
+    */
+  def crossCorrQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Memo(spark, dir, "wave6:dailyByType")(
+      Tables(spark, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases")))
+    val lags = spark.range(-acfMaxLag.toLong, acfMaxLag + 1L).select(col("id").as("lag"))
+    daily.select(col("day_us"), col("clicks").as("x")).crossJoin(lags)
+      .join(daily.select(col("day_us").as("__bd"), col("purchases").as("y")),
+        col("__bd") === col("day_us") + col("lag") * lit(usPerDay))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .select(col("lag"), col("n_pairs"), col("num"), col("dx"), col("dy"),
+        (col("num").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double"))).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val crossCorrSql: String =
+    s"""WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+       |  FROM events GROUP BY 1),
+       |p AS (SELECT l.lag, a.clicks AS x, b.purchases AS y
+       |  FROM daily a
+       |  CROSS JOIN (SELECT unnest(range(-$acfMaxLag, ${acfMaxLag + 1})) AS lag) l
+       |  JOIN daily b ON b.day_us = a.day_us + l.lag * $usPerDay),
+       |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+       |  CAST(n_pairs * sxx - sx * sx AS BIGINT) AS dx,
+       |  CAST(n_pairs * syy - sy * sy AS BIGINT) AS dy,
+       |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+       |    sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS r
+       |FROM m ORDER BY lag""".stripMargin
+
+  // ---- gini_index: order-concentration Gini per market segment ----
+
+  /** Gini coefficient of per-customer order counts per market segment —
+    * the is-demand-concentrated audit (0 = every customer orders
+    * equally, →1 = a few whales). NEVER ranks individual customers:
+    * the per-customer counts collapse to a (segment, count) → multiplicity
+    * frame first (≤ tens of distinct counts per segment), and the
+    * rank-sum term Σ i·x_(i) is reconstructed exactly from value-group
+    * algebra — ranks of a value block span (C, C+m], so their sum is
+    * m·C + m(m+1)/2 with C the exclusive cumulative multiplicity. The
+    * only window runs over that tiny value-indexed frame, partitioned
+    * by segment. Gini = (2T − (n+1)·S) / (n·S), integer numerator,
+    * one presentation double. Customers with zero orders count.
+    */
+  def giniIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      .join(Tables(spark, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("segment"), coalesce(col("cnt"), lit(0L)).as("v"))
+      .groupBy(col("segment"), col("v")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnts
+      .withColumn("cprev", coalesce(sum(col("m")).over(w), lit(0L)))
+      .groupBy(col("segment"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("v")).as("s"),
+        sum(expr("v * (m * cprev + (m * (m + 1)) div 2)")).as("t"))
+      .select(col("segment"), col("n"), col("s"),
+        (lit(2L) * col("t") - (col("n") + 1L) * col("s")).as("gini_num"),
+        ((lit(2L) * col("t") - (col("n") + 1L) * col("s")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("gini"))
+      .orderBy(col("segment"))
+  }
+
+  val giniIndexSql: String =
+    """WITH pc AS (SELECT c.c_mktsegment AS segment,
+      |    COALESCE(o.cnt, 0) AS v
+      |  FROM customer c LEFT JOIN (
+      |    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1) o
+      |    ON o.o_custkey = c.c_custkey),
+      |vm AS (SELECT segment, v, CAST(COUNT(*) AS BIGINT) AS m FROM pc GROUP BY 1, 2),
+      |cm AS (SELECT segment, v, m,
+      |    COALESCE(SUM(m) OVER (PARTITION BY segment ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+      |  FROM vm),
+      |agg AS (SELECT segment, CAST(SUM(m) AS BIGINT) AS n,
+      |    CAST(SUM(m * v) AS BIGINT) AS s,
+      |    CAST(SUM(v * (m * cprev + m * (m + 1) // 2)) AS BIGINT) AS t
+      |  FROM cm GROUP BY 1)
+      |SELECT segment, n, s,
+      |  CAST(2 * t - (n + 1) * s AS BIGINT) AS gini_num,
+      |  CAST(2 * t - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+      |FROM agg ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_temp_mix" -> (sourceTempMixQ _),
+    "cross_corr" -> (crossCorrQ _),
+    "gini_index" -> (giniIndexQ _),
     "hist_join_est" -> (histJoinEstQ _),
     "kmv_join_est" -> (kmvJoinEstQ _),
     "psi_drift" -> (psiDriftQ _),
@@ -572,6 +740,9 @@ object QueriesWave6 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "source_temp_mix" -> sourceTempMixSql,
+    "cross_corr" -> crossCorrSql,
+    "gini_index" -> giniIndexSql,
     "hist_join_est" -> histJoinEstSql,
     "kmv_join_est" -> kmvJoinEstSql,
     "psi_drift" -> psiDriftSql,

@@ -79,7 +79,8 @@ class EntrySpec extends SparkSpec {
       "sole_late_supplier", "dp_noise_count", "skew_salt_plan", "quality_calibration",
       "calib_est_bias",
       "hist_join_est", "kmv_join_est", "psi_drift", "autocorr",
-      "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose")
+      "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose",
+      "source_temp_mix", "cross_corr", "gini_index")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

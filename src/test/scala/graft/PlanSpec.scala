@@ -509,4 +509,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("seasonal_decompose")
     assert(!p.contains("Window"), p.take(600))
   }
+
+  test("cross_corr aligns lags by join over the memoized daily frame, no window") {
+    val p = plan("cross_corr")
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+  }
+
+  test("gini_index's only window is partitioned by segment over the value frame") {
+    val p = plan("gini_index")
+    assert(p.contains("windowspecdefinition(segment"), p.take(1200))
+  }
 }
