@@ -725,7 +725,121 @@ object QueriesWave6 {
       |  CAST(2 * t - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
       |FROM agg ORDER BY segment""".stripMargin
 
+  // ---- aspect_bucket_pack: aspect-ratio bucketed batch packing ----
+
+  /** (bucket label, ratio numerator, ratio denominator) ladder — the
+    * fixed aspect grid a diffusion/vision trainer resizes into.
+    */
+  val aspectLadder: Seq[(String, Long, Long)] = Seq(
+    ("1:2", 1L, 2L), ("3:4", 3L, 4L), ("1:1", 1L, 1L),
+    ("4:3", 4L, 3L), ("2:1", 2L, 1L))
+  val aspectBatch = 8
+  val aspectShards = 4
+
+  /** Aspect-ratio bucketing + fixed-size batch packing for image
+    * payloads — the multimodal counterpart of `seq_pack`: a vision
+    * trainer can only batch same-shape tensors, so each image goes to
+    * its nearest aspect bucket (argmin |w·hr − h·wr| over the ladder,
+    * pure integer cross-multiplication, ties to the squarer bucket)
+    * and batches of 8 are formed in seeded md5 order WITHIN
+    * (bucket, shard): the md5 shard key bounds every packing window by
+    * shard size, so batch forming is embarrassingly parallel and
+    * batches never cross shards — exactly how a 1000-executor job
+    * forms batches without a global sequence. Trailing partial batches
+    * (slot count < 8) are per-shard, the accepted cost of
+    * coordination-free packing.
+    */
+  def aspectBucketPackQ(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = graft.operators.Multimodal.withPayload(Tables(spark, dir, "documents"))
+      .filter(col("mime") === "image/png")
+      .select(col("doc_id"), col("width"), col("height"))
+    val ladder = {
+      import spark.implicits._
+      aspectLadder.zipWithIndex
+        .map { case ((b, wr, hr), i) => (b, wr, hr, i) }
+        .toDF("bucket", "wr", "hr", "idx")
+    }
+    val bucketed = imgs.crossJoin(broadcast(ladder))
+      .groupBy(col("doc_id"), col("width"), col("height"))
+      .agg(min_by(col("bucket"),
+        struct(abs(col("width") * col("hr") - col("height") * col("wr")), col("idx")))
+        .as("bucket"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ab:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("shard", (col("h") % aspectShards).cast("int"))
+    bucketed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket"), col("shard")).orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("width"), col("height"), col("bucket"), col("shard"),
+        expr(s"(rn - 1) div $aspectBatch").as("batch"),
+        expr(s"(rn - 1) % $aspectBatch").as("slot"))
+      .orderBy(col("doc_id"))
+  }
+
+  val aspectBucketPackSql: String = {
+    val ladderRows = aspectLadder.zipWithIndex
+      .map { case ((b, wr, hr), i) => s"('$b', $wr, $hr, $i)" }.mkString(", ")
+    s"""WITH imgs AS (SELECT doc_id,
+       |    16 + n_chars % 64 AS width,
+       |    16 + CAST(floor(n_chars / 64.0) AS BIGINT) % 64 AS height
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ladder(bucket, wr, hr, idx) AS (VALUES $ladderRows),
+       |assigned AS (SELECT doc_id, width, height, bucket FROM (
+       |    SELECT i.doc_id, i.width, i.height, l.bucket,
+       |      ROW_NUMBER() OVER (PARTITION BY i.doc_id
+       |        ORDER BY abs(i.width * l.hr - i.height * l.wr), l.idx) AS r
+       |    FROM imgs i CROSS JOIN ladder l) WHERE r = 1),
+       |sharded AS (SELECT doc_id, width, height, bucket,
+       |    CAST(('0x' || substr(md5('ab:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+       |  FROM assigned)
+       |SELECT doc_id, width, height, bucket,
+       |  CAST(h % $aspectShards AS INT) AS shard,
+       |  CAST((rn - 1) // $aspectBatch AS BIGINT) AS batch,
+       |  CAST((rn - 1) % $aspectBatch AS BIGINT) AS slot
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY bucket, h % $aspectShards ORDER BY h, doc_id) AS rn
+       |  FROM sharded)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- dup_rate_by_source: per-source near-dup contamination report ----
+
+  /** Which source is polluted: per source, the share of documents that
+    * participate in at least one verified MinHash near-dup pair — the
+    * first chart on every curation dashboard. A pure consumer of the
+    * session's memoized verified-pair frame: one explode of the pair
+    * list to its member docs, one semi-join, one per-source aggregate —
+    * no corpus-sized similarity work re-runs.
+    */
+  def dupRateBySourceQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = QueriesText.lshPairs(spark, dir)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+      .join(members.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  lazy val dupRateBySourceSql: String =
+    s"""WITH ${QueriesText.lshPairsCtes},
+       |members AS (SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs))
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(m.doc_id) AS BIGINT) AS n_dup_docs,
+       |  CAST(COUNT(m.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+       |FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aspect_bucket_pack" -> (aspectBucketPackQ _),
+    "dup_rate_by_source" -> (dupRateBySourceQ _),
     "source_temp_mix" -> (sourceTempMixQ _),
     "cross_corr" -> (crossCorrQ _),
     "gini_index" -> (giniIndexQ _),
@@ -740,6 +854,8 @@ object QueriesWave6 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "aspect_bucket_pack" -> aspectBucketPackSql,
+    "dup_rate_by_source" -> dupRateBySourceSql,
     "source_temp_mix" -> sourceTempMixSql,
     "cross_corr" -> crossCorrSql,
     "gini_index" -> giniIndexSql,

@@ -80,7 +80,8 @@ class EntrySpec extends SparkSpec {
       "calib_est_bias",
       "hist_join_est", "kmv_join_est", "psi_drift", "autocorr",
       "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose",
-      "source_temp_mix", "cross_corr", "gini_index")
+      "source_temp_mix", "cross_corr", "gini_index",
+      "aspect_bucket_pack", "dup_rate_by_source")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
