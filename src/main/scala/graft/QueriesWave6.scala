@@ -837,7 +837,56 @@ object QueriesWave6 {
        |FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- k_anon_audit: k-anonymity audit over quasi-identifiers ----
+
+  val kAnonK = 5L
+
+  /** k-anonymity audit (Sweeney's k=5 bar) over the customer table's
+    * quasi-identifier tuple (nation, market segment, balance sign):
+    * any QI combination shared by fewer than k rows re-identifies its
+    * members, so the release gate needs the violating combos and the
+    * exposure headcount. One keyed aggregate over the QI tuple, then a
+    * ≤\|combos\|-row report: every violating combo with its size, plus
+    * a single summary row (combo = '__TOTAL__') carrying min group
+    * size, violating-combo count, and exposed-row count — the
+    * suppress-or-generalize decision input. The same plan is the
+    * l-diversity/t-closeness scaffold: swap the aggregate.
+    */
+  def kAnonAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables(spark, dir, "customer")
+      .groupBy(concat_ws("|", col("c_nationkey").cast("string"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))).as("combo"))
+      .agg(count(lit(1)).as("n"))
+    val viol = groups.filter(col("n") < kAnonK)
+    val summary = groups.agg(
+      min(col("n")).as("__minn"),
+      sum(when(col("n") < kAnonK, 1L).otherwise(0L)).as("__nv"),
+      sum(when(col("n") < kAnonK, col("n")).otherwise(0L)).as("__ne"))
+      .select(lit("__TOTAL__").as("combo"), col("__minn").as("n"),
+        col("__nv").as("n_violating"), col("__ne").as("n_exposed"))
+    viol.select(col("combo"), col("n"), lit(null).cast("long").as("n_violating"),
+        lit(null).cast("long").as("n_exposed"))
+      .unionAll(summary)
+      .orderBy(col("combo"))
+  }
+
+  val kAnonAuditSql: String =
+    s"""WITH g AS (SELECT
+       |    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|' ||
+       |      (CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END) AS combo,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1)
+       |SELECT combo, n, CAST(NULL AS BIGINT) AS n_violating, CAST(NULL AS BIGINT) AS n_exposed
+       |FROM g WHERE n < $kAnonK
+       |UNION ALL
+       |SELECT '__TOTAL__' AS combo, CAST(MIN(n) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN n < $kAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       |  CAST(SUM(CASE WHEN n < $kAnonK THEN n ELSE 0 END) AS BIGINT) AS n_exposed
+       |FROM g
+       |ORDER BY combo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k_anon_audit" -> (kAnonAuditQ _),
     "aspect_bucket_pack" -> (aspectBucketPackQ _),
     "dup_rate_by_source" -> (dupRateBySourceQ _),
     "source_temp_mix" -> (sourceTempMixQ _),
@@ -854,6 +903,7 @@ object QueriesWave6 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k_anon_audit" -> kAnonAuditSql,
     "aspect_bucket_pack" -> aspectBucketPackSql,
     "dup_rate_by_source" -> dupRateBySourceSql,
     "source_temp_mix" -> sourceTempMixSql,
