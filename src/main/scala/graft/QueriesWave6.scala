@@ -885,7 +885,88 @@ object QueriesWave6 {
        |FROM g
        |ORDER BY combo""".stripMargin
 
+  // ---- prefix_sim_join: exact-threshold similarity join (PPJoin family) ----
+
+  /** Jaccard threshold τ = 3/5: all comparisons are integer
+    * cross-multiplications against this rational, never a float τ.
+    */
+  val psjTauNum = 3L
+  val psjTauDen = 5L
+
+  /** Prefix-filtered EXACT similarity join (the PPJoin/AllPairs
+    * discipline, Bayardo et al. 2007 / Xiao et al. 2008): two documents
+    * with bigram-set Jaccard ≥ τ MUST share a token in their rare-first
+    * prefixes of length |s| − ⌈τ|s|⌉ + 1, so candidacy is an equi-join
+    * on prefix tokens — ZERO false negatives, the exact-recall
+    * complement of the MinHash band join (whose P≈J³² miss profile
+    * `ngram_jaccard` documents). No global token ranking exists
+    * anywhere: the "rare-first" total order is the (df, token) tuple
+    * itself, so the only window ranks tokens WITHIN each document.
+    * Candidates pass the τ-size filter (5·min ≥ 3·max) before either
+    * side's set ships; verification is one array_intersect with the
+    * τ-test as a pure-integer compare (8·inter ≥ 3·(na+nb)). Reuses the
+    * session's memoized bigram-set frame — no re-shingling.
+    */
+  def prefixSimJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Memo(spark, dir, "shArr2ls")(
+      graft.operators.TextOps.shingleArrays(
+        Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
+    val arrs = Memo(spark, dir, "wave6:psjArrs")(
+      sets.select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
+    val toks = arrs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      // p = s − ⌈τs⌉ + 1 with ⌈3s/5⌉ = (3s + 4) div 5
+      .filter(col("rn") <= col("n") - expr(s"(${psjTauNum} * n + ${psjTauDen - 1}) div $psjTauDen") + 1)
+      .select(col("doc_id"), col("n"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(psjTauDen) * least(col("na"), col("nb")) >=
+        lit(psjTauNum) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(lit(psjTauDen + psjTauNum) * col("inter") >=
+        lit(psjTauNum) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val prefixSimJoinSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |sets AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+       |  FROM w),
+       |arrs AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n FROM sets),
+       |toks AS (SELECT doc_id, n, unnest(sh) AS tok FROM arrs),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+       |pref AS (SELECT doc_id, n, tok FROM (
+       |    SELECT t.doc_id, t.n, t.tok,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+       |    FROM toks t JOIN dfreq d ON d.tok = t.tok)
+       |  WHERE rn <= n - ($psjTauNum * n + ${psjTauDen - 1}) // $psjTauDen + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  WHERE $psjTauDen * LEAST(a.n, b.n) >= $psjTauNum * GREATEST(a.n, b.n)),
+       |ver AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter, a.n AS na, b.n AS nb
+       |  FROM cand c
+       |  JOIN arrs a ON a.doc_id = c.doc_a
+       |  JOIN arrs b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jaccard
+       |FROM ver WHERE ${psjTauDen + psjTauNum} * inter >= $psjTauNum * (na + nb)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prefix_sim_join" -> (prefixSimJoinQ _),
     "k_anon_audit" -> (kAnonAuditQ _),
     "aspect_bucket_pack" -> (aspectBucketPackQ _),
     "dup_rate_by_source" -> (dupRateBySourceQ _),
@@ -903,6 +984,7 @@ object QueriesWave6 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "prefix_sim_join" -> prefixSimJoinSql,
     "k_anon_audit" -> kAnonAuditSql,
     "aspect_bucket_pack" -> aspectBucketPackSql,
     "dup_rate_by_source" -> dupRateBySourceSql,

@@ -81,7 +81,8 @@ class EntrySpec extends SparkSpec {
       "hist_join_est", "kmv_join_est", "psi_drift", "autocorr",
       "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose",
       "source_temp_mix", "cross_corr", "gini_index",
-      "aspect_bucket_pack", "dup_rate_by_source", "k_anon_audit")
+      "aspect_bucket_pack", "dup_rate_by_source", "k_anon_audit",
+      "prefix_sim_join")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -520,4 +520,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("gini_index")
     assert(p.contains("windowspecdefinition(segment"), p.take(1200))
   }
+
+  test("prefix_sim_join ranks tokens per document only — no global token order") {
+    val p = plan("prefix_sim_join")
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(df"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }

@@ -78,6 +78,21 @@ class Wave6InvariantSpec extends SparkSpec {
     assert(neg.groupBy(col("custkey")).count().filter(col("count") > 3L).count() == 0L)
   }
 
+  test("prefix_sim_join is EXACT: equals brute-force all-pairs Jaccard >= 3/5") {
+    val arrs = graft.operators.TextOps
+      .shingleArrays(Tables(spark, sf, "documents"), 2)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+    val brute = arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na"))
+      .crossJoin(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(lit(8L) * col("inter") >= lit(3L) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"))
+    val got = QueriesWave6.prefixSimJoinQ(spark, sf).select(col("doc_a"), col("doc_b"))
+    assert(got.exceptAll(brute).count() == 0L, "false positives")
+    assert(brute.exceptAll(got).count() == 0L, "FALSE NEGATIVES — prefix filter broken")
+  }
+
   test("knn_graph edges are mutual by construction (each endpoint ranks the other)") {
     val edges = QueriesWave6.knnGraphQ(spark, sf)
     // every emitted edge has a < b and both in the same label slice
