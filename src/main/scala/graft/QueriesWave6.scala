@@ -895,24 +895,29 @@ object QueriesWave6 {
 
   /** Prefix-filtered EXACT similarity join (the PPJoin/AllPairs
     * discipline, Bayardo et al. 2007 / Xiao et al. 2008): two documents
-    * with bigram-set Jaccard ≥ τ MUST share a token in their rare-first
-    * prefixes of length |s| − ⌈τ|s|⌉ + 1, so candidacy is an equi-join
-    * on prefix tokens — ZERO false negatives, the exact-recall
-    * complement of the MinHash band join (whose P≈J³² miss profile
-    * `ngram_jaccard` documents). No global token ranking exists
-    * anywhere: the "rare-first" total order is the (df, token) tuple
-    * itself, so the only window ranks tokens WITHIN each document.
-    * Candidates pass the τ-size filter (5·min ≥ 3·max) before either
-    * side's set ships; verification is one array_intersect with the
-    * τ-test as a pure-integer compare (8·inter ≥ 3·(na+nb)). Reuses the
-    * session's memoized bigram-set frame — no re-shingling.
+    * with 3-shingle Jaccard ≥ τ MUST share a shingle in their
+    * rare-first prefixes of length |s| − ⌈τ|s|⌉ + 1, so candidacy is an
+    * equi-join on prefix shingles — ZERO false negatives over the WHOLE
+    * corpus, the exact-recall complement of the MinHash band join
+    * (whose P≈J³² miss profile `ngram_jaccard` documents; same
+    * 3-shingle unit, so the two operators answer the same question
+    * with opposite recall/cost trade-offs). No global token ranking
+    * exists anywhere: the "rare-first" total order is the (df, shingle)
+    * tuple itself, so the only window ranks shingles WITHIN each
+    * document. Candidates pass the τ-size filter (5·min ≥ 3·max)
+    * before either side's set ships; verification is one
+    * array_intersect with the τ-test as a pure-integer compare
+    * (8·inter ≥ 3·(na+nb)). Reuses the session's memoized 3-shingle
+    * set frame — no re-shingling. The filter's effectiveness rides on
+    * shingle-df sparsity (real corpora: df ≪ n); a corpus whose
+    * shingle vocabulary saturates degrades toward the verify join, the
+    * published algorithm's own profile.
     */
   def prefixSimJoinQ(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Memo(spark, dir, "shArr2ls")(
-      graft.operators.TextOps.shingleArrays(
-        Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
     val arrs = Memo(spark, dir, "wave6:psjArrs")(
-      sets.select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
+      Memo(spark, dir, "shArr3")(
+        graft.operators.TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
     val toks = arrs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefix = toks.join(dfreq, Seq("tok"))
@@ -942,7 +947,8 @@ object QueriesWave6 {
   val prefixSimJoinSql: String =
     s"""WITH ${QueriesText.wordsCte},
        |sets AS (SELECT doc_id,
-       |    list_distinct(list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1])) AS sh
+       |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |  FROM w),
        |arrs AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n FROM sets),
        |toks AS (SELECT doc_id, n, unnest(sh) AS tok FROM arrs),

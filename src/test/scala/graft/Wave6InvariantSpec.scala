@@ -78,9 +78,9 @@ class Wave6InvariantSpec extends SparkSpec {
     assert(neg.groupBy(col("custkey")).count().filter(col("count") > 3L).count() == 0L)
   }
 
-  test("prefix_sim_join is EXACT: equals brute-force all-pairs Jaccard >= 3/5") {
+  test("prefix_sim_join is EXACT: equals brute-force all-pairs 3-shingle Jaccard >= 3/5") {
     val arrs = graft.operators.TextOps
-      .shingleArrays(Tables(spark, sf, "documents"), 2)
+      .shingleArrays(Tables(spark, sf, "documents"), 3)
       .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
     val brute = arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na"))
       .crossJoin(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")))
