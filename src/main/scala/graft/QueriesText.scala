@@ -61,12 +61,12 @@ object QueriesText {
     * session — the base of minhash_sig, the LSH bands, and (via the
     * verified pairs) dup_clusters.
     */
-  private def mhWide(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def mhWide(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "mhWide")(
       TextOps.minhashWide(TextOps.docShingles(Tables(spark, dir, "documents"), 3)))
 
   /** Per-doc distinct 3-shingle sets, materialized once (pair verify). */
-  private def shArr3(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shArr3(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "shArr3")(
       TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
 
@@ -223,7 +223,11 @@ object QueriesText {
     * minhash_lsh_dup selects from it directly, dup_clusters closes over
     * it transitively.
     */
-  private[graft] val lshPairsCtes: String = {
+  /** CTE block ending in `cand` (the LSH band-join candidate pairs) plus
+    * the 3-shingle machinery (`w`, `sh`, `sigs`, `bands`) — the shared
+    * prefix of every oracle that consumes band candidates.
+    */
+  private[graft] val candCtes: String =
     s"""$wordsCte,
        |${shinglesCte(3, "sh")},
        |$sigsCte,
@@ -232,7 +236,10 @@ object QueriesText {
        |),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[graft] val lshPairsCtes: String = {
+    s"""$candCtes,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |          FROM sh a

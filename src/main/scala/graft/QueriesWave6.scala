@@ -116,20 +116,44 @@ object QueriesWave6 {
     * The degree frames double as ground truth: Σ d_A·d_B IS the join
     * cardinality, so the audit adds no physical join.
     */
+  /** Per-key join-degree frame for one audited edge, materialized once
+    * per session: (k, da, db, g = da·db, h = 52-bit md5). Feeds the KMV
+    * sketch (TakeOrdered + threshold filter), the CMS sketch
+    * (`cms_join_est`), AND the exact ground truth Σg — which IS the join
+    * cardinality, so no audit ever runs a physical join.
+    */
+  private[graft] def kjeDeg(spark: SparkSession, dir: String,
+      label: String, ta: String, ka: String, tb: String, kb: String): DataFrame = {
+    val da = Tables(spark, dir, ta).groupBy(col(ka).cast("long").as("k"))
+      .agg(count(lit(1)).as("da"))
+    val db = Tables(spark, dir, tb).groupBy(col(kb).cast("long").as("k"))
+      .agg(count(lit(1)).as("db"))
+    Memo(spark, dir, s"wave6:kjeDeg:$label")(
+      da.join(db, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("da"), lit(0L)).as("da"),
+          coalesce(col("db"), lit(0L)).as("db"),
+          (coalesce(col("da"), lit(0L)) * coalesce(col("db"), lit(0L))).as("g"),
+          conv(substring(md5(concat(lit(s"kje:$label:"), col("k").cast("string"))), 1, 13), 16, 10)
+            .cast("long").as("h")))
+  }
+
+  /** SQL twin of `kjeDeg`: a `deg_<name> AS (...)` CTE. */
+  private[graft] def kjeDegCte(label: String, ta: String, ka: String,
+      tb: String, kb: String): String = {
+    val n = cteName(label)
+    s"""deg_$n AS (
+       |  SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.da, 0) AS da, COALESCE(b.db, 0) AS db,
+       |    COALESCE(a.da, 0) * COALESCE(b.db, 0) AS g,
+       |    CAST(('0x' || substr(md5('kje:$label:' || CAST(COALESCE(a.k, b.k) AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+       |  FROM (SELECT CAST($ka AS BIGINT) AS k, COUNT(*) AS da FROM $ta GROUP BY 1) a
+       |  FULL OUTER JOIN (SELECT CAST($kb AS BIGINT) AS k, COUNT(*) AS db FROM $tb GROUP BY 1) b
+       |    ON a.k = b.k)""".stripMargin
+  }
+
   def kmvJoinEstQ(spark: SparkSession, dir: String): DataFrame =
     kjeEdges.map { case (label, ta, ka, tb, kb) =>
-      val da = Tables(spark, dir, ta).groupBy(col(ka).cast("long").as("k"))
-        .agg(count(lit(1)).as("da"))
-      val db = Tables(spark, dir, tb).groupBy(col(kb).cast("long").as("k"))
-        .agg(count(lit(1)).as("db"))
-      // the degree frame feeds the sketch (twice: TakeOrdered + threshold
-      // filter) AND the exact ground truth — materialize it once
-      val deg = Memo(spark, dir, s"wave6:kjeDeg:$label")(
-        da.join(db, Seq("k"), "full_outer")
-          .select(col("k"),
-            (coalesce(col("da"), lit(0L)) * coalesce(col("db"), lit(0L))).as("g"),
-            conv(substring(md5(concat(lit(s"kje:$label:"), col("k").cast("string"))), 1, 13), 16, 10)
-              .cast("long").as("h")))
+      val deg = kjeDeg(spark, dir, label, ta, ka, tb, kb)
       val lim = deg.orderBy(col("h"), col("k")).limit(kjeK)
       val hk = lim.agg(max(col("h")).as("hk"), count(lit(1)).as("m"),
         sum(col("g")).as("s_all"))
@@ -149,7 +173,7 @@ object QueriesWave6 {
             greatest(least(col("est"), col("actual").cast("double")), lit(1.0))).as("q_err"))
     }.reduce(_.unionAll(_)).orderBy(col("edge"))
 
-  private def cteName(label: String): String = label.replaceAll("[^A-Za-z0-9]", "_")
+  private[graft] def cteName(label: String): String = label.replaceAll("[^A-Za-z0-9]", "_")
 
   val kmvJoinEstSql: String = {
     val arms = kjeEdges.map { case (label, ta, ka, tb, kb) =>
@@ -165,12 +189,7 @@ object QueriesWave6 {
     }.mkString("\nUNION ALL\n")
     val ctes = kjeEdges.map { case (label, ta, ka, tb, kb) =>
       val n = cteName(label)
-      s"""deg_$n AS (
-         |  SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.da, 0) * COALESCE(b.db, 0) AS g,
-         |    CAST(('0x' || substr(md5('kje:$label:' || CAST(COALESCE(a.k, b.k) AS VARCHAR)), 1, 13)) AS BIGINT) AS h
-         |  FROM (SELECT CAST($ka AS BIGINT) AS k, COUNT(*) AS da FROM $ta GROUP BY 1) a
-         |  FULL OUTER JOIN (SELECT CAST($kb AS BIGINT) AS k, COUNT(*) AS db FROM $tb GROUP BY 1) b
-         |    ON a.k = b.k),
+      s"""${kjeDegCte(label, ta, ka, tb, kb)},
          |lim_$n AS (SELECT * FROM deg_$n ORDER BY h, k LIMIT $kjeK)""".stripMargin
     }.mkString(",\n")
     s"""WITH $ctes,

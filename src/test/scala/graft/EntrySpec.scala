@@ -82,7 +82,8 @@ class EntrySpec extends SparkSpec {
       "bootstrap_ci", "knn_graph", "negative_sampling", "seasonal_decompose",
       "source_temp_mix", "cross_corr", "gini_index",
       "aspect_bucket_pack", "dup_rate_by_source", "k_anon_audit",
-      "prefix_sim_join")
+      "prefix_sim_join",
+      "cms_join_est", "bbit_minhash", "hill_tail")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
