@@ -197,17 +197,204 @@ object QueriesWave7 {
        |  CAST(COUNT(*) AS DOUBLE) / SUM(lnr) AS alpha
        |FROM terms GROUP BY xk""".stripMargin
 
+  // ---- containment_sim: asymmetric containment over candidate pairs ----
+
+  val containTau = 0.9
+
+  /** Asymmetric set containment |A∩B| / min(|A|,|B|) ≥ 0.9 over the LSH
+    * candidate pairs — the subset/quote detector symmetric Jaccard
+    * misses: a short doc fully embedded in a long one has high
+    * containment but Jaccard ≈ |short|/|long|, which can sit far below
+    * the dedup threshold. `missed_by_jaccard` flags exactly those pairs
+    * (the reason curation pipelines run containment as a second pass).
+    * Consumes the session's candidate and shingle-set memos — the only
+    * new work is the pair-keyed verify. At 100 TB the recall ceiling is
+    * the band join's (documented on row 23); an exact-recall containment
+    * pass would ride `prefix_sim_join`'s prefix filter instead.
+    */
+  def containmentSimQ(spark: SparkSession, dir: String): DataFrame = {
+    val sets = QueriesText.shArr3(spark, dir)
+    graft.operators.TextOps.lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(size(col("sha")), size(col("shb"))).cast("double"))
+      .filter(col("containment") >= containTau)
+      .select(col("doc_a"), col("doc_b"), col("containment"),
+        (col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double")).as("jaccard"))
+      .withColumn("missed_by_jaccard", col("jaccard") < QueriesText.lshTau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSimSql: String =
+    s"""WITH ${QueriesText.candCtes},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |          FROM sh a
+       |          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |          GROUP BY 1, 2),
+       |scored AS (SELECT i.doc_a, i.doc_b,
+       |    CAST(i.inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment,
+       |    CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b, containment, jaccard,
+       |  jaccard < ${QueriesText.lshTau} AS missed_by_jaccard
+       |FROM scored WHERE containment >= $containTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- mm_phash_dup: perceptual-hash near-dup pairs on the image leg ----
+
+  val phashMaxHamming = 3
+
+  /** Perceptual-hash (dHash) near-dup detection for the multimodal image
+    * column: each image's decode stub yields an 8×9 "pixel" grid whose
+    * cell (r,c) hashes the document's word at position (9r+c) mod |ws| —
+    * so images of near-identical documents get near-identical grids, the
+    * property a real thumbnail dHash has. 64 horizontal-gradient bits
+    * (g(r,c) > g(r,c+1)) pack into 4×16-bit bands; candidate pairs come
+    * from 4 band equijoins (pigeonhole: hamming ≤ 3 ⇒ some band equal —
+    * the `simhash_dup` discipline, complete by construction), verified
+    * by bit_count(xor) over the wide layout. Only the grid function is
+    * the swappable stub; the banding, pigeonhole bound, and verify are
+    * exactly what a production pHash dedup runs. Everything after the
+    * per-doc 64-position explode+pack is band-keyed — no all-pairs.
+    */
+  def mmPhashDupQ(spark: SparkSession, dir: String): DataFrame = {
+    val images = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("ws"))
+    def gExpr(posExpr: String): Column =
+      expr(s"CAST(conv(substring(md5(coalesce(element_at(ws, ($posExpr) % greatest(size(ws), 1) + 1), '')), 1, 2), 16, 10) AS BIGINT)")
+    val bits = images
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), lit(63))).as("p"))
+      .withColumn("r", col("p") / 8 cast "int")
+      .withColumn("c", col("p") % 8)
+      .withColumn("bit",
+        when(gExpr("r * 9 + c") > gExpr("r * 9 + c + 1"), 1L).otherwise(0L))
+      .select(col("doc_id"), (col("r") / 2).cast("int").as("band"),
+        ((col("r") % 2) * 8 + col("c")).as("bpos"), col("bit"))
+    val bands = Memo(spark, dir, "wave7:phashBands")(
+      bits.groupBy(col("doc_id"), col("band"))
+        .agg(sum(col("bit") * expr("CAST(pow(2.0, 15 - bpos) AS BIGINT)")).as("bv")))
+    val wideAggs = (0 until 4).map(b =>
+      max(when(col("band") === b, col("bv"))).as(s"b$b"))
+    val wide = bands.groupBy(col("doc_id"))
+      .agg(wideAggs.head, wideAggs.tail: _*)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 until 4).map(b =>
+      expr(s"bit_count(a$b ^ c$b)").cast("long")).reduce(_ + _)
+    cand
+      .join(wide.select(col("doc_id").as("doc_a") +:
+        (0 until 4).map(b => col(s"b$b").as(s"a$b")): _*), "doc_a")
+      .join(wide.select(col("doc_id").as("doc_b") +:
+        (0 until 4).map(b => col(s"b$b").as(s"c$b")): _*), "doc_b")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= phashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val mmPhashDupSql: String = {
+    val g = (pos: String) =>
+      s"CAST(('0x' || substr(md5(COALESCE(ws[($pos) % GREATEST(len(ws), 1) + 1], '')), 1, 2)) AS BIGINT)"
+    s"""WITH ${QueriesText.wordsCte},
+       |img AS (SELECT w.doc_id, ws FROM w WHERE w.doc_id % 3 = 0),
+       |pos AS (SELECT UNNEST(range(0, 64)) AS p),
+       |bits AS (SELECT doc_id, CAST((p // 8) // 2 AS INT) AS band,
+       |    ((p // 8) % 2) * 8 + (p % 8) AS bpos,
+       |    CASE WHEN ${g("(p // 8) * 9 + (p % 8)")} > ${g("(p // 8) * 9 + (p % 8) + 1")}
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM img, pos),
+       |bands AS (SELECT doc_id, band,
+       |    CAST(SUM(bit * CAST(pow(2.0, 15 - bpos) AS BIGINT)) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2),
+       |wide AS (SELECT doc_id,
+       |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+       |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+       |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+       |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+       |  FROM bands GROUP BY 1),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN wide a ON a.doc_id = c.doc_a
+       |JOIN wide b ON b.doc_id = c.doc_b
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $phashMaxHamming
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  // ---- norm_text_dedup: normalization-canonical exact dedup ----
+
+  /** Exact dedup on the NORMALIZED text (casefold + alnum tokenization +
+    * single-space join — the tokenizer the whole text stack shares):
+    * catches formatting-only duplicates (case, punctuation, whitespace,
+    * markup residue) that byte-exact `exact_dedup` misses — the cheap
+    * first rung every curation ladder runs before MinHash. Per doc:
+    * canonical keep id, normalized-group size, and `formatting_dup` —
+    * true iff normalization merged this doc into a LARGER group than the
+    * raw hash did (the interesting rows). Same one-shuffle keyed-agg
+    * plan as exact_dedup; both hash frames are slim (doc_id, md5).
+    */
+  def normTextDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("__hraw"),
+        md5(concat_ws(" ", graft.operators.TextOps.tokensExpr)).as("__hn"))
+    val normGroups = d.groupBy(col("__hn"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("norm_group_n"))
+    val rawGroups = d.groupBy(col("__hraw"))
+      .agg(count(lit(1)).as("raw_group_n"))
+    d.join(normGroups, "__hn").join(rawGroups, "__hraw")
+      .select(col("doc_id"), col("keep_id"), col("norm_group_n"),
+        (col("norm_group_n") > col("raw_group_n")).as("formatting_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normTextDedupSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |h AS (SELECT d.doc_id, md5(d.text) AS hraw,
+       |        md5(array_to_string(w.ws, ' ')) AS hn
+       |      FROM documents d JOIN w ON w.doc_id = d.doc_id),
+       |ng AS (SELECT hn, MIN(doc_id) AS keep_id, COUNT(*) AS norm_group_n
+       |       FROM h GROUP BY 1),
+       |rg AS (SELECT hraw, COUNT(*) AS raw_group_n FROM h GROUP BY 1)
+       |SELECT h.doc_id, ng.keep_id, ng.norm_group_n,
+       |  ng.norm_group_n > rg.raw_group_n AS formatting_dup
+       |FROM h JOIN ng ON ng.hn = h.hn JOIN rg ON rg.hraw = h.hraw
+       |ORDER BY h.doc_id""".stripMargin
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_join_est" -> (cmsJoinEstQ _),
     "bbit_minhash" -> (bbitMinhashQ _),
-    "hill_tail" -> (hillTailQ _)
+    "hill_tail" -> (hillTailQ _),
+    "containment_sim" -> (containmentSimQ _),
+    "mm_phash_dup" -> (mmPhashDupQ _),
+    "norm_text_dedup" -> (normTextDedupQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "cms_join_est" -> cmsJoinEstSql,
     "bbit_minhash" -> bbitMinhashSql,
-    "hill_tail" -> hillTailSql
+    "hill_tail" -> hillTailSql,
+    "containment_sim" -> containmentSimSql,
+    "mm_phash_dup" -> mmPhashDupSql,
+    "norm_text_dedup" -> normTextDedupSql
   )
 }

@@ -83,7 +83,8 @@ class EntrySpec extends SparkSpec {
       "source_temp_mix", "cross_corr", "gini_index",
       "aspect_bucket_pack", "dup_rate_by_source", "k_anon_audit",
       "prefix_sim_join",
-      "cms_join_est", "bbit_minhash", "hill_tail")
+      "cms_join_est", "bbit_minhash", "hill_tail",
+      "containment_sim", "mm_phash_dup", "norm_text_dedup")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
