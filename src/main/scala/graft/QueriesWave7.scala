@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object QueriesWave7 {
 
+  private val usPerDay = 86400000000L
+
   // ---- cms_join_est: CMS inner-product join-size estimator ----
 
   /** AGMS/CMS-sketch join-size estimator (Alon–Matias–Szegedy lineage,
@@ -378,6 +380,226 @@ object QueriesWave7 {
        |FROM h JOIN ng ON ng.hn = h.hn JOIN rg ON rg.hraw = h.hraw
        |ORDER BY h.doc_id""".stripMargin
 
+  // ---- cusum_changepoint: CUSUM shift detection on daily revenue ----
+
+  /** CUSUM changepoint statistic over the daily order-revenue series:
+    * S_t = Σ_{i≤t}(x_i − μ) peaks at the day the series' mean shifts —
+    * the classic offline changepoint locator. Exact integer form: with
+    * n days, T = Σx (cents), D_t = n·prefix_t − t·T = n·S_t, every D_t
+    * is BIGINT-exact (no FP drift in the cumulative sum). Output per
+    * day: revenue, D_t (the scaled CUSUM), and `is_peak` marking
+    * argmax |D_t| (earliest day on ties). The raw scan collapses to a
+    * calendar-bounded per-day aggregate FIRST — the window and the
+    * argmax broadcast touch ≤ #days rows, never raw orders.
+    */
+  def cusumChangepointQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(Window.orderBy(col("day_us"))))
+      .withColumn("pre", sum(col("x")).over(
+        Window.orderBy(col("day_us")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("d_t", col("n") * col("pre") - col("rk") * col("t"))
+    val peak = cum.select(abs(col("d_t")).as("ad"), col("day_us"))
+      .orderBy(col("ad").desc, col("day_us")).limit(1)
+      .select(col("day_us").as("__peak"))
+    cum.crossJoin(broadcast(peak))
+      .select(
+        (col("day_us") / 1000000L).cast("long").as("day_s"),
+        col("x"), col("d_t"),
+        (col("day_us") === col("__peak")).as("is_peak"))
+      .orderBy(col("day_s"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n, SUM(x) AS t FROM daily),
+      |cum AS (SELECT day_us, x,
+      |    tot.n * SUM(x) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING)
+      |      - (ROW_NUMBER() OVER (ORDER BY day_us)) * tot.t AS d_t
+      |  FROM daily, tot),
+      |peak AS (SELECT day_us AS pk FROM cum ORDER BY abs(d_t) DESC, day_us LIMIT 1)
+      |SELECT day_us // 1000000 AS day_s, CAST(x AS BIGINT) AS x, CAST(d_t AS BIGINT) AS d_t,
+      |  day_us = peak.pk AS is_peak
+      |FROM cum, peak ORDER BY day_s""".stripMargin
+
+  // ---- window_funnel: time-bounded sequential funnel ----
+
+  val funnelWindowUs = 3600000000L // 1 hour
+
+  /** Time-bounded ordered funnel (the ClickHouse windowFunnel shape):
+    * view → click → purchase where each step follows the previous one
+    * within 1 hour. Two range-window passes per user, both on the
+    * event-time ordering: pass 1 stamps each event with the latest view
+    * in its trailing hour (qualifying the clicks); pass 2 stamps the
+    * latest QUALIFIED click (qualifying the purchases). One row out:
+    * users reaching depth 1/2/3 + conversion rates. Scales as a keyed
+    * window over (user, time) — the shuffle is one exchange on user_id,
+    * state per user is the window frame, exactly the shape Structured
+    * Streaming would run with a 1h watermark.
+    */
+  def windowFunnelQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-funnelWindowUs, -1L)
+    val p1 = e.withColumn("lv",
+      max(when(col("event_type") === "view", col("tus"))).over(w))
+    val p2 = p1.withColumn("lqc",
+      max(when(col("event_type") === "click" && col("lv").isNotNull, col("tus"))).over(w))
+    p2.agg(
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("u_view"),
+        countDistinct(when(col("event_type") === "click" && col("lv").isNotNull,
+          col("user_id"))).as("u_click"),
+        countDistinct(when(col("event_type") === "purchase" && col("lqc").isNotNull,
+          col("user_id"))).as("u_purchase"))
+      .select(col("u_view"), col("u_click"), col("u_purchase"),
+        (col("u_click").cast("double") / col("u_view")).as("click_rate"),
+        (col("u_purchase").cast("double") / col("u_view")).as("purchase_rate"))
+  }
+
+  val windowFunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |p1 AS (SELECT *,
+       |    MAX(CASE WHEN event_type = 'view' THEN tus END) OVER
+       |      (PARTITION BY user_id ORDER BY tus
+       |       RANGE BETWEEN $funnelWindowUs PRECEDING AND 1 PRECEDING) AS lv
+       |  FROM e),
+       |p2 AS (SELECT *,
+       |    MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL THEN tus END) OVER
+       |      (PARTITION BY user_id ORDER BY tus
+       |       RANGE BETWEEN $funnelWindowUs PRECEDING AND 1 PRECEDING) AS lqc
+       |  FROM p1)
+       |SELECT
+       |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS u_view,
+       |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND lv IS NOT NULL THEN user_id END) AS BIGINT) AS u_click,
+       |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL THEN user_id END) AS BIGINT) AS u_purchase,
+       |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' AND lv IS NOT NULL THEN user_id END) AS DOUBLE)
+       |    / COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS click_rate,
+       |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND lqc IS NOT NULL THEN user_id END) AS DOUBLE)
+       |    / COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS purchase_rate
+       |FROM p2""".stripMargin
+
+  // ---- sax_symbols: symbolic aggregate approximation of the daily series ----
+
+  val saxPaaDays = 3
+  val saxBreakQ = 674490L // round(1e6 · Φ⁻¹(0.75))
+
+  /** SAX (symbolic aggregate approximation) of the daily event-count
+    * series: z-normalize, average over 3-day PAA frames, and map each
+    * frame to a 4-letter alphabet at the Gaussian quartile breakpoints
+    * ±0.6745 — the standard symbolic form for motif/anomaly mining over
+    * time series. Engine-exact: with n days, T = Σx, V = n·Σx² − T²,
+    * the comparison (PAA mean − μ)/σ vs ±b cross-multiplies to
+    * 1e12·(S·w? — see code) on DECIMAL(38,0), with the single sqrt(V)
+    * quantized to the 1e-6 grid; z<0 needs no sqrt at all. The raw scan
+    * collapses to the calendar-bounded per-day aggregate first; frames
+    * index by calendar day offset, so the whole plan after the first
+    * agg touches ≤ #days rows.
+    */
+  def saxSymbolsQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Memo(spark, dir, "wave6:dailyEvents")(
+      Tables(spark, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+        .agg(count(lit(1)).as("n")))
+    val tot = daily.agg(
+      min(col("day_us")).as("d0"), count(lit(1)).as("nn"),
+      sum(col("n")).as("t"), sum(col("n") * col("n")).as("sxx"))
+    val frames = daily.crossJoin(broadcast(tot))
+      .withColumn("frame",
+        ((col("day_us") - col("d0")) / lit(usPerDay * saxPaaDays)).cast("long"))
+      .groupBy(col("frame"))
+      .agg(count(lit(1)).as("w"), sum(col("n")).as("s"),
+        max(col("nn")).as("nn"), max(col("t")).as("t"),
+        max(expr("CAST(round(sqrt(CAST(nn AS DOUBLE) * sxx - CAST(t AS DOUBLE) * t) * 1e6) AS BIGINT)"))
+          .as("sq"))
+    frames
+      .withColumn("num",
+        (col("s") * col("nn") - col("w") * col("t")).cast("decimal(38,0)") * lit(1000000L))
+      .withColumn("thr",
+        lit(saxBreakQ).cast("decimal(38,0)") * col("w") * col("sq"))
+      .select(col("frame"), col("w"), col("s"),
+        when(col("num") < -col("thr"), "a")
+          .when(col("num") < 0, "b")
+          .when(col("num") < col("thr"), "c")
+          .otherwise("d").as("symbol"))
+      .orderBy(col("frame"))
+  }
+
+  val saxSymbolsSql: String =
+    s"""WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT MIN(day_us) AS d0, COUNT(*) AS nn, SUM(n) AS t,
+       |    SUM(n * n) AS sxx FROM daily),
+       |frames AS (SELECT (day_us - tot.d0) // ${usPerDay * saxPaaDays} AS frame,
+       |    COUNT(*) AS w, SUM(n) AS s, MAX(tot.nn) AS nn, MAX(tot.t) AS t,
+       |    MAX(CAST(round(sqrt(CAST(tot.nn AS DOUBLE) * tot.sxx - CAST(tot.t AS DOUBLE) * tot.t) * 1e6) AS BIGINT)) AS sq
+       |  FROM daily, tot GROUP BY 1)
+       |SELECT frame, CAST(w AS BIGINT) AS w, CAST(s AS BIGINT) AS s,
+       |  CASE WHEN num < -thr THEN 'a'
+       |       WHEN num < 0 THEN 'b'
+       |       WHEN num < thr THEN 'c'
+       |       ELSE 'd' END AS symbol
+       |FROM (SELECT frame, w, s,
+       |        CAST(s * nn - w * t AS DECIMAL(38,0)) * 1000000 AS num,
+       |        CAST($saxBreakQ AS DECIMAL(38,0)) * w * sq AS thr
+       |      FROM frames)
+       |ORDER BY frame""".stripMargin
+
+  // ---- curriculum_plan: difficulty-phased training shard plan ----
+
+  val curriculumPhases = 4
+  val curriculumShards = 4
+
+  /** Curriculum-ordered shard plan: docs rank into 4 difficulty phases
+    * by heuristic quality (exact NTILE via the range-partitioned
+    * `rankedNtile` — no single-partition sort), easy→hard being the
+    * curriculum-learning schedule; within a phase each doc lands in one
+    * of 4 md5 shards (coordination-free at any executor count). Output
+    * per (phase, shard): docs, token budget, and the cumulative token
+    * offset a sequential trainer would start each shard at — the window
+    * runs over the 16-row plan frame only.
+    */
+  def curriculumPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = graft.operators.TextAnalysis
+      .qualityScore(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("score"), col("n_words").cast("long").as("__nt"))
+    graft.operators.Layout
+      .rankedNtile(qs, Seq(col("score"), col("doc_id")), curriculumPhases, "phase")
+      .withColumn("shard",
+        expr(s"CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $curriculumShards AS INT)"))
+      .groupBy(col("phase"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy(col("phase"), col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy(col("phase"), col("shard"))
+  }
+
+  val curriculumPlanSql: String =
+    s"""WITH qs AS (SELECT doc_id, score, CAST(n_words AS BIGINT) AS nt
+       |  FROM (${QueriesText.qualityScoreSql})),
+       |ranked AS (SELECT doc_id, ntile($curriculumPhases) OVER (ORDER BY score, doc_id) AS phase,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $curriculumShards AS shard,
+       |    nt
+       |  FROM qs),
+       |plan AS (SELECT phase, CAST(shard AS INT) AS shard,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT phase, shard, n_docs, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY phase, shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+       |FROM plan ORDER BY phase, shard""".stripMargin
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -386,7 +608,11 @@ object QueriesWave7 {
     "hill_tail" -> (hillTailQ _),
     "containment_sim" -> (containmentSimQ _),
     "mm_phash_dup" -> (mmPhashDupQ _),
-    "norm_text_dedup" -> (normTextDedupQ _)
+    "norm_text_dedup" -> (normTextDedupQ _),
+    "cusum_changepoint" -> (cusumChangepointQ _),
+    "window_funnel" -> (windowFunnelQ _),
+    "sax_symbols" -> (saxSymbolsQ _),
+    "curriculum_plan" -> (curriculumPlanQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,6 +621,10 @@ object QueriesWave7 {
     "hill_tail" -> hillTailSql,
     "containment_sim" -> containmentSimSql,
     "mm_phash_dup" -> mmPhashDupSql,
-    "norm_text_dedup" -> normTextDedupSql
+    "norm_text_dedup" -> normTextDedupSql,
+    "cusum_changepoint" -> cusumChangepointSql,
+    "window_funnel" -> windowFunnelSql,
+    "sax_symbols" -> saxSymbolsSql,
+    "curriculum_plan" -> curriculumPlanSql
   )
 }

@@ -84,7 +84,8 @@ class EntrySpec extends SparkSpec {
       "aspect_bucket_pack", "dup_rate_by_source", "k_anon_audit",
       "prefix_sim_join",
       "cms_join_est", "bbit_minhash", "hill_tail",
-      "containment_sim", "mm_phash_dup", "norm_text_dedup")
+      "containment_sim", "mm_phash_dup", "norm_text_dedup",
+      "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
