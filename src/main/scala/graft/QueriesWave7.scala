@@ -600,6 +600,172 @@ object QueriesWave7 {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
        |FROM plan ORDER BY phase, shard""".stripMargin
 
+  // ---- kn_bigram_lm: Kneser–Ney-smoothed word-bigram LM scoring ----
+
+  /** Per-doc cross-entropy under a corpus-trained interpolated
+    * Kneser–Ney bigram LM (Kneser–Ney 1995 / Chen–Goodman 1998), the
+    * stronger LM-quality signal next to `lm_perplexity`'s char-bigram
+    * score: P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·) +
+    * D·N₁₊(w1·)/c(w1·) · N₁₊(·w2)/T with discount D = 3/4 — the
+    * continuation-count backoff that stops "san francisco"-style
+    * boilerplate from inflating unigram mass. With D = 3/4, P is the
+    * EXACT integer ratio [max(4c−3,0)·T + 3·N₁₊(w1·)·N₁₊(·w2)] /
+    * (4·T·c(w1·)); the single ln per (doc, bigram) type quantizes to
+    * the 1e-6 grid, so both engines hash-match. Every count frame
+    * derives from one (doc, bigram)-keyed aggregate of one documents
+    * scan; scoring is one join keyed on the bigram — at 100 TB the
+    * model frames are vocabulary-sized, the join fact-sized, nothing
+    * is all-pairs. Docs with < 2 tokens have no bigrams and drop out.
+    */
+  def knBigramLmQ(spark: SparkSession, dir: String): DataFrame = {
+    val bgExpr = expr(
+      """transform(sequence(1, greatest(size(__ws) - 1, 0)),
+        |          i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))""".stripMargin)
+    val docBg = Memo(spark, dir, "wave7:docBigrams")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+        .select(col("doc_id"), explode(bgExpr).as("bg"))
+        .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("mult")))
+    val bgStats = Memo(spark, dir, "wave7:bgStats")(
+      docBg.groupBy(col("w1"), col("w2")).agg(sum(col("mult")).as("c")))
+    val left = bgStats.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1fw"))
+    val right = bgStats.groupBy(col("w2")).agg(count(lit(1)).as("ncw"))
+    val tt = bgStats.agg(count(lit(1)).as("t"))
+    docBg
+      .join(bgStats, Seq("w1", "w2"))
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .withColumn("lnq",
+        expr("""CAST(round(ln(CAST(greatest(4 * c - 3, 0) * t + 3 * n1fw * ncw AS DOUBLE)
+               |               / (4.0 * CAST(t AS DOUBLE) * cw1)) * 1e6) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mult")).as("n_bigrams"),
+        sum(col("mult") * col("lnq")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("__s").cast("double") / 1e6 / col("n_bigrams")).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knBigramLmSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |bgrows AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws), 1))) AS i FROM w)),
+       |docbg AS (SELECT doc_id, w1, w2, COUNT(*) AS mult FROM bgrows GROUP BY 1, 2, 3),
+       |bgstats AS (SELECT w1, w2, SUM(mult) AS c FROM docbg GROUP BY 1, 2),
+       |lft AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS n1fw FROM bgstats GROUP BY 1),
+       |rgt AS (SELECT w2, COUNT(*) AS ncw FROM bgstats GROUP BY 1),
+       |tt AS (SELECT COUNT(*) AS t FROM bgstats),
+       |terms AS (SELECT d.doc_id, d.mult,
+       |    CAST(round(ln(CAST(GREATEST(4 * b.c - 3, 0) * tt.t + 3 * lft.n1fw * rgt.ncw AS DOUBLE)
+       |                  / (4.0 * CAST(tt.t AS DOUBLE) * lft.cw1)) * 1e6) AS BIGINT) AS lnq
+       |  FROM docbg d
+       |  JOIN bgstats b ON b.w1 = d.w1 AND b.w2 = d.w2
+       |  JOIN lft ON lft.w1 = d.w1
+       |  JOIN rgt ON rgt.w2 = d.w2, tt)
+       |SELECT doc_id, CAST(SUM(mult) AS BIGINT) AS n_bigrams,
+       |  -CAST(SUM(mult * lnq) AS DOUBLE) / 1e6 / SUM(mult) AS nll_kn
+       |FROM terms GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- salsa_scores: SALSA hub/authority over the trade graph ----
+
+  val salsaIters = 4
+  val salsaGrid = 1048576L // 2^20
+
+  /** SALSA hub/authority scores (Lempel–Moran 2001 — HITS with
+    * row-stochastic normalization, which is what makes it STABLE: every
+    * iterate stays on the probability simplex, so the 2^-20 BIGINT grid
+    * never overflows at any data scale, unlike raw HITS whose iterates
+    * grow with Σw) over the customer-nation → supplier-nation trade
+    * graph. Two floor-quantized transition frames (hub side normalized
+    * by out-weight, authority side by in-weight); 4 alternating
+    * hub→auth→hub sweeps, every contribution floor-quantized before
+    * the sum so aggregation order cannot change a bit (the
+    * `nation_pagerank` discipline, same memoized ≤25-node edge frame —
+    * the 4-table join runs once per session across both graph queries).
+    */
+  def salsaScoresQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Memo(spark, dir, "graph:nationEdges")(
+      Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("u"), col("s_nationkey").as("v"))
+        .agg(count(lit(1)).as("w")))
+    val pa = Memo(spark, dir, "wave7:salsaPa")(
+      e.withColumn("od", sum(col("w")).over(Window.partitionBy(col("u"))))
+        .select(col("u"), col("v"),
+          floor(col("w").cast("double") * lit(salsaGrid) / col("od")).cast("bigint").as("pg")))
+    val ph = Memo(spark, dir, "wave7:salsaPh")(
+      e.withColumn("idg", sum(col("w")).over(Window.partitionBy(col("v"))))
+        .select(col("u"), col("v"),
+          floor(col("w").cast("double") * lit(salsaGrid) / col("idg")).cast("bigint").as("pg")))
+    val hubs = Memo(spark, dir, "wave7:salsaHubs")(
+      e.select(col("u")).distinct()
+        .crossJoin(e.select(col("u")).distinct().agg(countDistinct(col("u")).as("nh"))))
+    val h0 = hubs.select(col("u"),
+      floor(lit(salsaGrid) / col("nh")).cast("bigint").as("hg"))
+    val (hF, aF) = (1 to salsaIters).foldLeft((h0, h0.limit(0).select(col("u").as("v"), col("hg").as("ag")))) {
+      case ((h, _), it) =>
+        val a = Memo(spark, dir, s"wave7:salsaA$it")(
+          broadcast(h).join(pa, Seq("u"))
+            .groupBy(col("v"))
+            .agg(sum(floor(col("hg").cast("double") * col("pg") / lit(salsaGrid))
+              .cast("bigint")).as("ag")))
+        val h2 = Memo(spark, dir, s"wave7:salsaH$it")(
+          broadcast(a).join(ph, Seq("v"))
+            .groupBy(col("u"))
+            .agg(sum(floor(col("ag").cast("double") * col("pg") / lit(salsaGrid))
+              .cast("bigint")).as("hg")))
+        (h2, a)
+    }
+    hF.select(col("u").as("nationkey"), col("hg"))
+      .join(aF.select(col("v").as("nationkey"), col("ag")), Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("hg"), lit(0L)).as("hub_grid"),
+        coalesce(col("ag"), lit(0L)).as("auth_grid"),
+        (coalesce(col("hg"), lit(0L)).cast("double") / lit(salsaGrid)).as("hub"),
+        (coalesce(col("ag"), lit(0L)).cast("double") / lit(salsaGrid)).as("authority"))
+      .orderBy(col("nationkey"))
+  }
+
+  val salsaScoresSql: String = {
+    val base =
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |pa AS (SELECT u, v, CAST(FLOOR(CAST(w AS DOUBLE) * $salsaGrid.0 / od) AS BIGINT) AS pg
+         |       FROM (SELECT u, v, w, SUM(w) OVER (PARTITION BY u) AS od FROM e)),
+         |ph AS (SELECT u, v, CAST(FLOOR(CAST(w AS DOUBLE) * $salsaGrid.0 / idg) AS BIGINT) AS pg
+         |       FROM (SELECT u, v, w, SUM(w) OVER (PARTITION BY v) AS idg FROM e)),
+         |h0 AS (SELECT u, CAST(FLOOR($salsaGrid.0 / nh) AS BIGINT) AS hg FROM
+         |  (SELECT DISTINCT u FROM e) CROSS JOIN
+         |  (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nh FROM e))""".stripMargin
+    val iters = (1 to salsaIters).map { k =>
+      val j = k - 1
+      val prev = if (j == 0) "h0" else s"h$j"
+      s"""a$k AS (SELECT pa.v,
+         |    CAST(SUM(CAST(FLOOR(CAST(hg AS DOUBLE) * pg / $salsaGrid.0) AS BIGINT)) AS BIGINT) AS ag
+         |  FROM $prev JOIN pa ON $prev.u = pa.u GROUP BY 1),
+         |h$k AS (SELECT ph.u,
+         |    CAST(SUM(CAST(FLOOR(CAST(ag AS DOUBLE) * pg / $salsaGrid.0) AS BIGINT)) AS BIGINT) AS hg
+         |  FROM a$k JOIN ph ON a$k.v = ph.v GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT COALESCE(h.u, a.v) AS nationkey,
+       |  COALESCE(h.hg, 0) AS hub_grid, COALESCE(a.ag, 0) AS auth_grid,
+       |  CAST(COALESCE(h.hg, 0) AS DOUBLE) / $salsaGrid.0 AS hub,
+       |  CAST(COALESCE(a.ag, 0) AS DOUBLE) / $salsaGrid.0 AS authority
+       |FROM h$salsaIters h FULL OUTER JOIN a$salsaIters a ON h.u = a.v
+       |ORDER BY nationkey""".stripMargin
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -612,7 +778,9 @@ object QueriesWave7 {
     "cusum_changepoint" -> (cusumChangepointQ _),
     "window_funnel" -> (windowFunnelQ _),
     "sax_symbols" -> (saxSymbolsQ _),
-    "curriculum_plan" -> (curriculumPlanQ _)
+    "curriculum_plan" -> (curriculumPlanQ _),
+    "kn_bigram_lm" -> (knBigramLmQ _),
+    "salsa_scores" -> (salsaScoresQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -625,6 +793,8 @@ object QueriesWave7 {
     "cusum_changepoint" -> cusumChangepointSql,
     "window_funnel" -> windowFunnelSql,
     "sax_symbols" -> saxSymbolsSql,
-    "curriculum_plan" -> curriculumPlanSql
+    "curriculum_plan" -> curriculumPlanSql,
+    "kn_bigram_lm" -> knBigramLmSql,
+    "salsa_scores" -> salsaScoresSql
   )
 }

@@ -85,7 +85,8 @@ class EntrySpec extends SparkSpec {
       "prefix_sim_join",
       "cms_join_est", "bbit_minhash", "hill_tail",
       "containment_sim", "mm_phash_dup", "norm_text_dedup",
-      "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan")
+      "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan",
+      "kn_bigram_lm", "salsa_scores")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
