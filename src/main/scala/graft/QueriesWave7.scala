@@ -267,13 +267,17 @@ object QueriesWave7 {
     * exactly what a production pHash dedup runs. Everything after the
     * per-doc 64-position explode+pack is band-keyed — no all-pairs.
     */
-  def mmPhashDupQ(spark: SparkSession, dir: String): DataFrame = {
-    val images = Tables(spark, dir, "documents")
+  /** (doc_id, band, bv): the 4×16-bit dHash band values for the image
+    * docs of a documents frame — exposed for the spec's brute-force
+    * pigeonhole-completeness check.
+    */
+  def phashBandsOf(documents: DataFrame): DataFrame = {
+    val images = documents
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("ws"))
     def gExpr(posExpr: String): Column =
       expr(s"CAST(conv(substring(md5(coalesce(element_at(ws, ($posExpr) % greatest(size(ws), 1) + 1), '')), 1, 2), 16, 10) AS BIGINT)")
-    val bits = images
+    images
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), lit(63))).as("p"))
       .withColumn("r", col("p") / 8 cast "int")
@@ -282,9 +286,13 @@ object QueriesWave7 {
         when(gExpr("r * 9 + c") > gExpr("r * 9 + c + 1"), 1L).otherwise(0L))
       .select(col("doc_id"), (col("r") / 2).cast("int").as("band"),
         ((col("r") % 2) * 8 + col("c")).as("bpos"), col("bit"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("bit") * expr("CAST(pow(2.0, 15 - bpos) AS BIGINT)")).as("bv"))
+  }
+
+  def mmPhashDupQ(spark: SparkSession, dir: String): DataFrame = {
     val bands = Memo(spark, dir, "wave7:phashBands")(
-      bits.groupBy(col("doc_id"), col("band"))
-        .agg(sum(col("bit") * expr("CAST(pow(2.0, 15 - bpos) AS BIGINT)")).as("bv")))
+      phashBandsOf(Tables(spark, dir, "documents")))
     val wideAggs = (0 until 4).map(b =>
       max(when(col("band") === b, col("bv"))).as(s"b$b"))
     val wide = bands.groupBy(col("doc_id"))
@@ -443,9 +451,15 @@ object QueriesWave7 {
     * state per user is the window frame, exactly the shape Structured
     * Streaming would run with a 1h watermark.
     */
-  def windowFunnelQ(spark: SparkSession, dir: String): DataFrame = {
+  def windowFunnelQ(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelCore(Tables(spark, dir, "events"))
+
+  /** Core of `window_funnel` over any (user_id, event_type, ts) frame —
+    * exposed for the spec's hand-built oracle.
+    */
+  def windowFunnelCore(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables(spark, dir, "events")
+    val e = events
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("tus"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
