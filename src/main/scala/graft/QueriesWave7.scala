@@ -402,9 +402,12 @@ object QueriesWave7 {
     */
   def cusumChangepointQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables(spark, dir, "orders")
-      .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
-      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x"))
+    // memoized: the peak argmax and the output both read this frame —
+    // one orders scan, not two
+    val daily = Memo(spark, dir, "wave7:dailyOrdersRev")(
+      Tables(spark, dir, "orders")
+        .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x")))
     val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
     val cum = daily.crossJoin(broadcast(tot))
       .withColumn("rk", row_number().over(Window.orderBy(col("day_us"))))

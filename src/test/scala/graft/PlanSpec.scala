@@ -527,4 +527,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(df"), p.take(600))
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("window_funnel is one exchange on user_id — no join, windows share the partitioning") {
+    val p = plan("window_funnel")
+    assert(!p.contains("Join"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("cusum_changepoint aggregates to days before any window and never sort-merges") {
+    val ls = leaves("cusum_changepoint")
+    assert(ls.count(_.contains("FileSourceScan")) <= 1, ls.mkString(","))
+    assert(!plan("cusum_changepoint").contains("SortMergeJoin"))
+  }
+
+  test("kn_bigram_lm derives every model frame from the memoized bigram table") {
+    // docBg and bgStats are session memos: the executed tree's only
+    // leaves are in-memory scans — zero extra documents scans at serve
+    val ls = leaves("kn_bigram_lm")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("mm_phash_dup joins band-keyed candidates only — no cartesian, memoized bands") {
+    val p = plan("mm_phash_dup")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val ls = leaves("mm_phash_dup")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("bbit_minhash and containment_sim serve entirely from session memos") {
+    Seq("bbit_minhash", "containment_sim").foreach { q =>
+      val ls = leaves(q)
+      assert(ls.count(_.contains("FileSourceScan")) == 0, s"$q: ${ls.mkString(",")}")
+    }
+  }
+
+  test("hill_tail bounds the top-k with TakeOrdered, never a global sort") {
+    val p = plan("hill_tail")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("curriculum_plan ranks via range partitioning (no single-partition corpus sort)") {
+    val p = plan("curriculum_plan")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p.take(800))
+  }
+
+  test("salsa_scores iterations read only memoized frames (edge pipeline runs once)") {
+    val ls = leaves("salsa_scores")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
 }
