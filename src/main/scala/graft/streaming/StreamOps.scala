@@ -30,6 +30,14 @@ final case class AsofRow(
 /** Most-recent-click state for one user (asofJoinStream). */
 final case class ClickState(clickId: Long, clickUs: Long)
 
+/** One funnel-depth advancement (windowFunnelStream output row). */
+final case class FunnelHit(user_id: Long, depth: Int, ts: Timestamp)
+
+/** Funnel state for one user: last view / last qualified click in
+  * micros, -1 = none yet (windowFunnelStream).
+  */
+final case class FunnelState(lastViewUs: Long, lastQcUs: Long)
+
 /** Newest-row state/output for one key (latestSnapshotStream). */
 final case class SnapRow(
     user_id: Long,
@@ -167,6 +175,72 @@ object StreamOps {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
+
+  // ---- streaming window funnel (row 163's streaming face) ----
+
+  /** Streaming time-bounded funnel via flatMapGroupsWithState — the
+    * stateful face of `window_funnel`: per user, state is ONE
+    * two-field record (last view µs, last qualified-click µs), so state
+    * size is O(active users) and event-time timeout evicts a user 1 h
+    * after their last event. Each batch's events process in event-time
+    * order; a view emits a depth-1 hit and arms the click window, a
+    * click inside (view, view+1h] emits depth 2 and arms the purchase
+    * window, a purchase inside (click, click+1h] emits depth 3.
+    * Aggregating distinct users per depth over the emitted hits
+    * reproduces the batch query's counts exactly (spec-checked against
+    * `windowFunnelQ` on the same events).
+    */
+  def windowFunnelStream(spark: SparkSession, events: DataFrame): Dataset[FunnelHit] = {
+    import spark.implicits._
+    val win = graft.QueriesWave7.funnelWindowUs
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)]
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[FunnelState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toSeq.sortBy(r => micros(r._3))
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+            var lastUs = -1L
+            for ((_, et, t) <- evs) {
+              val tu = micros(t)
+              lastUs = math.max(lastUs, tu)
+              et match {
+                case "view" =>
+                  s = s.copy(lastViewUs = tu)
+                  out += FunnelHit(userId, 1, t)
+                case "click" =>
+                  // strict (view, view + 1h]: same-instant events never
+                  // qualify — the batch range frame's [t−1h, t−1] bound
+                  if (s.lastViewUs >= 0 && tu > s.lastViewUs &&
+                      tu - s.lastViewUs <= win) {
+                    s = s.copy(lastQcUs = tu)
+                    out += FunnelHit(userId, 2, t)
+                  }
+                case "purchase" =>
+                  if (s.lastQcUs >= 0 && tu > s.lastQcUs && tu - s.lastQcUs <= win)
+                    out += FunnelHit(userId, 3, t)
+                case _ =>
+              }
+            }
+            state.update(s)
+            if (lastUs >= 0)
+              state.setTimeoutTimestamp(lastUs / 1000 + win / 1000 + 1)
+            out.iterator
+          }
+      }
+  }
 
   // ---- interval join (row 34) ----
 

@@ -305,4 +305,29 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, 10L), (2L, 11L)))
     } finally q.stop()
   }
+
+  test("streaming windowFunnel over the real events matches the batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowFunnelStream(spark, sdf).writeStream
+      .format("memory").queryName("wfun").outputMode("append").start()
+    try {
+      val evs = Tables(spark, sf, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+      // two batches split mid-stream: state must carry across the cut
+      val (b1, b2) = evs.sortBy(_._2.getTime).splitAt(evs.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val hits = spark.table("wfun")
+      val gotByDepth = hits.groupBy(col("depth"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .as[(Int, Long)].collect().toMap
+      val batch = QueriesWave7.windowFunnelQ(spark, sf).collect().head
+      assert(gotByDepth.getOrElse(1, 0L) == batch.getAs[Long]("u_view"))
+      assert(gotByDepth.getOrElse(2, 0L) == batch.getAs[Long]("u_click"))
+      assert(gotByDepth.getOrElse(3, 0L) == batch.getAs[Long]("u_purchase"))
+    } finally q.stop()
+  }
 }
