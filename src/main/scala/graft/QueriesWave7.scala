@@ -783,6 +783,263 @@ object QueriesWave7 {
        |ORDER BY nationkey""".stripMargin
   }
 
+  // ---- weighted_jaccard: IDF-weighted set similarity ----
+
+  /** IDF-weighted Jaccard over the LSH candidate pairs: wJ =
+    * Σ_{s∈A∩B} idf(s) / Σ_{s∈A∪B} idf(s) with idf quantized to
+    * round(1e6·ln(N/df)) BIGINTs — so boilerplate shingles shared by
+    * half the corpus stop inflating similarity while rare content
+    * dominates it, the standard refinement dedup pipelines apply when
+    * template text (headers, licenses) pollutes plain Jaccard. All
+    * weight sums are exact integer arithmetic; the df frame is
+    * shingle-keyed (vocabulary-sized), the intersection weights ride
+    * the same sparse candidate-verify join every other pair op uses.
+    */
+  def weightedJaccardQ(spark: SparkSession, dir: String): DataFrame = {
+    // distinct (doc_id, shingle) — docShingles keeps in-doc repeats,
+    // the set semantics here (df, doc weight sums) must not
+    val sh = Memo(spark, dir, "wave7:sh3")(
+      graft.operators.TextOps.docShingles(Tables(spark, dir, "documents"), 3).distinct())
+    val nDocs = Tables(spark, dir, "documents").agg(count(lit(1)).as("nd"))
+    val idf = Memo(spark, dir, "wave7:shIdf")(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("shingle"),
+          expr("CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1e6) AS BIGINT)").as("idf6")))
+    val docW = sh.join(idf, "shingle")
+      .groupBy(col("doc_id")).agg(sum(col("idf6")).as("wsum"))
+    val cands = graft.operators.TextOps
+      .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+    val sets = QueriesText.shArr3(spark, dir)
+    // intersection weights: intersect the two memoized shingle ARRAYS
+    // per candidate pair, explode only that sparse intersection, and
+    // look idf up by shingle — NEVER the exploded-shingle self-join
+    // (that cross product is exactly what the band join exists to avoid)
+    val interW = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array_intersect(col("sha"), col("shb"))).as("shingle"))
+      .join(idf, "shingle")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("idf6")).as("iw"), count(lit(1)).as("inter"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    cands
+      .join(interW, Seq("doc_a", "doc_b"), "left")
+      .join(docW.select(col("doc_id").as("doc_a"), col("wsum").as("wa")), "doc_a")
+      .join(docW.select(col("doc_id").as("doc_b"), col("wsum").as("wb")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("iw"), lit(0L)).cast("double") /
+          (col("wa") + col("wb") - coalesce(col("iw"), lit(0L))).cast("double"))
+          .as("w_jaccard"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val weightedJaccardSql: String =
+    s"""WITH ${QueriesText.candCtes},
+       |nd AS (SELECT COUNT(*) AS nd FROM documents),
+       |idf AS (SELECT shingle,
+       |    CAST(round(ln(CAST(nd.nd AS DOUBLE) / df) * 1e6) AS BIGINT) AS idf6
+       |  FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1), nd),
+       |docw AS (SELECT doc_id, SUM(idf6) AS wsum
+       |  FROM sh JOIN idf USING (shingle) GROUP BY 1),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |interw AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    SUM(idf.idf6) AS iw, COUNT(*) AS inter
+       |  FROM sh a
+       |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |  JOIN idf ON idf.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(COALESCE(i.iw, 0) AS DOUBLE) /
+       |    CAST(wa.wsum + wb.wsum - COALESCE(i.iw, 0) AS DOUBLE) AS w_jaccard,
+       |  CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+       |    CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+       |FROM cand c
+       |LEFT JOIN interw i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN docw wa ON wa.doc_id = c.doc_a
+       |JOIN docw wb ON wb.doc_id = c.doc_b
+       |JOIN sizes sa ON sa.doc_id = c.doc_a
+       |JOIN sizes sb ON sb.doc_id = c.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
+  // ---- kfold_assign: stratified k-fold cross-validation plan ----
+
+  val kFolds = 5
+
+  /** Stratified 5-fold assignment plan: within each language stratum,
+    * docs rank in md5 order and take fold = rank mod 5 — every stratum
+    * splits to ±1-doc balance EXACTLY (not just in expectation), the
+    * property a per-doc hash mod k can't give, and the ranking window
+    * is partitioned by stratum so no single-partition sort exists at
+    * any corpus size. Output: per (lang, fold) counts with each
+    * stratum's max−min spread — the verifiable CV-split contract.
+    */
+  def kfoldAssignQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("kfold:"), col("doc_id").cast("string"))).as("__h"))
+      .withColumn("fold",
+        ((row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("__h"), col("doc_id"))) - 1) % kFolds).cast("int"))
+    ranked.groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("spread",
+        max(col("n_docs")).over(Window.partitionBy(col("lang"))) -
+          min(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  val kfoldAssignSql: String =
+    s"""WITH ranked AS (SELECT lang,
+       |    (ROW_NUMBER() OVER (PARTITION BY lang
+       |       ORDER BY md5('kfold:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % $kFolds AS fold
+       |  FROM documents),
+       |counts AS (SELECT lang, CAST(fold AS INT) AS fold, COUNT(*) AS n_docs
+       |  FROM ranked GROUP BY 1, 2)
+       |SELECT lang, fold, n_docs,
+       |  MAX(n_docs) OVER (PARTITION BY lang) - MIN(n_docs) OVER (PARTITION BY lang) AS spread
+       |FROM counts ORDER BY lang, fold""".stripMargin
+
+  // ---- lsh_tuning: banding-parameter planning table ----
+
+  /** (bands, rows) configs with b·r = 16 (the signature family's size). */
+  val lshConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** LSH banding-parameter tuning table: for every (b, r) split of the
+    * 16-perm signature, the collision threshold t* = (1/b)^(1/r) and
+    * the expected recall over the corpus's VERIFIED near-dup pairs —
+    * E[1 − (1 − J^r)^b] with J each pair's exact Jaccard. This is the
+    * planning step run before re-banding a 100 TB dedup: measured pair
+    * similarities, not guesses, decide the operating point. Powers
+    * expand to literal multiplication chains (exact IEEE ops, engine-
+    * portable — no libm pow in data expressions); t* is a driver-side
+    * literal; per-pair probabilities quantize to 1e-6 before the mean.
+    */
+  def lshTuningQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = QueriesText.lshPairs(spark, dir)
+    lshConfigs.map { case (b, r) =>
+      val jr = (1 to r).map(_ => "jaccard").mkString(" * ")
+      val miss = s"(1.0 - $jr)"
+      val missB = (1 to b).map(_ => miss).mkString(" * ")
+      val tStar = math.pow(1.0 / b, 1.0 / r)
+      pairs
+        .select(expr(s"CAST(round((1.0 - $missB) * 1e6) AS BIGINT)").as("p6"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("p6")).as("__s"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(tStar).as("t_star"), col("n_pairs"),
+          (col("__s").cast("double") / 1e6 / col("n_pairs")).as("exp_recall"))
+    }.reduce(_.unionAll(_)).orderBy(col("bands").desc)
+  }
+
+  val lshTuningSql: String = {
+    val arms = lshConfigs.map { case (b, r) =>
+      val jr = (1 to r).map(_ => "jaccard").mkString(" * ")
+      val miss = s"(1.0 - $jr)"
+      val missB = (1 to b).map(_ => miss).mkString(" * ")
+      val tStar = math.pow(1.0 / b, 1.0 / r)
+      s"""SELECT $b AS bands, $r AS rows_per_band, CAST($tStar AS DOUBLE) AS t_star,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CAST(round((1.0 - $missB) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS exp_recall
+         |FROM pairs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${QueriesText.lshPairsCtes}
+       |$arms
+       |ORDER BY bands DESC""".stripMargin
+  }
+
+  // ---- hist_quantile_check: mergeable-histogram quantiles with a bound ----
+
+  val hqBins = 32
+  val hqPs: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** Mergeable-summary quantile check: each source contributes a 32-bin
+    * equi-width histogram of doc length over the global catalog
+    * [min, max]; the global histogram is their pure-algebra SUM (the
+    * `mergeable_stats` discipline — how a 100 TB lake serves quantiles
+    * without rescans); the p-quantile reads off the first bin whose
+    * cumulative count reaches ⌈p·N⌉. The verdict hash-checks the
+    * sketch's CONTRACT: the exact nearest-rank quantile (value-collapsed
+    * frame, no global sort) lands inside that bin for every p.
+    */
+  def histQuantileCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+    val bounds = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+      count(lit(1)).as("nn"))
+    val perSource = d.crossJoin(broadcast(bounds))
+      .groupBy(col("source"),
+        expr(s"least(greatest(((n_chars - lo) * $hqBins) div (hi - lo + 1), 0), ${hqBins - 1})")
+          .as("b"))
+      .agg(count(lit(1)).as("c"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("nn")).as("nn"))
+    val merged = perSource.groupBy(col("b"))
+      .agg(sum(col("c")).as("c"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("nn")).as("nn"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+    val ps = hqPs.map(p => s"SELECT CAST($p AS DOUBLE) AS p").mkString(" UNION ALL ")
+    val targets = merged.sparkSession.sql(ps)
+    val hit = targets.crossJoin(merged)
+      .filter(col("cum") >= ceil(col("p") * col("nn")))
+      .groupBy(col("p"))
+      .agg(min(col("b")).as("bin"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("nn")).as("nn"))
+      .select(col("p"), col("bin"),
+        expr(s"lo + (bin * (hi - lo + 1)) div $hqBins").as("bin_lo"),
+        expr(s"lo + ((bin + 1) * (hi - lo + 1)) div $hqBins - 1").as("bin_hi"),
+        col("nn"))
+    val vals = d.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val exact = targets.crossJoin(vals.crossJoin(broadcast(bounds.select(col("nn").as("n2")))))
+      .filter(col("cum") >= ceil(col("p") * col("n2")))
+      .groupBy(col("p")).agg(min(col("v")).as("exact_q"))
+    hit.join(exact, "p")
+      .select(col("p"), col("bin"), col("bin_lo"), col("bin_hi"), col("exact_q"),
+        (col("exact_q") >= col("bin_lo") && col("exact_q") <= col("bin_hi"))
+          .as("within_bound"))
+      .orderBy(col("p"))
+  }
+
+  val histQuantileCheckSql: String = {
+    val ps = hqPs.map(p => s"SELECT CAST($p AS DOUBLE) AS p").mkString(" UNION ALL ")
+    s"""WITH bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi, COUNT(*) AS nn
+       |  FROM documents),
+       |per_source AS (SELECT source,
+       |    LEAST(GREATEST(((n_chars - lo) * $hqBins) // (hi - lo + 1), 0), ${hqBins - 1}) AS b,
+       |    COUNT(*) AS c, MAX(lo) AS lo, MAX(hi) AS hi, MAX(nn) AS nn
+       |  FROM documents, bounds GROUP BY 1, 2),
+       |merged AS (SELECT b, SUM(c) AS c, MAX(lo) AS lo, MAX(hi) AS hi, MAX(nn) AS nn
+       |  FROM per_source GROUP BY 1),
+       |cum AS (SELECT *, SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM merged),
+       |targets AS ($ps),
+       |hit AS (SELECT p, MIN(b) AS bin, MAX(lo) AS lo, MAX(hi) AS hi, MAX(nn) AS nn
+       |  FROM targets, cum WHERE cum >= CEIL(p * nn) GROUP BY p),
+       |vals AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+       |vcum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM vals),
+       |exact AS (SELECT p, MIN(v) AS exact_q
+       |  FROM targets, vcum, bounds WHERE cum >= CEIL(p * nn) GROUP BY p)
+       |SELECT h.p, CAST(h.bin AS BIGINT) AS bin,
+       |  CAST(h.lo + (h.bin * (h.hi - h.lo + 1)) // $hqBins AS BIGINT) AS bin_lo,
+       |  CAST(h.lo + ((h.bin + 1) * (h.hi - h.lo + 1)) // $hqBins - 1 AS BIGINT) AS bin_hi,
+       |  CAST(e.exact_q AS BIGINT) AS exact_q,
+       |  e.exact_q >= h.lo + (h.bin * (h.hi - h.lo + 1)) // $hqBins
+       |    AND e.exact_q <= h.lo + ((h.bin + 1) * (h.hi - h.lo + 1)) // $hqBins - 1
+       |    AS within_bound
+       |FROM hit h JOIN exact e ON e.p = h.p
+       |ORDER BY h.p""".stripMargin
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,7 +1054,11 @@ object QueriesWave7 {
     "sax_symbols" -> (saxSymbolsQ _),
     "curriculum_plan" -> (curriculumPlanQ _),
     "kn_bigram_lm" -> (knBigramLmQ _),
-    "salsa_scores" -> (salsaScoresQ _)
+    "salsa_scores" -> (salsaScoresQ _),
+    "weighted_jaccard" -> (weightedJaccardQ _),
+    "kfold_assign" -> (kfoldAssignQ _),
+    "lsh_tuning" -> (lshTuningQ _),
+    "hist_quantile_check" -> (histQuantileCheckQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -812,6 +1073,10 @@ object QueriesWave7 {
     "sax_symbols" -> saxSymbolsSql,
     "curriculum_plan" -> curriculumPlanSql,
     "kn_bigram_lm" -> knBigramLmSql,
-    "salsa_scores" -> salsaScoresSql
+    "salsa_scores" -> salsaScoresSql,
+    "weighted_jaccard" -> weightedJaccardSql,
+    "kfold_assign" -> kfoldAssignSql,
+    "lsh_tuning" -> lshTuningSql,
+    "hist_quantile_check" -> histQuantileCheckSql
   )
 }

@@ -86,7 +86,8 @@ class EntrySpec extends SparkSpec {
       "cms_join_est", "bbit_minhash", "hill_tail",
       "containment_sim", "mm_phash_dup", "norm_text_dedup",
       "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan",
-      "kn_bigram_lm", "salsa_scores")
+      "kn_bigram_lm", "salsa_scores",
+      "weighted_jaccard", "kfold_assign", "lsh_tuning", "hist_quantile_check")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
