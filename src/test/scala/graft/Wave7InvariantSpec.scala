@@ -142,6 +142,47 @@ class Wave7InvariantSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("weighted_jaccard stays in [0,1] and equals plain jaccard at identity") {
+    val rows = QueriesWave7.weightedJaccardQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wj = r.getAs[Double]("w_jaccard")
+      val j = r.getAs[Double]("jaccard")
+      assert(wj >= 0.0 && wj <= 1.0 + 1e-12)
+      // identical sets: intersection = union on both metrics
+      if (j == 1.0) assert(wj == 1.0)
+    }
+  }
+
+  test("kfold_assign balances every stratum to spread <= 1 and conserves docs") {
+    val rows = QueriesWave7.kfoldAssignQ(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("spread") <= 1L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("lsh_tuning: recall rises with band count and all probabilities are valid") {
+    val rows = QueriesWave7.lshTuningQ(spark, sf).collect()
+      .sortBy(-_.getAs[Int]("bands"))
+    rows.foreach { r =>
+      val er = r.getAs[Double]("exp_recall")
+      assert(er >= 0.0 && er <= 1.0 + 1e-9)
+    }
+    // splitting the same 16 perms into more bands can only add collision
+    // chances: recall is monotone in b for fixed b·r
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getAs[Double]("exp_recall") >= lo.getAs[Double]("exp_recall") - 1e-9)
+      case _ =>
+    }
+  }
+
+  test("hist_quantile_check: the exact quantile lands in the predicted bin for every p") {
+    val rows = QueriesWave7.histQuantileCheckQ(spark, sf).collect()
+    assert(rows.length == QueriesWave7.hqPs.length)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+  }
+
   test("salsa_scores stays on the simplex: grid mass conserved within floor loss") {
     val rows = QueriesWave7.salsaScoresQ(spark, sf).collect()
     val hub = rows.map(_.getAs[Long]("hub_grid")).sum
