@@ -1420,6 +1420,107 @@ object QueriesEstimators {
       .orderBy(col("query_id"))
   }
 
+  // ---- row 12c: bootstrap CI around the sampling estimator ----
+
+  /** Poisson-bootstrap confidence interval around `sample_est`: the
+    * sampling estimator finally carries the error bars a sampled
+    * estimate must ship with. Each of the 2,000 sample slots draws 32
+    * replicate multiplicities independently (integer Poisson thresholds
+    * against 52-bit md5 hashes — the `bootstrap_ci` discipline, no
+    * global resample pass, bit-identical across engines and shards);
+    * replicate r's estimate is W·(Σ m·1{sat} / Σ m) and the CI is the
+    * nearest-rank min/max over replicates. The replicated frame is a
+    * session memo (slots × 32 rows, sample-sized not data-sized) shared
+    * by every spec's aggregation; wide replicate-vs-spec work never
+    * touches the base tables.
+    */
+  def sampleEstCiQ(spark: SparkSession, dir: String): DataFrame = {
+    val load = Fanouts.loader(spark, dir)
+    val sample = chainSample(spark, dir)
+    val w = JoinSample.totalWeight(chain, "customer", load)
+      .select(col("total_weight").cast("double"))
+    val reps = spark.range(PoissonGrid.bootstrapR.toLong).select(col("id").as("r"))
+    val repl = memoized(spark, dir, "sampleCiRepl")(
+      sample.crossJoin(reps)
+        .withColumn("__h",
+          conv(substring(md5(concat(lit("sci:"), col("r").cast("string"), lit(":"),
+            col("__slot__"))), 1, 13), 16, 10).cast("long"))
+        .withColumn("m", expr(PoissonGrid.poisCaseSqlExpr("__h")).cast("long")))
+    def satOf(q: graft.query.ParsedQuery) = {
+      val flags = q.tables.filterNot(_ == "customer").map(t => col(s"__in__:$t"))
+      (Predicate.conjunction(
+        q.predicates.map(p => p.copy(col = p.col.split('.').last))) +: flags)
+        .reduce(_ && _)
+    }
+    def cn(id: String) = id.replaceAll("[^A-Za-z0-9]", "_")
+    // ONE pass over the replicated frame computes every spec's replicate
+    // hit-counts as parallel columns, one pass over the sample the point
+    // estimates — per-spec output rows are tiny selects over a memoized
+    // one-row frame, not 2·|specs| separate jobs
+    val wide = memoized(spark, dir, "sampleCiWide") {
+      val repAggs = coveredSpecs.map { case (id, q) =>
+        sum(when(satOf(q), col("m")).otherwise(0L)).cast("double").as(s"k_${cn(id)}")
+      } :+ sum(col("m")).cast("double").as("__n")
+      val bounds = repl.groupBy(col("r"))
+        .agg(repAggs.head, repAggs.tail: _*)
+        .crossJoin(broadcast(w))
+        .select(coveredSpecs.map { case (id, _) =>
+          (col("total_weight") * (col(s"k_${cn(id)}") / greatest(col("__n"), lit(1.0))))
+            .as(s"e_${cn(id)}")
+        }: _*)
+      val bAggs = coveredSpecs.flatMap { case (id, _) =>
+        Seq(min(col(s"e_${cn(id)}")).as(s"lo_${cn(id)}"),
+          max(col(s"e_${cn(id)}")).as(s"hi_${cn(id)}"))
+      }
+      val pAggs = coveredSpecs.map { case (id, q) =>
+        sum(when(satOf(q), 1L).otherwise(0L)).cast("double").as(s"k_${cn(id)}")
+      } :+ count(lit(1)).cast("double").as("__n")
+      val points = sample.agg(pAggs.head, pAggs.tail: _*)
+        .crossJoin(broadcast(w))
+        .select(coveredSpecs.map { case (id, _) =>
+          (col("total_weight") * (col(s"k_${cn(id)}") / col("__n"))).as(s"est_${cn(id)}")
+        }: _*)
+      points.crossJoin(bounds.agg(bAggs.head, bAggs.tail: _*))
+    }
+    coveredSpecs
+      .map { case (id, _) =>
+        wide.select(lit(id).as("query_id"),
+          col(s"est_${cn(id)}").as("est"),
+          col(s"lo_${cn(id)}").as("lo"), col(s"hi_${cn(id)}").as("hi"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy(col("query_id"))
+  }
+
+  val sampleEstCiSql: String = {
+    val r = PoissonGrid.bootstrapR
+    val hash = "CAST(('0x' || substr(md5('sci:' || CAST(reps.r AS VARCHAR) || ':' || slot), 1, 13)) AS BIGINT)"
+    val arms = coveredSpecs.map { case (id, q) =>
+      val flags = q.tables.filterNot(_ == "customer").map {
+        case "orders"   => "in_orders"
+        case "lineitem" => "in_lineitem"
+      }
+      val preds = q.predicates.map(p => PredicateSql.render(p.copy(col = p.col.split('.').last)))
+      val sat = (preds ++ flags).mkString(" AND ")
+      s"""SELECT '$id' AS query_id,
+         |  CAST(tw AS DOUBLE) * (CAST((SELECT SUM(CASE WHEN $sat THEN 1 ELSE 0 END) FROM samp) AS DOUBLE)
+         |    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM samp)) AS est,
+         |  (SELECT MIN(CAST(tw AS DOUBLE) * (k / GREATEST(n, 1.0))) FROM
+         |    (SELECT r, CAST(SUM(CASE WHEN $sat THEN m ELSE 0 END) AS DOUBLE) AS k,
+         |            CAST(SUM(m) AS DOUBLE) AS n FROM repl GROUP BY r)) AS lo,
+         |  (SELECT MAX(CAST(tw AS DOUBLE) * (k / GREATEST(n, 1.0))) FROM
+         |    (SELECT r, CAST(SUM(CASE WHEN $sat THEN m ELSE 0 END) AS DOUBLE) AS k,
+         |            CAST(SUM(m) AS DOUBLE) AS n FROM repl GROUP BY r)) AS hi
+         |FROM tw""".stripMargin
+    }
+    s"""WITH $sampleCtes,
+       |repl AS (SELECT samp.*, reps.r,
+       |    ${PoissonGrid.poisCaseSqlExpr(hash)} AS m
+       |  FROM samp CROSS JOIN (SELECT unnest(range(0, $r)) AS r) reps)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---- row 12b: progressive-sampling estimator (estimators.py:913) ----
 
   /** Per-stage sampling budget: each conditional selectivity is estimated
@@ -1941,6 +2042,7 @@ object QueriesEstimators {
     "q_error_model_quantiles" -> (qErrorModelQuantilesQ _),
     "join_sample" -> (joinSampleQ _),
     "sample_est" -> (sampleEstQ _),
+    "sample_est_ci" -> (sampleEstCiQ _),
     "progressive_est" -> (progressiveEstQ _),
     "ols_est" -> (olsEstQ _),
     "ensemble_est" -> (ensembleEstQ _),
@@ -1972,6 +2074,7 @@ object QueriesEstimators {
     "q_error_model_quantiles" -> qErrorModelQuantilesSql,
     "join_sample" -> joinSampleSql,
     "sample_est" -> sampleEstSql,
+    "sample_est_ci" -> sampleEstCiSql,
     "progressive_est" -> progressiveEstSql,
     "ols_est" -> olsEstSql,
     "ensemble_est" -> ensembleEstSql,

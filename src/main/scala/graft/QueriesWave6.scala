@@ -331,26 +331,10 @@ object QueriesWave6 {
 
   // ---- bootstrap_ci: Poisson-bootstrap confidence intervals ----
 
-  val bootstrapR = 32
+  val bootstrapR: Int = PoissonGrid.bootstrapR
 
-  /** Integer thresholds t_k = floor(P[Pois(1) ≤ k] · 2^52): the Poisson
-    * draw becomes a pure BIGINT compare against the 52-bit md5 hash, so
-    * both engines make bit-identical draws with no double parsing in
-    * the hot path.
-    */
-  val poisThresholds: Seq[Long] = {
-    val fact = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0)
-    val e1 = math.exp(-1.0)
-    fact.indices.map { k =>
-      val cdf = (0 to k).map(j => e1 / fact(j)).sum
-      (cdf * 4503599627370496.0).toLong
-    }
-  }
-
-  private def poisCaseSqlExpr(h: String): String =
-    poisThresholds.zipWithIndex
-      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
-      .mkString("CASE ", " ", s" ELSE ${poisThresholds.size} END")
+  private[graft] def poisCaseSqlExpr(h: String): String =
+    PoissonGrid.poisCaseSqlExpr(h)
 
   /** Per-priority mean order value with a 95% bootstrap confidence
     * interval — the error bars a sampled 100 TB aggregate must carry.
@@ -951,15 +935,20 @@ object QueriesWave6 {
       .filter(lit(psjTauDen) * least(col("na"), col("nb")) >=
         lit(psjTauNum) * greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .filter(lit(psjTauDen + psjTauNum) * col("inter") >=
-        lit(psjTauNum) * (col("na") + col("nb")))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+    // verified pairs memoized (the lshPairs discipline): the prefix
+    // pipeline — token df, per-doc rank, prefix self-join, verify —
+    // runs once per session; every later action reads the bounded
+    // similar-pair frame
+    Memo(spark, dir, "wave6:psjPairs")(
+      cand
+        .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("n").as("na")), "doc_a")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("n").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .filter(lit(psjTauDen + psjTauNum) * col("inter") >=
+          lit(psjTauNum) * (col("na") + col("nb")))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1025,4 +1014,32 @@ object QueriesWave6 {
     "negative_sampling" -> negativeSamplingSql,
     "seasonal_decompose" -> seasonalDecomposeSql
   )
+}
+
+/** Shared Poisson(1)-bootstrap grid — its own object (no references
+  * into the query objects) so `QueriesWave6` and `QueriesEstimators`
+  * can both use it without an object-initialization cycle.
+  */
+object PoissonGrid {
+
+  val bootstrapR = 32
+
+  /** Integer thresholds t_k = floor(P[Pois(1) ≤ k] · 2^52): the Poisson
+    * draw becomes a pure BIGINT compare against the 52-bit md5 hash, so
+    * both engines make bit-identical draws with no double parsing in
+    * the hot path.
+    */
+  val poisThresholds: Seq[Long] = {
+    val fact = Array(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0)
+    val e1 = math.exp(-1.0)
+    fact.indices.map { k =>
+      val cdf = (0 to k).map(j => e1 / fact(j)).sum
+      (cdf * 4503599627370496.0).toLong
+    }
+  }
+
+  def poisCaseSqlExpr(h: String): String =
+    poisThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poisThresholds.size} END")
 }

@@ -87,7 +87,8 @@ class EntrySpec extends SparkSpec {
       "containment_sim", "mm_phash_dup", "norm_text_dedup",
       "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan",
       "kn_bigram_lm", "salsa_scores",
-      "weighted_jaccard", "kfold_assign", "lsh_tuning", "hist_quantile_check")
+      "weighted_jaccard", "kfold_assign", "lsh_tuning", "hist_quantile_check",
+      "sample_est_ci", "voptimal_hist")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -183,6 +183,50 @@ class Wave7InvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("within_bound")))
   }
 
+  test("sample_est_ci brackets are ordered and the point estimate equals sample_est") {
+    val ci = QueriesEstimators.sampleEstCiQ(spark, sf).collect()
+      .map(r => r.getAs[String]("query_id") ->
+        (r.getAs[Double]("est"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    assert(ci.nonEmpty)
+    ci.values.foreach { case (est, lo, hi) =>
+      assert(lo <= hi && est >= 0.0 && lo >= 0.0)
+    }
+    val point = QueriesEstimators.sampleEstQ(spark, sf).collect()
+      .map(r => r.getAs[String]("query_id") -> r.getAs[Double]("est")).toMap
+    point.foreach { case (id, est) => assert(ci(id)._1 == est, id) }
+  }
+
+  test("voptimal_hist matches a driver-side exact DP and is non-increasing in k") {
+    val vals = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("c"))).sortBy(_._1)
+    val n = vals.length
+    val p = new Array[BigInt](n + 1); val s = new Array[BigInt](n + 1)
+    val q = new Array[BigInt](n + 1)
+    p(0) = 0; s(0) = 0; q(0) = 0
+    for (i <- 1 to n) {
+      val (v, c) = vals(i - 1)
+      p(i) = p(i - 1) + c; s(i) = s(i - 1) + BigInt(c) * v
+      q(i) = q(i - 1) + BigInt(c) * v * v
+    }
+    def sse6(i: Int, j: Int): Long = {
+      val dp = p(j) - p(i)
+      val num = (q(j) - q(i)) * dp - (s(j) - s(i)) * (s(j) - s(i))
+      math.round(1e6 * (num.toDouble / dp.toLong))
+    }
+    val B = QueriesWave7.voptMaxBuckets
+    val inf = Long.MaxValue / 4
+    val e = Array.fill(B + 1, n + 1)(inf)
+    for (j <- 1 to n) e(1)(j) = sse6(0, j)
+    for (k <- 2 to B; j <- k to n; i <- (k - 1) until j)
+      e(k)(j) = math.min(e(k)(j), e(k - 1)(i) + sse6(i, j))
+    val got = QueriesWave7.voptimalHistQ(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_buckets") -> r.getAs[Long]("sse_q")).toMap
+    for (k <- 1 to B) assert(got(k) == e(k)(n), s"k=$k: ${got(k)} vs ${e(k)(n)}")
+    (1 until B).foreach(k => assert(got(k + 1) <= got(k)))
+  }
+
   test("salsa_scores stays on the simplex: grid mass conserved within floor loss") {
     val rows = QueriesWave7.salsaScoresQ(spark, sf).collect()
     val hub = rows.map(_.getAs[Long]("hub_grid")).sum
