@@ -125,12 +125,22 @@ object QueriesPipeline {
     * join, renormalized to the 1e6 grid by sign-split division by
     * max|raw| — no data rescan, no driver loop over rows.
     */
-  def gramTopEigenQ(spark: SparkSession, dir: String): DataFrame = {
-    val q = Memo(spark, dir, "pipeline:gramQ")(
+  /** Quantized per-dimension embedding values (vec_id, i, qv), shared
+    * by the Gram build and the projection query.
+    */
+  private[graft] def gramQ(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "pipeline:gramQ")(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").as("i"),
           expr("CAST(floor(CAST(col AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)").as("qv")))
+
+  /** The power-iterated top-eigenvector frame (j, w) after 3 sweeps —
+    * memoized per session, shared by gram_top_eigen and
+    * embed_pca_project.
+    */
+  private[graft] def gramW3(spark: SparkSession, dir: String): DataFrame = {
+    val q = gramQ(spark, dir)
     val m = Memo(spark, dir, "pipeline:gramM")(
       q.select(col("vec_id"), col("i"), col("qv"))
         .join(q.select(col("vec_id"), col("i").as("j"), col("qv").as("qw")), Seq("vec_id"))
@@ -142,7 +152,7 @@ object QueriesPipeline {
     // update, and the next iteration references this one — without the
     // cache the lazy plan re-derives every earlier iteration per
     // reference (2^k blow-up of the tiny matmul).
-    val w3 = (1 to 3).foldLeft(w0) { case (w, it) =>
+    (1 to 3).foldLeft(w0) { case (w, it) =>
       Memo(spark, dir, s"pipeline:gramW$it") {
         val raw = m.join(broadcast(w), Seq("j"))
           .groupBy(col("i")).agg(sum(col("mv") * col("w")).as("raw"))
@@ -153,11 +163,19 @@ object QueriesPipeline {
               expr("CAST((abs(raw) * 1000000) DIV mx AS DECIMAL(38,0))")).as("w"))
       }
     }
-    w3.select(col("j").as("i"), col("w").cast("bigint").as("eigvec_q"))
-      .orderBy(col("i"))
   }
 
-  val gramTopEigenSql: String = {
+  def gramTopEigenQ(spark: SparkSession, dir: String): DataFrame =
+    gramW3(spark, dir)
+      .select(col("j").as("i"), col("w").cast("bigint").as("eigvec_q"))
+      .orderBy(col("i"))
+
+  val gramTopEigenSql: String =
+    s"""WITH $gramW3Ctes
+       |SELECT j AS i, CAST(w AS BIGINT) AS eigvec_q FROM w3 ORDER BY 1""".stripMargin
+
+  /** Shared CTE block ending in `w3` (the 3-sweep eigenvector). */
+  private lazy val gramW3Ctes: String = {
     def iter(prev: String, r: String, n: String, next: String): String =
       s"""$r AS (SELECT m.i, SUM(CAST(mv AS HUGEINT) * w) AS raw
          |  FROM m JOIN $prev ON m.j = $prev.j GROUP BY 1),
@@ -166,7 +184,7 @@ object QueriesPipeline {
          |    (CASE WHEN raw < 0 THEN -1 ELSE 1 END) *
          |    ((CAST(abs(raw) AS HUGEINT) * 1000000) // mx) AS w
          |  FROM $r, $n),""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, i,
        |    CAST(floor(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qv
        |  FROM embeddings, (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS i)),
@@ -176,9 +194,41 @@ object QueriesPipeline {
        |${iter("w0", "r1", "n1", "w1")}
        |${iter("w1", "r2", "n2", "w2")}
        |${iter("w2", "r3", "n3", "w3")}
-       |fin AS (SELECT 1 AS one)
-       |SELECT j AS i, CAST(w AS BIGINT) AS eigvec_q FROM w3 ORDER BY 1""".stripMargin
+       |fin AS (SELECT 1 AS one)""".stripMargin
   }
+
+  // ---- row 174: PCA projection onto the learned top component ----
+
+  /** Per-vector projection onto the Gram top eigenvector — the
+    * dimensionality-reduction serve step the power iteration exists
+    * for: coord_q = Σ_i qv_i·v_i on the exact integer grid (BIGINT·
+    * eigvec grid ≤ 1e6 — products bounded by d·|qv|·1e6), plus the
+    * vector's own quantized squared norm so the output doubles carry
+    * the cosine-to-component angle. One join of the memoized quantized
+    * frame against the ≤d-row broadcast eigenvector; at 100 TB the
+    * projection is a map-side broadcast join, no shuffle beyond the
+    * memo build.
+    */
+  def embedPcaProjectQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = gramQ(spark, dir)
+    val v = gramW3(spark, dir).select(col("j").as("i"), col("w").cast("bigint").as("vq"))
+    q.join(broadcast(v), Seq("i"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qv") * col("vq")).as("coord_q"),
+        sum(col("qv") * col("qv")).as("norm_q"))
+      .select(col("vec_id"), col("coord_q"),
+        (col("coord_q").cast("double") / 1e9).as("coord"),
+        (col("norm_q").cast("double") / 1e6).as("sq_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedPcaProjectSql: String =
+    s"""WITH $gramW3Ctes
+       |SELECT q.vec_id, CAST(SUM(q.qv * CAST(w AS BIGINT)) AS BIGINT) AS coord_q,
+       |  CAST(SUM(q.qv * CAST(w AS BIGINT)) AS DOUBLE) / 1e9 AS coord,
+       |  CAST(SUM(q.qv * q.qv) AS DOUBLE) / 1e6 AS sq_norm
+       |FROM q JOIN w3 ON w3.j = q.i
+       |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
 
   // ---- row 121: hash-shard write plan ----
 
@@ -586,6 +636,7 @@ object QueriesPipeline {
     "last_touch_attribution" -> (lastTouchAttributionQ _),
     "centroid_drift" -> (centroidDriftQ _),
     "gram_top_eigen" -> (gramTopEigenQ _),
+    "embed_pca_project" -> (embedPcaProjectQ _),
     "shard_plan" -> (shardPlanQ _),
     "late_events" -> (lateEventsQ _),
     "bucket_advisor" -> (bucketAdvisorQ _),
@@ -599,6 +650,7 @@ object QueriesPipeline {
     "last_touch_attribution" -> lastTouchAttributionSql,
     "centroid_drift" -> centroidDriftSql,
     "gram_top_eigen" -> gramTopEigenSql,
+    "embed_pca_project" -> embedPcaProjectSql,
     "shard_plan" -> shardPlanSql,
     "late_events" -> lateEventsSql,
     "bucket_advisor" -> bucketAdvisorSql,

@@ -88,7 +88,7 @@ class EntrySpec extends SparkSpec {
       "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan",
       "kn_bigram_lm", "salsa_scores",
       "weighted_jaccard", "kfold_assign", "lsh_tuning", "hist_quantile_check",
-      "sample_est_ci", "voptimal_hist")
+      "sample_est_ci", "voptimal_hist", "embed_pca_project")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
