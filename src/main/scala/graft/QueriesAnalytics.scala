@@ -2167,7 +2167,7 @@ object QueriesAnalytics {
 
   // ---- row 138: basket_itemsets — distributed FP-Growth market baskets ----
 
-  private val basketMinSupport = 0.02
+  private[graft] val basketMinSupport = 0.02
 
   /** Frequent brand itemsets over per-order baskets, mined with MLlib's
     * FPGrowth — the distributed PFP algorithm (item-suffix partitioned),
@@ -2180,17 +2180,21 @@ object QueriesAnalytics {
     * one fact shuffle into collect_set; itemset strings are sorted so
     * both engines agree on identity.
     */
-  def basketItemsetsQ(spark: SparkSession, dir: String): DataFrame = {
-    val ob = Tables(spark, dir, "lineitem")
-      .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand")).distinct()
-    // FP-Growth makes two passes (frequent items, then FP-trees) —
-    // materialize the baskets once instead of re-running the fact join
-    // and distinct per pass
-    val baskets = Memo(spark, dir, "brandBaskets")(
-      ob.groupBy(col("l_orderkey"))
+  /** Per-order brand baskets, materialized once per session — FP-Growth
+    * makes two passes (frequent items, then FP-trees), and `assoc_rules`
+    * needs the basket count, so the fact join + distinct never re-runs.
+    */
+  private[graft] def brandBaskets(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "brandBaskets")(
+      Tables(spark, dir, "lineitem")
+        .join(Tables(spark, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .groupBy(col("l_orderkey"))
         .agg(collect_set(col("p_brand")).as("items")))
+
+  def basketItemsetsQ(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = brandBaskets(spark, dir)
     // the mined lattice is itself a materialized product (FP-Growth
     // refitting per consumer would re-scan the baskets)
     Memo(spark, dir, "basketItemsets") {

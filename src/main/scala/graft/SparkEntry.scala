@@ -10,12 +10,14 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesEstimators.queries ++
       QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries ++
       QueriesCorpus.queries ++ QueriesAnalytics.queries ++ QueriesGraph.queries ++
-      QueriesRelational.queries ++ QueriesPipeline.queries ++ QueriesWave6.queries ++ QueriesWave7.queries
+      QueriesRelational.queries ++ QueriesPipeline.queries ++ QueriesWave6.queries ++ QueriesWave7.queries ++
+      QueriesWave8.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesEstimators.oracleSql ++
       QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesAnalytics.oracleSql ++ QueriesGraph.oracleSql ++
-      QueriesRelational.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesWave6.oracleSql ++ QueriesWave7.oracleSql
+      QueriesRelational.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesWave6.oracleSql ++ QueriesWave7.oracleSql ++
+      QueriesWave8.oracleSql
 }
