@@ -40,19 +40,40 @@ object QueriesWave8 {
     * audits already pay; sampling is a pushed-down filter on a
     * per-row md5 — at 100 TB the sample is the only thing aggregated.
     */
-  def geeEstQ(spark: SparkSession, dir: String): DataFrame =
-    QueriesStats.hllCols.map { case (t, c) =>
-      val rk = concat_ws(":",
-        Tables.pks(t).map(k =>
-          if (k == "l_quantity") col(k).cast("long").cast("string")
-          else col(k).cast("string")): _*)
-      val u = conv(substring(md5(concat(lit(s"gee:$t.$c:"), rk)), 1, 13), 16, 10)
-        .cast("long")
-      val sample = Tables(spark, dir, t)
+  /** Per-column (value, multiplicity) profile of the deterministic
+    * 1-in-16 row sample — memoized per session; `gee_est` and
+    * `chao1_est` both estimate from this frame, so the sampled scan
+    * runs once per column.
+    */
+  private[graft] def geeSample(spark: SparkSession, dir: String,
+      t: String, c: String): DataFrame = {
+    val rk = concat_ws(":",
+      Tables.pks(t).map(k =>
+        if (k == "l_quantity") col(k).cast("long").cast("string")
+        else col(k).cast("string")): _*)
+    val u = conv(substring(md5(concat(lit(s"gee:$t.$c:"), rk)), 1, 13), 16, 10)
+      .cast("long")
+    Memo(spark, dir, s"wave8:geeSample:$t.$c")(
+      Tables(spark, dir, t)
         .filter(col(c).isNotNull && u % geeRate === 0L)
         .groupBy(col(c).cast("string").as("v"))
-        .agg(count(lit(1)).as("m"))
-      val agg = sample.agg(
+        .agg(count(lit(1)).as("m")))
+  }
+
+  /** SQL twin of [[geeSample]] as an inline subquery. */
+  private[graft] def geeSampleSub(t: String, c: String): String = {
+    val rk = Tables.pks(t).map(k =>
+      if (k == "l_quantity") s"CAST(CAST($k AS BIGINT) AS VARCHAR)"
+      else s"CAST($k AS VARCHAR)").mkString(" || ':' || ")
+    s"""(SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS m FROM $t
+       |        WHERE $c IS NOT NULL
+       |          AND CAST(('0x' || substr(md5('gee:$t.$c:' || $rk), 1, 13)) AS BIGINT) % $geeRate = 0
+       |        GROUP BY 1)""".stripMargin
+  }
+
+  def geeEstQ(spark: SparkSession, dir: String): DataFrame =
+    QueriesStats.hllCols.map { case (t, c) =>
+      val agg = geeSample(spark, dir, t, c).agg(
         coalesce(sum(col("m")), lit(0L)).as("n_sample"),
         count(lit(1)).as("d_sample"),
         coalesce(sum(when(col("m") === 1L, 1L).otherwise(0L)), lit(0L)).as("f1"))
@@ -69,9 +90,6 @@ object QueriesWave8 {
 
   val geeEstSql: String =
     QueriesStats.hllCols.map { case (t, c) =>
-      val rk = Tables.pks(t).map(k =>
-        if (k == "l_quantity") s"CAST(CAST($k AS BIGINT) AS VARCHAR)"
-        else s"CAST($k AS VARCHAR)").mkString(" || ':' || ")
       s"""SELECT '$t.$c' AS col_name, n_sample, d_sample, f1,
          |  d_sample + 3 * f1 AS gee_est, exact_ndv,
          |  CAST(GREATEST(d_sample + 3 * f1, exact_ndv) AS DOUBLE)
@@ -80,10 +98,7 @@ object QueriesWave8 {
          |  SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_sample,
          |    CAST(COUNT(*) AS BIGINT) AS d_sample,
          |    CAST(COALESCE(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1
-         |  FROM (SELECT CAST($c AS VARCHAR) AS v, COUNT(*) AS m FROM $t
-         |        WHERE $c IS NOT NULL
-         |          AND CAST(('0x' || substr(md5('gee:$t.$c:' || $rk), 1, 13)) AS BIGINT) % $geeRate = 0
-         |        GROUP BY 1)),
+         |  FROM ${geeSampleSub(t, c)}),
          |  (SELECT CAST(COUNT(DISTINCT $c) AS BIGINT) AS exact_ndv FROM $t)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
@@ -172,10 +187,13 @@ object QueriesWave8 {
     * frame joined to a literal digit spine (absent digits report 0).
     */
   def benfordAuditQ(spark: SparkSession, dir: String): DataFrame = {
-    val obs = Tables(spark, dir, "orders")
-      .select(substring(expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    // the ≤9-row digit frame feeds both the per-digit terms and the
+    // total-count scalar — memoized so the fact table scans ONCE
+    val obs = Memo(spark, dir, "wave8:benfordObs")(
+      Tables(spark, dir, "orders")
+        .select(substring(expr("CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs")))
     val spine = benfordP
       .map { case (d, p) => s"SELECT $d AS digit, CAST($p AS DOUBLE) AS p_expected" }
       .mkString(" UNION ALL ")
@@ -269,7 +287,7 @@ object QueriesWave8 {
     * bucket arithmetic is exact integer division, bit-equal on both
     * engines). Returns a 1-row (value) frame.
     */
-  private def rankLocate(df: DataFrame, v: String, rank: Column): DataFrame = {
+  private[graft] def rankLocate(df: DataFrame, v: String, rank: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mm = df.agg(count(lit(1)).as("__p"), min(col(v)).as("__mn"),
       max(col(v)).as("__mx"))
@@ -497,6 +515,401 @@ object QueriesWave8 {
        |QUALIFY rank <= $dpTopK
        |ORDER BY rank""".stripMargin
 
+  // ---- ttr_segments: segmented type-token ratio (lexical diversity) ----
+
+  val ttrSegLen = 50
+
+  /** Segmented type-token ratio (the MSTTR form of lexical-diversity
+    * scoring — Johnson 1944; the windowed family MATTR approximates):
+    * each doc splits into consecutive 50-token segments, each segment
+    * reports distinct/length, and the doc score is the segment mean —
+    * which, unlike raw TTR, does not collapse toward 0 with document
+    * length, so it is comparable across lengths (the curation property
+    * that matters). Per-segment ratios quantize to the 1e-6 grid
+    * BEFORE the mean so the doc score is an integer sum divided once —
+    * no FP-order drift across engines or executors. One explode + two
+    * keyed aggregates; segments of a doc stay in its partition.
+    */
+  def ttrSegmentsQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.operators.TextOps.tokensExpr).as(Seq("p", "w")))
+      .groupBy(col("doc_id"), expr(s"CAST(p div $ttrSegLen AS BIGINT)").as("seg"))
+      .agg(count(lit(1)).as("nt"), count_distinct(col("w")).as("nd"))
+      .withColumn("t6", expr("CAST(round(CAST(nd AS DOUBLE) * 1e6 / nt) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("nt")).as("n_tokens"),
+        (sum(col("t6")).cast("double") / 1e6 / count(lit(1))).as("msttr"))
+      .orderBy(col("doc_id"))
+
+  val ttrSegmentsSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |tok AS (SELECT doc_id, (i - 1) // $ttrSegLen AS seg, ws[i] AS w
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+       |segs AS (SELECT doc_id, seg, COUNT(*) AS nt, COUNT(DISTINCT w) AS nd
+       |  FROM tok GROUP BY 1, 2),
+       |t AS (SELECT doc_id, nt,
+       |    CAST(round(CAST(nd AS DOUBLE) * 1e6 / nt) AS BIGINT) AS t6
+       |  FROM segs)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(t6) AS DOUBLE) / 1e6 / COUNT(*) AS msttr
+       |FROM t GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---- shared per-source word-count frame ----
+
+  /** (source, w, a): token multiplicities per source — the model frame
+    * `compress_ratio_est`, `jsd_drift`, and `simpson_diversity` all
+    * read; vocabulary-keyed (bounded), built from one documents scan
+    * per session.
+    */
+  private[graft] def srcWordCounts(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave8:srcWordCounts")(
+      Tables(spark, dir, "documents")
+        .select(col("source"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a")))
+
+  private[graft] val srcWordCountsCte: String =
+    s"""${QueriesText.wordsCte},
+       |swc AS (SELECT d.source, t.w, COUNT(*) AS a
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM w) t
+       |  JOIN documents d ON d.doc_id = t.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // ---- compress_ratio_est: unigram-entropy compressibility ----
+
+  /** Unigram-entropy compressed-size estimate per source: an order-0
+    * entropy coder spends −log₂ p(w) bits per token, so
+    * bits = Σ_w c_w·log₂(A/c_w) is the Shannon lower bound for a
+    * per-source unigram model — the compression-ratio quality signal
+    * curation pipelines thumb-rule with gzip, computed exactly from
+    * counts the engine already aggregates (highly compressible =
+    * repetitive/templated source). Each log₂ is quantized to the 1e-6
+    * grid, weighted by an exact BIGINT count, and integer-summed, so
+    * aggregation order cannot move a bit. Vocabulary-keyed model frame
+    * (the session `srcWordCounts` memo) + one documents-scan char sum.
+    */
+  def compressRatioEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val wc = srcWordCounts(spark, dir)
+    val at = wc.groupBy(col("source")).agg(sum(col("a")).as("at"))
+    val bits = wc.join(broadcast(at), "source")
+      .withColumn("l6",
+        expr("CAST(round(log2(CAST(at AS DOUBLE) / a) * 1e6) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(max(col("at")).as("n_tokens"), sum(col("a") * col("l6")).as("b6"))
+    val chars = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("n_chars"))
+    bits.join(chars, "source")
+      .select(col("source"), col("n_tokens"), col("n_chars"),
+        (col("b6").cast("double") / 1e6 / 8.0).as("est_bytes"),
+        (col("b6").cast("double") / 1e6 / col("n_chars")).as("bits_per_char"))
+      .orderBy(col("source"))
+  }
+
+  val compressRatioEstSql: String =
+    s"""WITH $srcWordCountsCte,
+       |at AS (SELECT source, SUM(a) AS at FROM swc GROUP BY 1),
+       |bits AS (SELECT swc.source, MAX(at.at) AS n_tokens,
+       |    SUM(a * CAST(round(log2(CAST(at.at AS DOUBLE) / a) * 1e6) AS BIGINT)) AS b6
+       |  FROM swc JOIN at ON at.source = swc.source GROUP BY 1),
+       |chars AS (SELECT source, SUM(n_chars) AS n_chars FROM documents GROUP BY 1)
+       |SELECT b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(c.n_chars AS BIGINT) AS n_chars,
+       |  CAST(b.b6 AS DOUBLE) / 1e6 / 8.0 AS est_bytes,
+       |  CAST(b.b6 AS DOUBLE) / 1e6 / c.n_chars AS bits_per_char
+       |FROM bits b JOIN chars c ON c.source = b.source
+       |ORDER BY b.source""".stripMargin
+
+  // ---- jsd_drift: Jensen–Shannon divergence per source vs corpus ----
+
+  private val ln2Q = 0.693147 // round(1e6·ln 2)/1e6, driver-quantized literal
+
+  /** Jensen–Shannon divergence of each source's token distribution vs
+    * the corpus distribution — the SYMMETRIC, always-finite drift
+    * measure beside `psi_drift` (PSI explodes on empty bins; KL is
+    * infinite on unseen words, JSD is not, which is why corpora teams
+    * monitor it). JSD(P‖Q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q));
+    * with integer counts a/A (source) and b/B (corpus) every ln
+    * argument is the exact rational 2aB/(aB+bA) resp. 2bA/(aB+bA) —
+    * one quantized ln per (source, word) over the vocabulary grid,
+    * weights exact BIGINTs, integer sums, two divisions at the end.
+    * Rides the session `srcWordCounts` memo; the grid is
+    * vocabulary×sources (bounded), never data-sized.
+    */
+  def jsdDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val wc = srcWordCounts(spark, dir)
+    val corpus = wc.groupBy(col("w")).agg(sum(col("a")).as("b"))
+    val at = wc.groupBy(col("source")).agg(sum(col("a")).as("at"))
+    val bt = corpus.agg(sum(col("b")).as("bt"))
+    val grid = at.crossJoin(corpus)
+      .join(wc, Seq("source", "w"), "left_outer")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(bt))
+    val terms = grid
+      .withColumn("p6", when(col("a") > 0, col("a") *
+        expr("CAST(round(ln(CAST(2 * a * bt AS DOUBLE) / (a * bt + b * at)) * 1e6) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("q6", col("b") *
+        expr("CAST(round(ln(CAST(2 * b * at AS DOUBLE) / (a * bt + b * at)) * 1e6) AS BIGINT)"))
+    terms.groupBy(col("source"))
+      .agg(max(col("at")).as("n_tokens"), max(col("bt")).as("__bt"),
+        sum(col("p6")).as("__p6"), sum(col("q6")).as("__q6"))
+      .withColumn("jsd_nats",
+        col("__p6").cast("double") / 2e6 / col("n_tokens") +
+          col("__q6").cast("double") / 2e6 / col("__bt"))
+      .select(col("source"), col("n_tokens"), col("jsd_nats"),
+        (col("jsd_nats") / ln2Q).as("jsd_norm"))
+      .orderBy(col("source"))
+  }
+
+  val jsdDriftSql: String =
+    s"""WITH $srcWordCountsCte,
+       |corpus AS (SELECT w, SUM(a) AS b FROM swc GROUP BY 1),
+       |at AS (SELECT source, SUM(a) AS at FROM swc GROUP BY 1),
+       |bt AS (SELECT SUM(b) AS bt FROM corpus),
+       |grid AS (SELECT at.source, at.at, c.w, c.b, COALESCE(swc.a, 0) AS a, bt.bt
+       |  FROM at CROSS JOIN corpus c
+       |  LEFT JOIN swc ON swc.source = at.source AND swc.w = c.w, bt),
+       |terms AS (SELECT source, at, bt,
+       |    CASE WHEN a > 0 THEN a *
+       |      CAST(round(ln(CAST(2 * a * bt AS DOUBLE) / (a * bt + b * at)) * 1e6) AS BIGINT)
+       |      ELSE 0 END AS p6,
+       |    b * CAST(round(ln(CAST(2 * b * at AS DOUBLE) / (a * bt + b * at)) * 1e6) AS BIGINT) AS q6
+       |  FROM grid),
+       |agg AS (SELECT source, MAX(at) AS n_tokens, MAX(bt) AS bt,
+       |    SUM(p6) AS p6, SUM(q6) AS q6
+       |  FROM terms GROUP BY 1)
+       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(p6 AS DOUBLE) / 2e6 / n_tokens + CAST(q6 AS DOUBLE) / 2e6 / bt AS jsd_nats,
+       |  (CAST(p6 AS DOUBLE) / 2e6 / n_tokens + CAST(q6 AS DOUBLE) / 2e6 / bt) / $ln2Q AS jsd_norm
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---- simpson_diversity: concentration / effective vocabulary ----
+
+  /** Simpson-family diversity per source: Gini–Simpson index
+    * 1 − Σc(c−1)/(N(N−1)) (the probability two sampled tokens differ,
+    * unbiased finite-sample form) and effective vocabulary N²/Σc²
+    * (Hill number of order 2 — "how many equally-common words would
+    * look like this") — the concentration signals that catch a source
+    * whose token mass collapsed onto boilerplate even when raw vocab
+    * counts look healthy (complements `shannon_entropy`, which needs
+    * quantized logs; these are pure integer ratios). One aggregate
+    * over the session `srcWordCounts` memo.
+    */
+  def simpsonDiversityQ(spark: SparkSession, dir: String): DataFrame =
+    srcWordCounts(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("a")).as("n_tokens"),
+        sum(col("a") * (col("a") - 1)).as("__sg"),
+        sum(col("a") * col("a")).as("__s2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (lit(1.0) - col("__sg").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)).cast("double")).as("gini_simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast("double") /
+          col("__s2").cast("double")).as("eff_vocab"))
+      .orderBy(col("source"))
+
+  val simpsonDiversitySql: String =
+    s"""WITH $srcWordCountsCte
+       |SELECT source, CAST(SUM(a) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS vocab,
+       |  1.0 - CAST(SUM(a * (a - 1)) AS DOUBLE) / CAST(SUM(a) * (SUM(a) - 1) AS DOUBLE) AS gini_simpson,
+       |  CAST(SUM(a) * SUM(a) AS DOUBLE) / CAST(SUM(a * a) AS DOUBLE) AS eff_vocab
+       |FROM swc GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---- assoc_rules: association rules over the FP-Growth lattice ----
+
+  /** Association rules (Agrawal–Srikant VLDB'94 step 2) derived from
+    * the session's FP-Growth itemset lattice: every surviving brand
+    * pair {A,B} yields A→B and B→A with confidence supp(AB)/supp(A)
+    * and lift supp(AB)·N/(supp(A)·supp(B)) — the basket-analysis
+    * output consumed downstream of `basket_itemsets` (whose PFP plan
+    * is what survives a 100 TB fact table). Frequencies come from the
+    * memoized mined lattice, N from the memoized basket frame; both
+    * ratios are single divisions of exact BIGINT products, and the
+    * antecedent/consequent frequency lookups broadcast (the lattice is
+    * support-bounded ≤ 1/minSupport itemsets). No new fact-scan work.
+    */
+  def assocRulesQ(spark: SparkSession, dir: String): DataFrame = {
+    val its = QueriesAnalytics.basketItemsetsQ(spark, dir)
+    val singles = its.filter(col("n_items") === 1)
+      .select(col("items").as("item"), col("freq"))
+    val prs = its.filter(col("n_items") === 2)
+      .select(split(col("items"), ",").as("ab"), col("freq").as("freq_pair"))
+      .select(col("ab").getItem(0).as("a"), col("ab").getItem(1).as("b"),
+        col("freq_pair"))
+    val n = QueriesAnalytics.brandBaskets(spark, dir).agg(count(lit(1)).as("nb"))
+    prs.select(col("a").as("antecedent"), col("b").as("consequent"), col("freq_pair"))
+      .unionAll(prs.select(col("b").as("antecedent"), col("a").as("consequent"),
+        col("freq_pair")))
+      .join(broadcast(singles.select(col("item").as("antecedent"), col("freq").as("__fa"))),
+        "antecedent")
+      .join(broadcast(singles.select(col("item").as("consequent"), col("freq").as("__fc"))),
+        "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("freq_pair"),
+        (col("freq_pair").cast("double") / col("__fa")).as("confidence"),
+        ((col("freq_pair") * col("nb")).cast("double") /
+          (col("__fa") * col("__fc")).cast("double")).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  val assocRulesSql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM ob),
+       |singles AS (SELECT p_brand AS item, CAST(COUNT(*) AS BIGINT) AS f
+       |            FROM ob GROUP BY 1),
+       |pairs AS (SELECT a.p_brand AS a, b.p_brand AS b, CAST(COUNT(*) AS BIGINT) AS fab
+       |          FROM ob a JOIN ob b
+       |            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+       |          GROUP BY 1, 2),
+       |fp AS (SELECT a, b, fab FROM pairs, n
+       |       WHERE fab >= CAST(ceil(${QueriesAnalytics.basketMinSupport} * nb) AS BIGINT)),
+       |rules AS (SELECT a AS antecedent, b AS consequent, fab FROM fp
+       |          UNION ALL SELECT b, a, fab FROM fp)
+       |SELECT r.antecedent, r.consequent, r.fab AS freq_pair,
+       |  CAST(r.fab AS DOUBLE) / sa.f AS confidence,
+       |  CAST(r.fab * n.nb AS DOUBLE) / CAST(sa.f * sc.f AS DOUBLE) AS lift
+       |FROM rules r
+       |JOIN singles sa ON sa.item = r.antecedent
+       |JOIN singles sc ON sc.item = r.consequent, n
+       |ORDER BY antecedent, consequent""".stripMargin
+
+  // ---- stream_dedup: per-day idempotency dedup report ----
+
+  /** Core of `stream_dedup` over any (user_id, event_type, ts) frame —
+    * exposed for the streaming spec, which runs the same key through
+    * Structured Streaming's watermarked dropDuplicates and must match
+    * these counts across a batch cut.
+    */
+  def streamDedupCore(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"),
+        concat_ws(":", col("user_id"), col("event_type")).as("k"))
+      .groupBy(col("day_us"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("k")).as("n_first"))
+      .select((col("day_us") / 1000000L).cast("long").as("day_s"),
+        col("n_events"), col("n_first"),
+        (col("n_events") - col("n_first")).as("n_dups"),
+        ((col("n_events") - col("n_first")).cast("double") / col("n_events"))
+          .as("dup_ratio"))
+      .orderBy(col("day_s"))
+
+  /** Per-day idempotency dedup report for the event stream: events
+    * beyond the first per (user, type, day) key are duplicates an
+    * at-least-once delivery pipeline must drop. Batch form = one keyed
+    * aggregate; the streaming form is `dropDuplicates` on the same key
+    * behind a day watermark — state per key is one marker, bounded by
+    * the watermark horizon, which is exactly why the key includes the
+    * day (unbounded keys would grow state forever). The spec proves
+    * the streaming variant reproduces `n_first` across a batch cut.
+    */
+  def streamDedupQ(spark: SparkSession, dir: String): DataFrame =
+    streamDedupCore(Tables(spark, dir, "events"))
+
+  val streamDedupSql: String =
+    """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS day_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type) AS BIGINT) AS n_first,
+      |  CAST(COUNT(*) - COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type) AS BIGINT) AS n_dups,
+      |  CAST(COUNT(*) - COUNT(DISTINCT CAST(user_id AS VARCHAR) || ':' || event_type) AS DOUBLE)
+      |    / COUNT(*) AS dup_ratio
+      |FROM events GROUP BY 1 ORDER BY day_s""".stripMargin
+
+  // ---- hurst_exponent: rescaled-range long-memory estimate ----
+
+  val hurstMs: Seq[Int] = Seq(64, 128, 256)
+  private val twoLn2 = 1.386294 // round(1e6·2ln2)/1e6, driver literal
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot–Wallis 1969) over the daily order-revenue series: for
+    * window sizes m ∈ {64,128,256}, split the day-indexed series into
+    * complete m-day chunks, compute each chunk's range of cumulative
+    * mean-deviations over its standard deviation, and fit
+    * ln E[R/S] ~ H·ln m — H≈0.5 is memoryless, H>0.5 long-range
+    * persistent (the demand-autocorrelation diagnostic beside
+    * `autocorr`). Exact discipline: within a chunk,
+    * D_t = m·prefix_t − t·S is BIGINT (so R/S = span/√(m·Σx²−S²) has
+    * integer numerator and a DECIMAL(38,0) radicand), one quantized
+    * ln per chunk, integer-summed per m; with ln m equally spaced the
+    * least-squares slope collapses to (ȳ₂₅₆−ȳ₆₄)/(2·ln2) — a literal
+    * denominator. The whole computation after the per-day aggregate
+    * touches ≤ #days rows (calendar-bounded at any scale).
+    */
+  def hurstExponentQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Memo(spark, dir, "wave7:dailyOrdersRev")(
+      Tables(spark, dir, "orders")
+        .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("x")))
+    val ranked = Memo(spark, dir, "wave8:dailyRankedRev")(
+      daily.withColumn("rk0",
+        row_number().over(Window.orderBy(col("day_us"))).cast("long") - 1))
+    val arms = hurstMs.map { m =>
+      val ch = ranked.withColumn("chunk", expr(s"rk0 div $m"))
+      val w = Window.partitionBy(col("chunk")).orderBy(col("rk0"))
+      val d = ch
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("pre", sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("s", sum(col("x")).over(Window.partitionBy(col("chunk"))))
+        .withColumn("dt", lit(m.toLong) * col("pre") - col("t") * col("s"))
+      val per = d.groupBy(col("chunk")).agg(
+        count(lit(1)).as("cnt"),
+        (max(col("dt")) - min(col("dt"))).as("span"),
+        (lit(m.toLong).cast("decimal(38,0)") *
+          sum(col("x").cast("decimal(38,0)") * col("x")) -
+          sum(col("x")).cast("decimal(38,0)") * sum(col("x"))).as("v"))
+      per.filter(col("cnt") === m && col("span") > 0 && col("v") > 0)
+        .withColumn("l6", expr(
+          "CAST(round(1e6 * (ln(CAST(span AS DOUBLE)) - 0.5 * ln(CAST(v AS DOUBLE)))) AS BIGINT)"))
+        .agg(count(lit(1)).as("n_chunks"), sum(col("l6")).as("__s6"))
+        .select(lit(m).as("m"), col("n_chunks"),
+          (col("__s6").cast("double") / 1e6 / col("n_chunks")).as("ln_rs_mean"),
+          lit(null).cast("double").as("hurst"))
+    }
+    val perM = arms.reduce(_.unionAll(_))
+    val summary = perM
+      .agg(max(when(col("m") === hurstMs.last, col("ln_rs_mean"))).as("__y3"),
+        max(when(col("m") === hurstMs.head, col("ln_rs_mean"))).as("__y1"))
+      .select(lit(0).as("m"), lit(0L).as("n_chunks"),
+        lit(null).cast("double").as("ln_rs_mean"),
+        ((col("__y3") - col("__y1")) / twoLn2).as("hurst"))
+    perM.unionAll(summary).orderBy(col("m"))
+  }
+
+  val hurstExponentSql: String = {
+    val arms = hurstMs.map { m =>
+      s"""c$m AS (SELECT rk0 // $m AS chunk, x,
+         |    ROW_NUMBER() OVER (PARTITION BY rk0 // $m ORDER BY rk0) AS t,
+         |    SUM(x) OVER (PARTITION BY rk0 // $m ORDER BY rk0 ROWS UNBOUNDED PRECEDING) AS pre,
+         |    SUM(x) OVER (PARTITION BY rk0 // $m) AS s
+         |  FROM ranked),
+         |p$m AS (SELECT chunk, COUNT(*) AS cnt,
+         |    MAX($m * pre - t * s) - MIN($m * pre - t * s) AS span,
+         |    $m * SUM(CAST(x AS HUGEINT) * x) - CAST(SUM(x) AS HUGEINT) * SUM(x) AS v
+         |  FROM c$m GROUP BY 1),
+         |y$m AS (SELECT $m AS m, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(CAST(round(1e6 * (ln(CAST(span AS DOUBLE))
+         |      - 0.5 * ln(CAST(v AS DOUBLE)))) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS ln_rs_mean
+         |  FROM p$m WHERE cnt = $m AND span > 0 AND v > 0)""".stripMargin
+    }.mkString(",\n")
+    val rows = hurstMs.map(m =>
+      s"SELECT m, n_chunks, ln_rs_mean, CAST(NULL AS DOUBLE) AS hurst FROM y$m")
+      .mkString("\nUNION ALL\n")
+    s"""WITH daily AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+       |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+       |  FROM orders GROUP BY 1),
+       |ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY day_us) - 1 AS rk0 FROM daily),
+       |$arms
+       |$rows
+       |UNION ALL
+       |SELECT 0, 0, CAST(NULL AS DOUBLE),
+       |  (y${hurstMs.last}.ln_rs_mean - y${hurstMs.head}.ln_rs_mean) / $twoLn2
+       |FROM y${hurstMs.head}, y${hurstMs.last}
+       |ORDER BY m""".stripMargin
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -506,7 +919,14 @@ object QueriesWave8 {
     "theil_sen" -> (theilSenQ _),
     "mann_kendall" -> (mannKendallQ _),
     "l_diversity_audit" -> (lDiversityAuditQ _),
-    "dp_topk" -> (dpTopkQ _)
+    "dp_topk" -> (dpTopkQ _),
+    "ttr_segments" -> (ttrSegmentsQ _),
+    "compress_ratio_est" -> (compressRatioEstQ _),
+    "jsd_drift" -> (jsdDriftQ _),
+    "simpson_diversity" -> (simpsonDiversityQ _),
+    "assoc_rules" -> (assocRulesQ _),
+    "stream_dedup" -> (streamDedupQ _),
+    "hurst_exponent" -> (hurstExponentQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,6 +936,13 @@ object QueriesWave8 {
     "theil_sen" -> theilSenSql,
     "mann_kendall" -> mannKendallSql,
     "l_diversity_audit" -> lDiversityAuditSql,
-    "dp_topk" -> dpTopkSql
+    "dp_topk" -> dpTopkSql,
+    "ttr_segments" -> ttrSegmentsSql,
+    "compress_ratio_est" -> compressRatioEstSql,
+    "jsd_drift" -> jsdDriftSql,
+    "simpson_diversity" -> simpsonDiversitySql,
+    "assoc_rules" -> assocRulesSql,
+    "stream_dedup" -> streamDedupSql,
+    "hurst_exponent" -> hurstExponentSql
   )
 }

@@ -176,6 +176,21 @@ object StreamOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming face of `stream_dedup`'s idempotency key: first event per
+    * (user, type, day) passes, later ones drop. The day lives INSIDE the
+    * dedup key so state is one marker per active key and the 25-hour
+    * watermark (one day + late slack) lets state for closed days evict —
+    * the bound that keeps a forever-running pipeline's store flat.
+    * Emits the surviving first-seen events; aggregating them per day
+    * reproduces the batch query's `n_first` exactly (spec-checked
+    * across a batch cut).
+    */
+  def idempotencyDedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("DAY", col("ts")))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicates("user_id", "event_type", "day")
+
   // ---- streaming window funnel (row 163's streaming face) ----
 
   /** Streaming time-bounded funnel via flatMapGroupsWithState — the

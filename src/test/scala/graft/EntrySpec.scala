@@ -88,7 +88,13 @@ class EntrySpec extends SparkSpec {
       "cusum_changepoint", "window_funnel", "sax_symbols", "curriculum_plan",
       "kn_bigram_lm", "salsa_scores",
       "weighted_jaccard", "kfold_assign", "lsh_tuning", "hist_quantile_check",
-      "sample_est_ci", "voptimal_hist", "embed_pca_project")
+      "sample_est_ci", "voptimal_hist", "embed_pca_project",
+      "gee_est", "ams_join_est", "benford_audit", "theil_sen", "mann_kendall",
+      "l_diversity_audit", "dp_topk", "ttr_segments", "compress_ratio_est",
+      "jsd_drift", "simpson_diversity", "assoc_rules", "stream_dedup",
+      "hurst_exponent",
+      "chao1_est", "ht_total_est", "neyman_alloc", "heaps_law_fit",
+      "lsh_recall_audit", "epoch_shuffle_plan", "kcore_membership")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

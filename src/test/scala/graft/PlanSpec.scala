@@ -575,4 +575,73 @@ class PlanSpec extends SparkSpec {
     val ls = leaves("salsa_scores")
     assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
   }
+
+  test("benford_audit reads the memoized digit frame (one fact scan per session)") {
+    val ls = leaves("benford_audit")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+    assert(!plan("benford_audit").contains("SortMergeJoin"))
+  }
+
+  test("theil_sen and mann_kendall serve from the memoized calendar-bounded pair frame") {
+    Seq("theil_sen", "mann_kendall").foreach { q =>
+      val ls = leaves(q)
+      assert(ls.count(_.contains("FileSourceScan")) == 0, s"$q: ${ls.mkString(",")}")
+      assert(!plan(q).contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("ams_join_est rides the kjeDeg memos; gee_est never sort-merge-joins") {
+    val ls = leaves("ams_join_est")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+    assert(!plan("gee_est").contains("SortMergeJoin"))
+  }
+
+  test("jsd_drift, simpson_diversity, assoc_rules, hurst_exponent serve from session memos") {
+    Seq("jsd_drift", "simpson_diversity", "assoc_rules", "hurst_exponent").foreach { q =>
+      val ls = leaves(q)
+      assert(ls.count(_.contains("FileSourceScan")) == 0, s"$q: ${ls.mkString(",")}")
+    }
+  }
+
+  test("chao1_est reads the memoized sample profiles gee_est already built") {
+    val ls = leaves("chao1_est")
+    // 4 exact-NDV scans stay; the sample legs are in-memory
+    assert(ls.count(_.contains("FileSourceScan")) == QueriesStats.hllCols.size,
+      ls.mkString(","))
+  }
+
+  test("lsh_recall_audit semi-joins two memoized pair frames (no re-shingling)") {
+    val ls = leaves("lsh_recall_audit")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("kcore_membership peels over memoized broadcast rounds, never sort-merging") {
+    val p = plan("kcore_membership")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    val ls = leaves("kcore_membership")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
+  }
+
+  test("neyman_alloc windows only the bounded stratum frame; one fact scan") {
+    val ls = leaves("neyman_alloc")
+    assert(ls.count(_.contains("FileSourceScan")) == 1, ls.mkString(","))
+    assert(!plan("neyman_alloc").contains("SortMergeJoin"))
+  }
+
+  test("epoch_shuffle_plan is one scan, one aggregate, windows over the plan frame") {
+    val p = plan("epoch_shuffle_plan")
+    assert(!p.contains("Join"), p.take(400))
+    val ls = leaves("epoch_shuffle_plan")
+    assert(ls.count(_.contains("FileSourceScan")) == 1, ls.mkString(","))
+  }
+
+  test("stream_dedup and ttr_segments are join-free keyed aggregations") {
+    Seq("stream_dedup", "ttr_segments").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(400)}")
+      // ttr's count_distinct expands to a two-phase aggregate: up to
+      // (distinct-expand + segment agg + doc agg + output sort)
+      assert("Exchange".r.findAllIn(p).size <= 4, s"$q: $p")
+    }
+  }
 }
