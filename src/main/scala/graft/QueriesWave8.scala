@@ -340,10 +340,18 @@ object QueriesWave8 {
       .select(col("value").as("__i6"))
     val meta = pairs.agg(count(lit(1)).as("n_pairs"))
       .crossJoin(daily.agg(count(lit(1)).as("n_days")))
-    meta.crossJoin(slope).crossJoin(icept)
-      .select(col("n_days"), col("n_pairs"),
-        (col("__slope6").cast("double") / 1e6).as("slope_cents_per_day"),
-        (col("__i6").cast("double") / 1e6).as("intercept_cents"))
+    // Literal checkpoint: one bounded row, but its plan nests the pair
+    // memo plus two bucket-locate trees — replanning that per action
+    // cost ~15s/query at sf0.1. Collect the scalars once per session.
+    Memo(spark, dir, "wave8:theilSenRow") {
+      import spark.implicits._
+      meta.crossJoin(slope).crossJoin(icept)
+        .select(col("n_days"), col("n_pairs"),
+          (col("__slope6").cast("double") / 1e6).as("slope_cents_per_day"),
+          (col("__i6").cast("double") / 1e6).as("intercept_cents"))
+        .as[(Long, Long, Double, Double)].collect().toSeq
+        .toDF("n_days", "n_pairs", "slope_cents_per_day", "intercept_cents")
+    }
   }
 
   val theilSenSql: String =

