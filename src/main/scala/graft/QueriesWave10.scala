@@ -359,19 +359,998 @@ object QueriesWave10 {
        |    >= $welchCrit AS significant
        |FROM se ORDER BY src_a, src_b""".stripMargin
 
+  // ---- wander_join_est: random-walk join cardinality estimator ----
+
+  val wjWalks = 1024L
+
+  /** (spec label, predicate SQL over the c/o/l walk row). */
+  val wjSpecs: Seq[(String, String)] = Seq(
+    ("w1_qty", "l_quantity >= 45"),
+    ("w2_urgent_disc", "o_orderpriority = '1-URGENT' AND l_discount >= 0.05"),
+    ("w3_building_qty", "c_mktsegment = 'BUILDING' AND l_quantity >= 30"))
+
+  /** Wander join (Li, Wu, Tan — SIGMOD'16 online aggregation): estimate
+    * |customer ⨝ orders ⨝ lineitem ⋈ pred| by seeded random walks down
+    * the FK path. Walk i picks a uniform customer (via the distributed
+    * dictionary rank — no dense-key assumption), a uniform order of
+    * that customer, a uniform lineitem of that order; its Horvitz–
+    * Thompson weight n_cust·deg_o·deg_l times the predicate indicator
+    * is an unbiased sample of the filtered join size. All picks are
+    * md5-seeded integers, so the stochastic operator itself
+    * hash-matches the oracle; walks are one 1024-row frame flowing
+    * through two keyed joins — no driver loop, no full join
+    * materialization (the point of wander join at 100 TB).
+    */
+  def wanderJoinEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Memo(spark, dir, "wave10:custRanked")(
+      Tables(spark, dir, "customer")
+        .join(operators.Encoding.dictionary(Tables(spark, dir, "customer"), "c_custkey")
+          .select(col("c_custkey").as("__dv"), (col("code") - 2).cast("long").as("rank0")),
+          col("c_custkey") === col("__dv"))
+        .drop("__dv"))
+    val nCust = Memo(spark, dir, "wave10:nCust")(
+      Tables(spark, dir, "customer").agg(count(lit(1)).as("n_cust")))
+    val ord = Memo(spark, dir, "wave10:ordersRanked") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables(spark, dir, "orders")
+        .withColumn("o_rn0", row_number().over(w.orderBy(col("o_orderkey"))).cast("long") - 1)
+        .withColumn("o_deg", count(lit(1)).over(w))
+    }
+    val li = Memo(spark, dir, "wave10:lineitemRanked") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables(spark, dir, "lineitem")
+        .withColumn("l_rn0",
+          row_number().over(w.orderBy(col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))).cast("long") - 1)
+        .withColumn("l_deg", count(lit(1)).over(w))
+    }
+    def h(seed: Column): Column =
+      conv(substring(md5(seed), 1, 13), 16, 10).cast("long")
+    val truth = Memo(spark, dir, "wave10:wjTruth")(
+      Tables(spark, dir, "customer")
+        .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .agg(wjSpecs.map { case (label, pred) =>
+          sum(when(expr(pred), 1L).otherwise(0L)).as(s"__t_$label")
+        }.head, wjSpecs.tail.map { case (label, pred) =>
+          sum(when(expr(pred), 1L).otherwise(0L)).as(s"__t_$label")
+        }: _*))
+    wjSpecs.map { case (label, pred) =>
+      val walks = spark.range(wjWalks).select(col("id").as("__w"))
+        .crossJoin(broadcast(nCust))
+        .withColumn("rank0", pmod(h(concat(lit(s"wj:$label:c:"), col("__w"))), col("n_cust")))
+      val wc = walks.join(cust, "rank0")
+      val wo = wc.join(ord, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_rn0") ===
+          pmod(h(concat(lit(s"wj:$label:o:"), col("__w"))), col("o_deg")))
+      val wl = wo.join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_rn0") ===
+          pmod(h(concat(lit(s"wj:$label:l:"), col("__w"))), col("l_deg")))
+      val est = wl.agg(
+        coalesce(sum(when(expr(pred),
+          dec(col("n_cust")) * dec(col("o_deg")) * dec(col("l_deg")))
+          .otherwise(dec(lit(0)))), dec(lit(0))).as("__s"))
+        .select((col("__s").cast("double") / wjWalks.toDouble).as("est"))
+      est.crossJoin(broadcast(truth.select(col(s"__t_$label").as("true_card"))))
+        .select(lit(label).as("spec"), lit(wjWalks).as("n_walks"),
+          col("est"), col("true_card"),
+          (greatest(col("est"), col("true_card").cast("double")) /
+            greatest(least(col("est"), col("true_card").cast("double")), lit(1.0)))
+            .as("q_err"))
+    }.reduce(_.unionAll(_)).orderBy(col("spec"))
+  }
+
+  val wanderJoinEstSql: String = {
+    def h(seed: String) = s"CAST(('0x' || substr(md5($seed), 1, 13)) AS BIGINT)"
+    wjSpecs.map { case (label, pred) =>
+      s"""SELECT '$label' AS spec, CAST($wjWalks AS BIGINT) AS n_walks,
+         |  CAST(e.s AS DOUBLE) / $wjWalks.0 AS est, t.true_card,
+         |  GREATEST(CAST(e.s AS DOUBLE) / $wjWalks.0, CAST(t.true_card AS DOUBLE))
+         |    / GREATEST(LEAST(CAST(e.s AS DOUBLE) / $wjWalks.0,
+         |        CAST(t.true_card AS DOUBLE)), 1.0) AS q_err
+         |FROM (
+         |  SELECT COALESCE(SUM(CASE WHEN $pred
+         |      THEN CAST(nc.n_cust AS HUGEINT) * o.o_deg * l.l_deg
+         |      ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS s
+         |  FROM (SELECT w.range AS __w,
+         |          ${h(s"'wj:$label:c:' || CAST(w.range AS VARCHAR)")} % nc2.n_cust AS rank0
+         |        FROM range($wjWalks) w,
+         |          (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer) nc2) wk
+         |  JOIN (SELECT *, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rank0
+         |        FROM customer) c USING (rank0)
+         |  JOIN (SELECT *,
+         |          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS o_rn0,
+         |          CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS o_deg
+         |        FROM orders) o
+         |    ON o.o_custkey = c.c_custkey
+         |      AND o.o_rn0 = ${h(s"'wj:$label:o:' || CAST(wk.__w AS VARCHAR)")} % o.o_deg
+         |  JOIN (SELECT *,
+         |          ROW_NUMBER() OVER (PARTITION BY l_orderkey
+         |            ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) - 1 AS l_rn0,
+         |          CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS l_deg
+         |        FROM lineitem) l
+         |    ON l.l_orderkey = o.o_orderkey
+         |      AND l.l_rn0 = ${h(s"'wj:$label:l:' || CAST(wk.__w AS VARCHAR)")} % l.l_deg,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer) nc) e,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS true_card
+         |   FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |   JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |   WHERE $pred) t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY spec")
+  }
+
+  // ---- t_closeness_audit: ordered-EMD release gate ----
+
+  val tCloseBuckets = 10L
+  /** Release threshold t₀ = 1/5 as an exact rational (num/den). */
+  val tCloseNum = 1L
+  val tCloseDen = 5L
+
+  /** t-closeness audit (Li, Li, Venkatasubramanian ICDE'07) over the
+    * k-anonymity scaffold's coarser QI tuple (nation, segment): the
+    * sensitive attribute (account balance, cents grid, 10 equi-width
+    * bins from broadcast global min/max) must be distributed within
+    * every QI group close to its global distribution. For an ORDERED
+    * attribute EMD is the mean absolute prefix gap:
+    * EMD_g = Σ_k |Σ_{j≤k}(c_j·N − C_j·n_g)| / (n_g·N·(m−1)) — the
+    * inner sums stay exact integers (the dense group×bin frame is a
+    * window over 10 rows per group), one double division per group at
+    * the end, and the pass flag is the exact cross-multiplied
+    * comparison against t₀ = 1/5.
+    */
+  def tClosenessAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    val cust = Tables(spark, dir, "customer")
+      .select(concat_ws("|", col("c_nationkey").cast("string"), col("c_mktsegment"))
+        .as("combo"), cents.as("__c"))
+    val mm = Memo(spark, dir, "wave10:acctbalRange")(
+      cust.agg(min(col("__c")).as("lo"), max(col("__c")).as("hi"),
+        count(lit(1)).as("nn")))
+    val binned = cust.crossJoin(broadcast(mm))
+      .withColumn("b",
+        least(expr(s"CAST((__c - lo) * $tCloseBuckets DIV (hi - lo + 1) AS BIGINT)"),
+          lit(tCloseBuckets - 1)))
+    val byGroup = binned.groupBy(col("combo"), col("b")).agg(count(lit(1)).as("c"))
+    val global = Memo(spark, dir, "wave10:acctbalGlobalBins")(
+      binned.groupBy(col("b")).agg(count(lit(1)).as("cg")))
+    val groups = byGroup.groupBy(col("combo")).agg(sum(col("c")).as("n_g"))
+    val bins = (0L until tCloseBuckets).toDF("b")
+    val dense = groups.crossJoin(broadcast(bins))
+      .join(byGroup, Seq("combo", "b"), "left_outer")
+      .join(broadcast(global), Seq("b"), "left_outer")
+      .crossJoin(broadcast(mm.select(col("nn"))))
+      .withColumn("diff",
+        dec(coalesce(col("c"), lit(0L))) * dec(col("nn")) -
+          dec(coalesce(col("cg"), lit(0L))) * dec(col("n_g")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("combo")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("pre", sum(col("diff")).over(w))
+      .filter(col("b") < tCloseBuckets - 1)
+      .groupBy(col("combo"), col("n_g"), col("nn"))
+      .agg(sum(abs(col("pre"))).as("__sa"))
+      .select(col("combo"), col("n_g").cast("bigint").as("n"),
+        (col("__sa").cast("double") /
+          (col("n_g") * dec(col("nn")) * dec(lit(tCloseBuckets - 1))).cast("double"))
+          .as("emd"),
+        (col("__sa") * dec(lit(tCloseDen)) <=
+          col("n_g") * dec(col("nn")) * dec(lit(tCloseBuckets - 1)) * dec(lit(tCloseNum)))
+          .as("pass"))
+      .orderBy(col("combo"))
+  }
+
+  val tClosenessAuditSql: String =
+    s"""WITH cu AS (
+       |  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS combo,
+       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS __c
+       |  FROM customer),
+       |mm AS (SELECT MIN(__c) AS lo, MAX(__c) AS hi, CAST(COUNT(*) AS BIGINT) AS nn FROM cu),
+       |binned AS (SELECT combo,
+       |    LEAST((__c - lo) * $tCloseBuckets // (hi - lo + 1), ${tCloseBuckets - 1}) AS b
+       |  FROM cu, mm),
+       |bg AS (SELECT combo, b, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2),
+       |gl AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cg FROM binned GROUP BY 1),
+       |gr AS (SELECT combo, CAST(SUM(c) AS BIGINT) AS n_g FROM bg GROUP BY 1),
+       |dense AS (
+       |  SELECT gr.combo, gr.n_g, bins.b, mm.nn,
+       |    CAST(COALESCE(bg.c, 0) AS HUGEINT) * mm.nn
+       |      - CAST(COALESCE(gl.cg, 0) AS HUGEINT) * gr.n_g AS diff
+       |  FROM gr CROSS JOIN (SELECT range AS b FROM range($tCloseBuckets)) bins
+       |  LEFT JOIN bg ON bg.combo = gr.combo AND bg.b = bins.b
+       |  LEFT JOIN gl ON gl.b = bins.b, mm),
+       |pre AS (SELECT combo, n_g, nn, b,
+       |    SUM(diff) OVER (PARTITION BY combo ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+       |  FROM dense),
+       |agg AS (SELECT combo, n_g, nn, SUM(ABS(pre)) AS sa
+       |  FROM pre WHERE b < ${tCloseBuckets - 1} GROUP BY 1, 2, 3)
+       |SELECT combo, n_g AS n,
+       |  CAST(sa AS DOUBLE)
+       |    / CAST(CAST(n_g AS HUGEINT) * nn * ${tCloseBuckets - 1} AS DOUBLE) AS emd,
+       |  sa * $tCloseDen <= CAST(n_g AS HUGEINT) * nn * ${tCloseBuckets - 1} * $tCloseNum
+       |    AS pass
+       |FROM agg ORDER BY combo""".stripMargin
+
+  // ---- woe_iv: weight-of-evidence / information-value screen ----
+
+  /** Weight of evidence of `source` predicting the curation pass flag,
+    * with half-count (Yates) smoothing so empty cells stay finite:
+    * WoE_j = ln(((2g_j+1)(2B+S)) / ((2b_j+1)(2G+S))), IV = Σ(g_j/G −
+    * b_j/B)·WoE_j — the credit-scoring feature screen, here grading
+    * how much a source label tells the curation gate. Reads the
+    * memoized per-source (n, k) pass-rate frame (one corpus scan,
+    * shared with `prop_ztest_pairs`); each ln is quantized to 1e-6 and
+    * each IV term to 1e-12 before the ≤#sources-row sums.
+    */
+  def woeIvQ(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Memo(spark, dir, "wave9:srcPassRates")(
+      operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+        .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("k")))
+    val tot = rates.agg(sum(col("k")).as("gg"), sum(col("n") - col("k")).as("bb"),
+      count(lit(1)).as("s"))
+    val terms = rates.crossJoin(broadcast(tot))
+      .withColumn("good", col("k"))
+      .withColumn("bad", col("n") - col("k"))
+      .withColumn("woe6", expr(
+        """CAST(round(1e6 * ln(
+          |  CAST((2 * good + 1) AS DOUBLE) * (2 * bb + s)
+          |  / (CAST((2 * bad + 1) AS DOUBLE) * (2 * gg + s)))) AS BIGINT)""".stripMargin))
+      .withColumn("term12", expr(
+        """CAST(round(1e12
+          |  * (CAST(good * bb - bad * gg AS DOUBLE) / (CAST(gg AS DOUBLE) * bb))
+          |  * (CAST(woe6 AS DOUBLE) / 1e6)) AS BIGINT)""".stripMargin))
+    val iv = terms.agg(sum(col("term12")).as("iv12"))
+    terms.crossJoin(broadcast(iv))
+      .select(col("source"), col("n"), col("good"), col("bad"),
+        (col("woe6").cast("double") / 1e6).as("woe"),
+        (col("term12").cast("double") / 1e12).as("iv_contrib"),
+        (col("iv12").cast("double") / 1e12).as("iv_total"))
+      .orderBy(col("source"))
+  }
+
+  val woeIvSql: String = {
+    import operators.TextAnalysis.{emailPat, phonePat}
+    s"""WITH ${QueriesText.wordsCte},
+       |kept AS (
+       |  SELECT w.doc_id, d.source,
+       |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
+       |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
+       |     AND (len(regexp_extract_all(d.text, '$emailPat'))
+       |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
+       |  FROM w JOIN documents d USING (doc_id)),
+       |rates AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM kept GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS gg, CAST(SUM(n - k) AS BIGINT) AS bb,
+       |    CAST(COUNT(*) AS BIGINT) AS s FROM rates),
+       |terms AS (
+       |  SELECT source, n, k AS good, n - k AS bad, gg, bb, s,
+       |    CAST(round(1e6 * ln(
+       |      CAST((2 * k + 1) AS DOUBLE) * (2 * bb + s)
+       |      / (CAST((2 * (n - k) + 1) AS DOUBLE) * (2 * gg + s)))) AS BIGINT) AS woe6
+       |  FROM rates, tot),
+       |t2 AS (SELECT *,
+       |    CAST(round(1e12
+       |      * (CAST(good * bb - bad * gg AS DOUBLE) / (CAST(gg AS DOUBLE) * bb))
+       |      * (CAST(woe6 AS DOUBLE) / 1e6)) AS BIGINT) AS term12
+       |  FROM terms),
+       |iv AS (SELECT CAST(SUM(term12) AS BIGINT) AS iv12 FROM t2)
+       |SELECT source, n, good, bad, CAST(woe6 AS DOUBLE) / 1e6 AS woe,
+       |  CAST(term12 AS DOUBLE) / 1e12 AS iv_contrib,
+       |  CAST(iv.iv12 AS DOUBLE) / 1e12 AS iv_total
+       |FROM t2, iv ORDER BY source""".stripMargin
+  }
+
+  // ---- adamic_adar: common-neighbor link prediction scores ----
+
+  /** The "significant trade lanes" subgraph: symmetric nation-pair
+    * weights, kept iff STRICTLY above the mean pair weight (exact
+    * cross-multiplied comparison s·|pairs| > Σs — no float threshold).
+    * The raw customer↔supplier nation graph saturates into a complete
+    * graph as data grows (every nation eventually trades with every
+    * other), which degenerates link prediction and assortativity; the
+    * above-mean filter keeps the heavy lanes at every scale and is
+    * computable with one tiny aggregate over the ≤|V|² pair frame.
+    * Returned directed-both-ways.
+    */
+  private def sigLanes(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave10:sigLanes") {
+      val e = Memo(spark, dir, "graph:nationEdges")(
+        Tables(spark, dir, "lineitem")
+          .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("u"), col("s_nationkey").as("v"))
+          .agg(count(lit(1)).as("w")))
+      val sym = e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).cast("long").as("a"),
+          greatest(col("u"), col("v")).cast("long").as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("s"))
+      val tot = sym.agg(count(lit(1)).as("np"), sum(col("s")).as("ts"))
+      val kept = sym.crossJoin(broadcast(tot))
+        .filter(dec(col("s")) * dec(col("np")) > dec(col("ts")))
+        .select(col("a"), col("b"))
+      kept.unionAll(kept.select(col("b").as("a"), col("a").as("b")))
+    }
+
+  /** The same subgraph as a DuckDB CTE chain ending in `und(a, b)`. */
+  private val sigLanesCte: String =
+    """e AS (
+      |  SELECT c.c_nationkey AS u, s.s_nationkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT CAST(LEAST(u, v) AS BIGINT) AS a, CAST(GREATEST(u, v) AS BIGINT) AS b,
+      |    CAST(SUM(w) AS BIGINT) AS s
+      |  FROM e WHERE u != v GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(s) AS BIGINT) AS ts FROM sym),
+      |kept AS (SELECT a, b FROM sym, tot WHERE CAST(s AS HUGEINT) * np > CAST(ts AS HUGEINT)),
+      |und AS (SELECT a, b FROM kept UNION ALL SELECT b AS a, a AS b FROM kept)""".stripMargin
+
+  /** Test hook: the significant-lane edge frame (directed both ways). */
+  private[graft] def sigLanesForTest(spark: SparkSession, dir: String): DataFrame =
+    sigLanes(spark, dir)
+
+  /** Adamic–Adar link prediction on the significant-lane trade graph:
+    * for every NON-adjacent pair, AA(u,v) = Σ_{w∈N(u)∩N(v)} 1/ln(deg w)
+    * — the classic "which trade lanes are likely to open next" score,
+    * run on [[sigLanes]] (the raw graph saturates complete, leaving no
+    * pairs to predict). Each common-neighbor weight is one quantized
+    * reciprocal-ln integer (a common neighbor always has degree ≥ 2,
+    * so ln > 0), summed exactly. Edge-list joins only; ≤ |V|² pairs.
+    */
+  def adamicAdarQ(spark: SparkSession, dir: String): DataFrame = {
+    val und = sigLanes(spark, dir)
+    val deg = und.groupBy(col("b").as("wnode")).agg(count(lit(1)).as("degw"))
+      .filter(col("degw") > 1) // only deg ≥ 2 nodes can be common neighbors (ln > 0)
+      .withColumn("w6", expr("CAST(round(1e6 / ln(CAST(degw AS DOUBLE))) AS BIGINT)"))
+    val pairs = und.select(col("a").as("u"), col("b").as("wnode"))
+      .join(und.select(col("a").as("v"), col("b").as("wnode")), "wnode")
+      .filter(col("u") < col("v"))
+      .join(broadcast(deg), "wnode")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_cnt"), sum(col("w6")).as("score6"))
+    pairs
+      .join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common_cnt"),
+        (col("score6").cast("double") / 1e6).as("aa_score"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  val adamicAdarSql: String =
+    s"""WITH $sigLanesCte,
+      |deg AS (SELECT b AS wnode, CAST(COUNT(*) AS BIGINT) AS degw,
+      |    CAST(round(1e6 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w6
+      |  FROM und GROUP BY 1 HAVING COUNT(*) > 1),
+      |pairs AS (
+      |  SELECT e1.a AS u, e2.a AS v, CAST(COUNT(*) AS BIGINT) AS common_cnt,
+      |    CAST(SUM(deg.w6) AS BIGINT) AS score6
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+      |  JOIN deg ON deg.wnode = e1.b
+      |  GROUP BY 1, 2)
+      |SELECT p.u, p.v, p.common_cnt, CAST(p.score6 AS DOUBLE) / 1e6 AS aa_score
+      |FROM pairs p
+      |ANTI JOIN und ON und.a = p.u AND und.b = p.v
+      |ORDER BY u, v""".stripMargin
+
+  // ---- graph_assortativity: degree assortativity coefficient ----
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees over the directed-both-ways edge list of the
+    * significant-lane trade graph — positive means hubs trade with
+    * hubs (the raw graph is complete and degree-regular, which leaves
+    * the coefficient undefined, hence [[sigLanes]]). Exact integer
+    * moments over the edge list (the `corr_matrix` covariance
+    * discipline), degrees from one edge-list aggregate; everything
+    * after the memoized edge frame touches ≤ |E| rows.
+    */
+  def graphAssortativityQ(spark: SparkSession, dir: String): DataFrame = {
+    val und = sigLanes(spark, dir)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    val m = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("da"))).as("sa"), sum(dec(col("db"))).as("sb"),
+        sum(dec(col("da")) * dec(col("da"))).as("qa"),
+        sum(dec(col("db")) * dec(col("db"))).as("qb"),
+        sum(dec(col("da")) * dec(col("db"))).as("p"))
+    def nd = dec(col("n"))
+    m.select(col("n").as("n_directed_edges"),
+      ((nd * col("p") - col("sa") * col("sb")).cast("double") /
+        (sqrt((nd * col("qa") - col("sa") * col("sa")).cast("double")) *
+          sqrt((nd * col("qb") - col("sb") * col("sb")).cast("double"))))
+        .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH $sigLanesCte,
+      |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x.d) AS HUGEINT) AS sa, CAST(SUM(y.d) AS HUGEINT) AS sb,
+      |    CAST(SUM(CAST(x.d AS HUGEINT) * x.d) AS HUGEINT) AS qa,
+      |    CAST(SUM(CAST(y.d AS HUGEINT) * y.d) AS HUGEINT) AS qb,
+      |    CAST(SUM(CAST(x.d AS HUGEINT) * y.d) AS HUGEINT) AS p
+      |  FROM und JOIN deg x ON x.node = und.a JOIN deg y ON y.node = und.b)
+      |SELECT n AS n_directed_edges,
+      |  CAST(CAST(n AS HUGEINT) * p - sa * sb AS DOUBLE)
+      |    / (sqrt(CAST(CAST(n AS HUGEINT) * qa - sa * sa AS DOUBLE))
+      |       * sqrt(CAST(CAST(n AS HUGEINT) * qb - sb * sb AS DOUBLE))) AS assortativity
+      |FROM m""".stripMargin
+
+  // ---- approx_quantile_check: sketch-quantile rank-error verdict ----
+
+  /** (measure label, table, value SQL expr) audited by the check. */
+  val aqMeasures: Seq[(String, String, String)] = Seq(
+    ("lineitem.l_extendedprice", "lineitem", "l_extendedprice"),
+    ("orders.o_totalprice", "orders", "o_totalprice"),
+    ("events.value", "events", "value"))
+  val aqPcts: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  val aqAccuracy = 1000L
+
+  /** Bounded-error verdict for Spark's `approx_percentile` (the
+    * Greenwald–Khanna-family sketch a 100 TB profiler actually serves
+    * quantiles from): for each percentile p the sketch value must sit
+    * at an exact rank inside [⌊(p−ε)n⌋, ⌈(p+ε)n⌉], ε = 1/accuracy —
+    * the sketch's own contract. The registers aren't engine-portable
+    * but the contract is (the `hll_ndv` grading), so the oracle
+    * re-derives n and asserts ok = TRUE. One sketch pass plus one
+    * conditional-count pass per measure.
+    */
+  def approxQuantileCheckQ(spark: SparkSession, dir: String): DataFrame =
+    aqMeasures.map { case (label, t, ve) =>
+      val df = Tables(spark, dir, t).select(expr(ve).as("__x")).na.drop()
+      val approx = df.agg(
+        expr(s"approx_percentile(__x, array(${aqPcts.mkString(",")}), $aqAccuracy)")
+          .as("__qs"),
+        count(lit(1)).as("n"))
+      val probes = approx.select(col("n"),
+        posexplode(col("__qs")).as(Seq("__i", "__q")))
+      val ranks = probes.crossJoin(df)
+        .groupBy(col("__i"), col("__q"), col("n"))
+        .agg(sum(when(col("__x") < col("__q"), 1L).otherwise(0L)).as("__below"),
+          sum(when(col("__x") <= col("__q"), 1L).otherwise(0L)).as("__upto"))
+      val pcts = {
+        import spark.implicits._
+        aqPcts.zipWithIndex.map { case (p, i) => (i, p) }.toDF("__i", "pct")
+      }
+      ranks.join(broadcast(pcts), "__i")
+        .select(lit(label).as("measure"), col("pct"), col("n"),
+          (col("__below").cast("double") <=
+            ceil((col("pct") + lit(1.0 / aqAccuracy)) * col("n")) &&
+            col("__upto").cast("double") >=
+              floor((col("pct") - lit(1.0 / aqAccuracy)) * col("n"))).as("ok"))
+    }.reduce(_.unionAll(_)).orderBy(col("measure"), col("pct"))
+
+  val approxQuantileCheckSql: String =
+    aqMeasures.flatMap { case (label, t, ve) =>
+      aqPcts.map { p =>
+        s"""SELECT '$label' AS measure, CAST($p AS DOUBLE) AS pct,
+           |  CAST(COUNT(*) AS BIGINT) AS n, TRUE AS ok
+           |FROM $t WHERE $ve IS NOT NULL""".stripMargin
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY measure, pct")
+
+  // ---- markov_entropy_rate: conditional entropy of the event chain ----
+
+  /** Empirical entropy rate of the per-user event-type Markov chain:
+    * H(next|cur) = Σ_s π̂_s H_s with H_s = Σ_t (c_st/c_s)·ln(c_s/c_st)
+    * and π̂_s = c_s/C — how predictable the NEXT event is given the
+    * current one, the sequence-compressibility number that prices
+    * next-event-prediction features (0 = deterministic funnel, ln k =
+    * uniform noise). Transition counts are one windowed scan (the
+    * `markov_transitions` shape); each ln of an exact count ratio is
+    * quantized to 1e-6 and weighted by integer counts, so the k²-row
+    * tail is exact-integer arithmetic.
+    */
+  def markovEntropyRateQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Memo(spark, dir, "wave10:markovCounts")(
+      Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(wl).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cst")))
+    val rows = trans
+      .withColumn("cs", sum(col("cst")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ln6", expr(
+        "CAST(round(1e6 * ln(CAST(cs AS DOUBLE) / CAST(cst AS DOUBLE))) AS BIGINT)"))
+    val perState = rows.groupBy(col("event_type"))
+      .agg(max(col("cs")).as("cs"), sum(col("cst") * col("ln6")).as("hs6w"))
+    val tot = perState.agg(sum(col("cs")).as("cc"), sum(col("hs6w")).as("hr6w"))
+    perState.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("cs").as("n_out"),
+        (col("cs").cast("double") / col("cc").cast("double")).as("pi_hat"),
+        (col("hs6w").cast("double") / (col("cs").cast("double") * 1e6)).as("h_state"),
+        (col("hr6w").cast("double") / (col("cc").cast("double") * 1e6)).as("h_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val markovEntropyRateSql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |tr AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cst
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT event_type, cst,
+      |    CAST(SUM(cst) OVER (PARTITION BY event_type) AS BIGINT) AS cs
+      |  FROM tr),
+      |r2 AS (SELECT *,
+      |    CAST(round(1e6 * ln(CAST(cs AS DOUBLE) / CAST(cst AS DOUBLE))) AS BIGINT) AS ln6
+      |  FROM r),
+      |ps AS (SELECT event_type, MAX(cs) AS cs, CAST(SUM(cst * ln6) AS BIGINT) AS hs6w
+      |  FROM r2 GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS cc, CAST(SUM(hs6w) AS BIGINT) AS hr6w FROM ps)
+      |SELECT event_type, cs AS n_out,
+      |  CAST(cs AS DOUBLE) / CAST(cc AS DOUBLE) AS pi_hat,
+      |  CAST(hs6w AS DOUBLE) / (CAST(cs AS DOUBLE) * 1e6) AS h_state,
+      |  CAST(hr6w AS DOUBLE) / (CAST(cc AS DOUBLE) * 1e6) AS h_rate
+      |FROM ps, tot ORDER BY event_type""".stripMargin
+
+  // ---- target_encode_audit: leave-one-out encoding audit ----
+
+  /** Leave-one-out target encoding audit of event_type → value (cents
+    * grid): enc_i = (T_g − x_i)/(n_g − 1), the leakage-free categorical
+    * encoding. The audit reports the per-group encoding envelope
+    * (min/max over the group = (T−max x)/(n−1) and (T−min x)/(n−1) —
+    * order-statistics, no per-row output ships) plus the mean identity
+    * E[enc] = x̄_g that makes LOO encoding unbiased, and the global
+    * prior an encoder would blend toward. One keyed aggregate; all
+    * rationals of exact integers.
+    */
+  def targetEncodeAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val v2 = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    val g = Tables(spark, dir, "events")
+      .select(col("event_type"), v2.as("__x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("t"),
+        min(col("__x")).as("xmin"), max(col("__x")).as("xmax"))
+    val tot = g.agg(sum(col("t")).as("tt"), sum(col("n")).as("nn"))
+    g.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n"),
+        (col("t").cast("double") / (col("n").cast("double") * 100.0)).as("mean_value"),
+        ((col("t") - dec(col("xmax"))).cast("double") /
+          ((col("n") - 1).cast("double") * 100.0)).as("loo_min"),
+        ((col("t") - dec(col("xmin"))).cast("double") /
+          ((col("n") - 1).cast("double") * 100.0)).as("loo_max"),
+        (col("tt").cast("double") / (col("nn").cast("double") * 100.0)).as("global_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val targetEncodeAuditSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(__x) AS HUGEINT) AS t,
+      |    MIN(__x) AS xmin, MAX(__x) AS xmax
+      |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS __x
+      |        FROM events) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(t) AS HUGEINT) AS tt, CAST(SUM(n) AS BIGINT) AS nn FROM g)
+      |SELECT event_type, n,
+      |  CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_value,
+      |  CAST(t - xmax AS DOUBLE) / (CAST(n - 1 AS DOUBLE) * 100.0) AS loo_min,
+      |  CAST(t - xmin AS DOUBLE) / (CAST(n - 1 AS DOUBLE) * 100.0) AS loo_max,
+      |  CAST(tt AS DOUBLE) / (CAST(nn AS DOUBLE) * 100.0) AS global_mean
+      |FROM g, tot ORDER BY event_type""".stripMargin
+
+  // ---- feature_hash_collisions: hashing-trick collision audit ----
+
+  val fhBuckets = 1024L
+
+  /** Collision audit of the hashing trick (feature hashing à la Vowpal
+    * Wabbit) at 1024 buckets over the corpus vocabulary: distinct terms
+    * per bucket (md5 % m — the portable hash family every sketch here
+    * uses), bucket occupancy, max bucket load, and the collided-term
+    * share 1 − used/ndv — the number that decides whether 2^b hash
+    * features lose signal at this vocabulary size. One distinct-term
+    * aggregate (vocabulary-bounded, not corpus-bounded) plus a
+    * ≤m-row bucket frame.
+    */
+  def featureHashCollisionsQ(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables(spark, dir, "documents")
+      .select(explode(operators.TextOps.tokensExpr).as("term")).distinct()
+      .withColumn("b",
+        pmod(conv(substring(md5(concat(lit("fh:"), col("term"))), 1, 13), 16, 10)
+          .cast("long"), lit(fhBuckets)))
+    val buckets = terms.groupBy(col("b")).agg(count(lit(1)).as("terms_in_bucket"))
+    buckets.agg(
+      sum(col("terms_in_bucket")).as("vocab_size"),
+      count(lit(1)).as("buckets_used"),
+      max(col("terms_in_bucket")).as("max_bucket_load"),
+      sum(when(col("terms_in_bucket") > 1, col("terms_in_bucket") - 1).otherwise(0L))
+        .as("collided_terms"))
+      .select(col("vocab_size"), col("buckets_used"), lit(fhBuckets).as("n_buckets"),
+        col("max_bucket_load"), col("collided_terms"),
+        (col("collided_terms").cast("double") / col("vocab_size").cast("double"))
+          .as("collision_share"))
+  }
+
+  val featureHashCollisionsSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |terms AS (SELECT DISTINCT unnest(ws) AS term FROM w),
+       |tb AS (SELECT term,
+       |    CAST(('0x' || substr(md5('fh:' || term), 1, 13)) AS BIGINT) % $fhBuckets AS b
+       |  FROM terms),
+       |buckets AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY 1)
+       |SELECT CAST(SUM(c) AS BIGINT) AS vocab_size,
+       |  CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       |  CAST($fhBuckets AS BIGINT) AS n_buckets,
+       |  CAST(MAX(c) AS BIGINT) AS max_bucket_load,
+       |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS collided_terms,
+       |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(c) AS DOUBLE) AS collision_share
+       |FROM buckets""".stripMargin
+
+  // ---- mmr_rerank: maximal-marginal-relevance diversity top-k ----
+
+  val mmrPool = 20
+  val mmrK = 5
+  val mmrLambda = 0.7
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98)
+    * of the similarity pool for probe vector 0: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈Sel} sim(d,s) for k rounds — the
+    * diversity-aware top-k every retrieval-augmented pipeline runs on
+    * its ANN candidates. Scale shape: the O(n²) pairwise-similarity
+    * stage runs on the BOUNDED candidate pool (20 rows → 400 sims, all
+    * exact quantized dots), never the corpus; each greedy round is one
+    * aggregate + one deterministic top-1 over ≤pool rows, memoized so
+    * the unrolled plan stays flat (the pagerank iterate discipline).
+    */
+  def mmrRerankQ(spark: SparkSession, dir: String): DataFrame = {
+    functions.GraftFunctions.register(spark)
+    val pool = Memo(spark, dir, "wave10:mmrPool")(
+      operators.Similarity
+        .cosineTopK(Tables(spark, dir, "embeddings"), col("vec_id") === 0L, mmrPool)
+        .select(col("cand_id"), col("cos")))
+    val sims = Memo(spark, dir, "wave10:mmrSims") {
+      val q = Tables(spark, dir, "embeddings")
+        .join(pool.select(col("cand_id").as("vec_id")), "vec_id")
+        .select(col("vec_id"), operators.Similarity.quantExpr.as("qv"))
+        .withColumn("nn", expr("quantized_dot(qv, qv)"))
+      val l = q.select(col("vec_id").as("a"), col("qv").as("av"), col("nn").as("na"))
+      val r = q.select(col("vec_id").as("b"), col("qv").as("bv"), col("nn").as("nb"))
+      l.join(r, col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (expr("quantized_dot(av, bv)").cast("double") /
+            sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double"))).as("sim"))
+    }
+    val sel1 = Memo(spark, dir, "wave10:mmrSel1")(
+      pool.orderBy(col("cos").desc, col("cand_id")).limit(1)
+        .select(lit(1).as("rnk"), col("cand_id"), col("cos").as("rel_cos"),
+          lit(0.0).as("max_sim_to_sel"),
+          (lit(mmrLambda) * col("cos")).as("mmr_score")))
+    val rounds = (2 to mmrK).foldLeft(Seq(sel1)) { (acc, r) =>
+      val selected = acc.reduce(_.unionAll(_)).select(col("cand_id"))
+      val next = Memo(spark, dir, s"wave10:mmrSel$r") {
+        val maxsim = sims
+          .join(selected.select(col("cand_id").as("b")), "b")
+          .groupBy(col("a").as("cand_id")).agg(max(col("sim")).as("ms"))
+        pool.join(selected, Seq("cand_id"), "left_anti")
+          .join(maxsim, "cand_id")
+          .withColumn("score",
+            lit(mmrLambda) * col("cos") - lit(1.0 - mmrLambda) * col("ms"))
+          .orderBy(col("score").desc, col("cand_id")).limit(1)
+          .select(lit(r).as("rnk"), col("cand_id"), col("cos").as("rel_cos"),
+            col("ms").as("max_sim_to_sel"), col("score").as("mmr_score"))
+      }
+      acc :+ next
+    }
+    rounds.reduce(_.unionAll(_)).orderBy(col("rnk"))
+  }
+
+  val mmrRerankSql: String = {
+    val lam = mmrLambda
+    val rounds = (2 to mmrK).map { r =>
+      val selU = (1 until r).map(i => s"SELECT cand_id FROM sel$i").mkString(" UNION ALL ")
+      s"""sel$r AS (
+         |  SELECT $r AS rnk, p.cand_id, p.cos AS rel_cos, m.ms AS max_sim_to_sel,
+         |    $lam * p.cos - ${1.0 - lam} * m.ms AS mmr_score
+         |  FROM pool p
+         |  JOIN (SELECT s.a AS cand_id, MAX(s.sim) AS ms FROM sims s
+         |        JOIN ($selU) sel ON s.b = sel.cand_id GROUP BY 1) m
+         |    ON m.cand_id = p.cand_id
+         |  WHERE p.cand_id NOT IN ($selU)
+         |  ORDER BY mmr_score DESC, p.cand_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |pool AS (
+       |  SELECT c.vec_id AS cand_id,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos
+       |  FROM q c
+       |  JOIN (SELECT c2.vec_id AS cand_id, CAST(SUM(p.qv[i] * c2.qv[i]) AS BIGINT) AS dot
+       |        FROM (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM q WHERE vec_id = 0) p
+       |        JOIN q c2 ON c2.vec_id != 0
+       |        GROUP BY 1) d ON d.cand_id = c.vec_id
+       |  JOIN norms np ON np.vec_id = 0
+       |  JOIN norms nc ON nc.vec_id = c.vec_id
+       |  WHERE c.vec_id != 0
+       |  ORDER BY cos DESC, cand_id LIMIT $mmrPool),
+       |spairs AS (
+       |  SELECT x.cand_id AS a, y.cand_id AS b, qx.qv AS av, qy.qv AS bv,
+       |    nx.nn AS na, ny.nn AS nb
+       |  FROM pool x JOIN pool y ON x.cand_id != y.cand_id
+       |  JOIN q qx ON qx.vec_id = x.cand_id
+       |  JOIN q qy ON qy.vec_id = y.cand_id
+       |  JOIN norms nx ON nx.vec_id = x.cand_id
+       |  JOIN norms ny ON ny.vec_id = y.cand_id),
+       |sex AS (SELECT a, b, av, bv, na, nb, unnest(range(1, len(av) + 1)) AS i FROM spairs),
+       |sims AS (
+       |  SELECT a, b,
+       |    CAST(SUM(av[i] * bv[i]) AS DOUBLE)
+       |      / sqrt(CAST(MIN(na) AS DOUBLE)) / sqrt(CAST(MIN(nb) AS DOUBLE)) AS sim
+       |  FROM sex GROUP BY a, b),
+       |sel1 AS (
+       |  SELECT 1 AS rnk, cand_id, cos AS rel_cos, 0.0 AS max_sim_to_sel,
+       |    $lam * cos AS mmr_score
+       |  FROM pool ORDER BY cos DESC, cand_id LIMIT 1),
+       |$rounds
+       |${(1 to mmrK).map(i => s"SELECT * FROM sel$i").mkString("\nUNION ALL\n")}
+       |ORDER BY rnk""".stripMargin
+  }
+
+  // ---- auc_roc: Mann–Whitney AUC of the quality score ----
+
+  /** ROC AUC of the heuristic quality score predicting the curation
+    * pass flag, via the Mann–Whitney identity AUC = (R₊ − n₊(n₊+1)/2)
+    * / (n₊n₋) — no threshold sweep, no per-row output. Scores live on
+    * a 1e-6 grid; positive-class midranks come from the distributed
+    * 2×-scaled prefix plan, so the whole statistic is exact integer
+    * arithmetic until one final division (ties get the standard
+    * half-credit via midranks). Gini = 2·AUC − 1 rides along.
+    */
+  def aucRocQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Memo(spark, dir, "wave10:aucScored")(
+      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
+        .select(col("doc_id"),
+          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
+        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("kept")), "doc_id"))
+    val mr = valueMidranks2(scored, col("s6"))
+    val pos = scored.filter(col("kept"))
+      .groupBy(col("s6").as("__v")).agg(count(lit(1)).as("cpos"))
+    val r2 = pos.join(mr, "__v")
+      .agg(coalesce(sum(dec(col("cpos")) * dec(col("__mr2"))), dec(lit(0))).as("r2pos"))
+    val counts = scored.agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_neg"))
+    counts.crossJoin(r2)
+      .select(col("n_pos"), col("n_neg"),
+        ((col("r2pos") - dec(col("n_pos")) * dec(col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  val aucRocSql: String = {
+    import operators.TextAnalysis.{emailPat, phonePat}
+    val mrSub =
+      """(SELECT __v, __t, 2 * COALESCE(SUM(__t) OVER (ORDER BY __v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + __t + 1 AS __mr2
+        |  FROM (SELECT s6 AS __v, CAST(COUNT(*) AS BIGINT) AS __t
+        |        FROM scored GROUP BY 1))""".stripMargin
+    s"""WITH ${QueriesText.wordsCte},
+       |scored AS (
+       |  SELECT w.doc_id,
+       |    CAST(round(1e6 * (${QueriesText.scoreSqlExpr})) AS BIGINT) AS s6,
+       |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
+       |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
+       |     AND (len(regexp_extract_all(d.text, '$emailPat'))
+       |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
+       |  FROM w JOIN documents d USING (doc_id)),
+       |mr AS $mrSub,
+       |r2 AS (
+       |  SELECT COALESCE(SUM(CAST(p.cpos AS HUGEINT) * mr.__mr2), CAST(0 AS HUGEINT)) AS r2pos
+       |  FROM (SELECT s6 AS __v, CAST(COUNT(*) AS BIGINT) AS cpos
+       |        FROM scored WHERE kept GROUP BY 1) p
+       |  JOIN mr USING (__v)),
+       |c AS (SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM scored)
+       |SELECT n_pos, n_neg,
+       |  CAST(r2pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+       |  2.0 * (CAST(r2pos - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0 AS gini
+       |FROM c, r2""".stripMargin
+  }
+
+  // ---- survival_km: Kaplan–Meier fulfillment-SLA curve ----
+
+  val kmCutoffDays = 60L
+
+  /** Kaplan–Meier survival curve of order fulfillment time (order date
+    * → first line-item ship date, clamped at 0 — the synthetic data
+    * has pre-dated ships) with administrative right-censoring at the
+    * 60-day SLA window; orders that never ship a line item are censored
+    * too, which is exactly what KM exists to handle (dropping them
+    * would bias the curve optimistic). Per distinct event day:
+    * d_t, c_t, at-risk n_t = N − Σ_{u<t}(d_u+c_u), and
+    * S(t) = Π(1−d_u/n_u) carried in log space with each ln factor
+    * quantized to 1e-6 (one exp at the end) — everything after the
+    * per-order aggregate is a ≤cutoff-row calendar-bounded frame.
+    */
+  def survivalKmQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstShip = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("__fs"))
+    val durs = Tables(spark, dir, "orders")
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .withColumn("__gap", expr(
+        """(unix_micros(CAST(__fs AS TIMESTAMP))
+          | - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000""".stripMargin))
+      .withColumn("__dur", greatest(coalesce(col("__gap"), lit(Long.MaxValue)), lit(0L)))
+      .select(
+        when(col("__dur") <= kmCutoffDays, col("__dur")).otherwise(lit(kmCutoffDays))
+          .as("t"),
+        (col("__dur") <= kmCutoffDays).cast("long").as("__evt"))
+    val counts = durs.groupBy(col("t"))
+      .agg(sum(col("__evt")).as("d_events"),
+        sum(lit(1L) - col("__evt")).as("n_censored"))
+    val tot = counts.agg(sum(col("d_events") + col("n_censored")).as("__N"))
+    val w = Window.orderBy(col("t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("__N") - coalesce(
+          sum(col("d_events") + col("n_censored"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ln6", expr(
+        """CAST(round(1e6 * ln(CAST(n_risk - d_events AS DOUBLE)
+          | / CAST(n_risk AS DOUBLE))) AS BIGINT)""".stripMargin))
+      .withColumn("__cum", sum(col("__ln6")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t").as("day"), col("n_risk"), col("d_events"), col("n_censored"),
+        // exp is the one transcendental; its last ulp is engine-specific,
+        // so the output is pinned to the 1e-6 grid like every √/ln here
+        (round(exp(col("__cum").cast("double") / 1e6) * 1e6) / 1e6).as("survival"))
+      .orderBy(col("day"))
+  }
+
+  val survivalKmSql: String =
+    s"""WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS __fs
+       |  FROM lineitem GROUP BY 1),
+       |durs AS (
+       |  SELECT CASE WHEN __dur <= $kmCutoffDays THEN __dur ELSE $kmCutoffDays END AS t,
+       |    CASE WHEN __dur <= $kmCutoffDays THEN 1 ELSE 0 END AS evt
+       |  FROM (
+       |    SELECT GREATEST(COALESCE(
+       |        (epoch_us(__fs) - epoch_us(o_orderdate)) // 86400000000,
+       |        9223372036854775807), 0) AS __dur
+       |    FROM orders LEFT JOIN fs ON o_orderkey = l_orderkey)),
+       |counts AS (SELECT t, CAST(SUM(evt) AS BIGINT) AS d_events,
+       |    CAST(SUM(1 - evt) AS BIGINT) AS n_censored
+       |  FROM durs GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(d_events + n_censored) AS BIGINT) AS nn FROM counts),
+       |risk AS (SELECT t, d_events, n_censored,
+       |    nn - COALESCE(SUM(d_events + n_censored) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+       |  FROM counts, tot),
+       |lg AS (SELECT *,
+       |    CAST(round(1e6 * ln(CAST(n_risk - d_events AS DOUBLE)
+       |      / CAST(n_risk AS DOUBLE))) AS BIGINT) AS ln6
+       |  FROM risk)
+       |SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk, d_events, n_censored,
+       |  round(exp(CAST(SUM(ln6) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6) * 1e6) / 1e6
+       |    AS survival
+       |FROM lg ORDER BY day""".stripMargin
+
+  // ---- ab_power_plan: two-proportion sample-size calculator ----
+
+  /** z_{0.025} + z_{0.20} (95% two-sided, 80% power), driver literal. */
+  val abZsum = 1.959964 + 0.841621
+  val abMde = 0.02
+
+  /** A/B test power plan per source: the per-arm sample size needed to
+    * detect a +2pp absolute lift in the curation pass rate at α=0.05,
+    * power 0.8 — n = (z_{α/2}+z_β)²(p₁q₁+p₂q₂)/δ², the planning twin
+    * of `prop_ztest_pairs` (that tests lanes that exist; this prices
+    * the experiment before running it). Reads the memoized per-source
+    * pass-rate frame; p₁ is an exact rational, the ceiling lands on an
+    * exact integer, and days_to_n converts via the source's observed
+    * document rate over the corpus span. Bounded #sources-row frame.
+    */
+  def abPowerPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Memo(spark, dir, "wave9:srcPassRates")(
+      operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+        .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("k")))
+    rates
+      .withColumn("p1", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("p2", least(col("p1") + lit(abMde), lit(1.0)))
+      .withColumn("n_per_arm",
+        ceil(lit(abZsum * abZsum) *
+          (col("p1") * (lit(1.0) - col("p1")) + col("p2") * (lit(1.0) - col("p2"))) /
+          lit(abMde * abMde)).cast("long"))
+      .select(col("source"), col("n").as("n_observed"), col("p1"), col("p2"),
+        col("n_per_arm"),
+        (col("n_per_arm") * 2 <= col("n")).as("feasible_now"))
+      .orderBy(col("source"))
+  }
+
+  val abPowerPlanSql: String = {
+    import operators.TextAnalysis.{emailPat, phonePat}
+    s"""WITH ${QueriesText.wordsCte},
+       |kept AS (
+       |  SELECT w.doc_id, d.source,
+       |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
+       |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
+       |     AND (len(regexp_extract_all(d.text, '$emailPat'))
+       |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
+       |  FROM w JOIN documents d USING (doc_id)),
+       |rates AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM kept GROUP BY 1),
+       |p AS (SELECT source, n, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+       |    LEAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) + $abMde, 1.0) AS p2
+       |  FROM rates),
+       |sized AS (SELECT *,
+       |    CAST(ceil($abZsum * $abZsum * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+       |      / ($abMde * $abMde)) AS BIGINT) AS n_per_arm
+       |  FROM p)
+       |SELECT source, n AS n_observed, p1, p2, n_per_arm,
+       |  n_per_arm * 2 <= n AS feasible_now
+       |FROM sized ORDER BY source""".stripMargin
+  }
+
   // ---- registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anova_oneway" -> (anovaOnewayQ _),
     "kruskal_wallis" -> (kruskalWallisQ _),
     "spearman_rho" -> (spearmanRhoQ _),
-    "welch_ttest_pairs" -> (welchTtestPairsQ _)
+    "welch_ttest_pairs" -> (welchTtestPairsQ _),
+    "wander_join_est" -> (wanderJoinEstQ _),
+    "t_closeness_audit" -> (tClosenessAuditQ _),
+    "woe_iv" -> (woeIvQ _),
+    "adamic_adar" -> (adamicAdarQ _),
+    "graph_assortativity" -> (graphAssortativityQ _),
+    "approx_quantile_check" -> (approxQuantileCheckQ _),
+    "markov_entropy_rate" -> (markovEntropyRateQ _),
+    "target_encode_audit" -> (targetEncodeAuditQ _),
+    "feature_hash_collisions" -> (featureHashCollisionsQ _),
+    "mmr_rerank" -> (mmrRerankQ _),
+    "auc_roc" -> (aucRocQ _),
+    "survival_km" -> (survivalKmQ _),
+    "ab_power_plan" -> (abPowerPlanQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "anova_oneway" -> anovaOnewaySql,
     "kruskal_wallis" -> kruskalWallisSql,
     "spearman_rho" -> spearmanRhoSql,
-    "welch_ttest_pairs" -> welchTtestPairsSql
+    "welch_ttest_pairs" -> welchTtestPairsSql,
+    "wander_join_est" -> wanderJoinEstSql,
+    "t_closeness_audit" -> tClosenessAuditSql,
+    "woe_iv" -> woeIvSql,
+    "adamic_adar" -> adamicAdarSql,
+    "graph_assortativity" -> graphAssortativitySql,
+    "approx_quantile_check" -> approxQuantileCheckSql,
+    "markov_entropy_rate" -> markovEntropyRateSql,
+    "target_encode_audit" -> targetEncodeAuditSql,
+    "feature_hash_collisions" -> featureHashCollisionsSql,
+    "mmr_rerank" -> mmrRerankSql,
+    "auc_roc" -> aucRocSql,
+    "survival_km" -> survivalKmSql,
+    "ab_power_plan" -> abPowerPlanSql
   )
 }

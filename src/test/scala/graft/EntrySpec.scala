@@ -95,7 +95,12 @@ class EntrySpec extends SparkSpec {
       "hurst_exponent",
       "chao1_est", "ht_total_est", "neyman_alloc", "heaps_law_fit",
       "lsh_recall_audit", "epoch_shuffle_plan", "kcore_membership",
-      "prop_ztest_pairs", "burstiness_fano", "page_hinkley")
+      "prop_ztest_pairs", "burstiness_fano", "page_hinkley",
+      "anova_oneway", "kruskal_wallis", "spearman_rho", "welch_ttest_pairs",
+      "wander_join_est", "t_closeness_audit", "woe_iv", "adamic_adar",
+      "graph_assortativity", "approx_quantile_check", "markov_entropy_rate",
+      "target_encode_audit", "feature_hash_collisions", "mmr_rerank", "auc_roc",
+      "survival_km", "ab_power_plan")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
