@@ -437,7 +437,7 @@ object QueriesText {
     * self-joins + 2 verify joins — materialize it once instead of
     * recomputing the aggregation per branch.
     */
-  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     // the verified PAIR frame is the shared product (simhash_dup,
     // simhash_clusters, dedup_method_agreement reference it up to twice
     // per plan) — memoize it, not just the band frame, or the band
@@ -454,7 +454,7 @@ object QueriesText {
   /** CTE chain ending in `sdup` (doc_a, doc_b, hamming) — shared by
     * simhash_dup and simhash_clusters.
     */
-  private val simhashPairCtes: String = {
+  private[graft] val simhashPairCtes: String = {
     val wide = (0 until 4)
       .map(b => s"SUM(CASE WHEN band = $b THEN bv ELSE 0 END) AS b$b")
       .mkString(", ")

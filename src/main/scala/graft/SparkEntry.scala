@@ -11,7 +11,8 @@ object SparkEntry {
       QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries ++
       QueriesCorpus.queries ++ QueriesAnalytics.queries ++ QueriesGraph.queries ++
       QueriesRelational.queries ++ QueriesPipeline.queries ++ QueriesWave6.queries ++ QueriesWave7.queries ++
-      QueriesWave8.queries ++ QueriesWave9.queries ++ QueriesWave10.queries
+      QueriesWave8.queries ++ QueriesWave9.queries ++ QueriesWave10.queries ++
+      QueriesWave11.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesAnalytics.oracleSql ++ QueriesGraph.oracleSql ++
       QueriesRelational.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesWave6.oracleSql ++ QueriesWave7.oracleSql ++
-      QueriesWave8.oracleSql ++ QueriesWave9.oracleSql ++ QueriesWave10.oracleSql
+      QueriesWave8.oracleSql ++ QueriesWave9.oracleSql ++ QueriesWave10.oracleSql ++
+      QueriesWave11.oracleSql
 }

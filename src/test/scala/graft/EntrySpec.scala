@@ -100,7 +100,9 @@ class EntrySpec extends SparkSpec {
       "wander_join_est", "t_closeness_audit", "woe_iv", "adamic_adar",
       "graph_assortativity", "approx_quantile_check", "markov_entropy_rate",
       "target_encode_audit", "feature_hash_collisions", "mmr_rerank", "auc_roc",
-      "survival_km", "ab_power_plan")
+      "survival_km", "ab_power_plan",
+      "cohen_kappa", "ann_ndcg", "lorenz_curve", "mcc_gate_agreement",
+      "isotonic_calibration", "isotonic_check")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
