@@ -1011,10 +1011,16 @@ object QueriesWave10 {
     */
   def mmrRerankQ(spark: SparkSession, dir: String): DataFrame = {
     functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // Literal checkpoints (the kcore/salsa discipline): pool and sims
+    // are ≤20 / ≤400 bounded rows, but their lazy plans nest the whole
+    // brute-force topk scan — replanning that per greedy round cost
+    // 2.5 s/query steady-state at sf0.1. Collect once per session.
     val pool = Memo(spark, dir, "wave10:mmrPool")(
       operators.Similarity
         .cosineTopK(Tables(spark, dir, "embeddings"), col("vec_id") === 0L, mmrPool)
-        .select(col("cand_id"), col("cos")))
+        .select(col("cand_id"), col("cos"))
+        .as[(Long, Double)].collect().toSeq.toDF("cand_id", "cos"))
     val sims = Memo(spark, dir, "wave10:mmrSims") {
       val q = Tables(spark, dir, "embeddings")
         .join(pool.select(col("cand_id").as("vec_id")), "vec_id")
@@ -1026,15 +1032,20 @@ object QueriesWave10 {
         .select(col("a"), col("b"),
           (expr("quantized_dot(av, bv)").cast("double") /
             sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double"))).as("sim"))
+        .as[(Long, Long, Double)].collect().toSeq.toDF("a", "b", "sim")
     }
-    val sel1 = Memo(spark, dir, "wave10:mmrSel1")(
+    def checkpoint(tag: String)(df: => DataFrame): DataFrame =
+      Memo(spark, dir, tag)(
+        df.as[(Int, Long, Double, Double, Double)].collect().toSeq
+          .toDF("rnk", "cand_id", "rel_cos", "max_sim_to_sel", "mmr_score"))
+    val sel1 = checkpoint("wave10:mmrSel1")(
       pool.orderBy(col("cos").desc, col("cand_id")).limit(1)
         .select(lit(1).as("rnk"), col("cand_id"), col("cos").as("rel_cos"),
           lit(0.0).as("max_sim_to_sel"),
           (lit(mmrLambda) * col("cos")).as("mmr_score")))
     val rounds = (2 to mmrK).foldLeft(Seq(sel1)) { (acc, r) =>
       val selected = acc.reduce(_.unionAll(_)).select(col("cand_id"))
-      val next = Memo(spark, dir, s"wave10:mmrSel$r") {
+      val next = checkpoint(s"wave10:mmrSel$r") {
         val maxsim = sims
           .join(selected.select(col("cand_id").as("b")), "b")
           .groupBy(col("a").as("cand_id")).agg(max(col("sim")).as("ms"))

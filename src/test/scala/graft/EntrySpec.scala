@@ -102,7 +102,9 @@ class EntrySpec extends SparkSpec {
       "target_encode_audit", "feature_hash_collisions", "mmr_rerank", "auc_roc",
       "survival_km", "ab_power_plan",
       "cohen_kappa", "ann_ndcg", "lorenz_curve", "mcc_gate_agreement",
-      "isotonic_calibration", "isotonic_check")
+      "isotonic_calibration", "isotonic_check",
+      "rolling_origin_backtest", "conformal_interval", "hhi_index",
+      "keyword_rake", "q11_stock_share", "q20_excess_suppliers")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
