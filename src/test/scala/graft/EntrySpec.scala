@@ -104,7 +104,8 @@ class EntrySpec extends SparkSpec {
       "cohen_kappa", "ann_ndcg", "lorenz_curve", "mcc_gate_agreement",
       "isotonic_calibration", "isotonic_check",
       "rolling_origin_backtest", "conformal_interval", "hhi_index",
-      "keyword_rake", "q11_stock_share", "q20_excess_suppliers")
+      "keyword_rake", "q11_stock_share", "q20_excess_suppliers",
+      "quantile_norm", "winsorize_stats", "heavy_change", "simpson_paradox_audit")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
