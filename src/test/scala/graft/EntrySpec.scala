@@ -105,7 +105,8 @@ class EntrySpec extends SparkSpec {
       "isotonic_calibration", "isotonic_check",
       "rolling_origin_backtest", "conformal_interval", "hhi_index",
       "keyword_rake", "q11_stock_share", "q20_excess_suppliers",
-      "quantile_norm", "winsorize_stats", "heavy_change", "simpson_paradox_audit")
+      "quantile_norm", "winsorize_stats", "heavy_change", "simpson_paradox_audit",
+      "burrows_delta", "jl_projection_audit", "extreme_value_pot", "ljung_box")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
