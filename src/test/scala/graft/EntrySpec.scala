@@ -106,7 +106,9 @@ class EntrySpec extends SparkSpec {
       "rolling_origin_backtest", "conformal_interval", "hhi_index",
       "keyword_rake", "q11_stock_share", "q20_excess_suppliers",
       "quantile_norm", "winsorize_stats", "heavy_change", "simpson_paradox_audit",
-      "burrows_delta", "jl_projection_audit", "extreme_value_pot", "ljung_box")
+      "burrows_delta", "jl_projection_audit", "extreme_value_pot", "ljung_box",
+      "granger_lite", "ratio_metric_ci", "sprt_audit", "hazard_curve",
+      "entropy_over_time")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
