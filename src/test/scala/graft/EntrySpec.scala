@@ -108,7 +108,8 @@ class EntrySpec extends SparkSpec {
       "quantile_norm", "winsorize_stats", "heavy_change", "simpson_paradox_audit",
       "burrows_delta", "jl_projection_audit", "extreme_value_pot", "ljung_box",
       "granger_lite", "ratio_metric_ci", "sprt_audit", "hazard_curve",
-      "entropy_over_time")
+      "entropy_over_time",
+      "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
