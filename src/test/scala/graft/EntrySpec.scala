@@ -109,7 +109,8 @@ class EntrySpec extends SparkSpec {
       "burrows_delta", "jl_projection_audit", "extreme_value_pot", "ljung_box",
       "granger_lite", "ratio_metric_ci", "sprt_audit", "hazard_curve",
       "entropy_over_time",
-      "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check")
+      "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check",
+      "cramers_v", "trend_test_ca", "gains_curve", "counting_bloom")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
