@@ -110,7 +110,8 @@ class EntrySpec extends SparkSpec {
       "granger_lite", "ratio_metric_ci", "sprt_audit", "hazard_curve",
       "entropy_over_time",
       "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check",
-      "cramers_v", "trend_test_ca", "gains_curve", "counting_bloom")
+      "cramers_v", "trend_test_ca", "gains_curve", "counting_bloom",
+      "cuped_adjust", "odds_ratio_ci", "max_drawdown")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
