@@ -81,12 +81,15 @@ object QueriesWave10 {
     */
   def anovaOnewayQ(spark: SparkSession, dir: String): DataFrame = {
     val v2 = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
-    val g = Tables(spark, dir, "events")
-      .select(col("event_type"), v2.as("__x"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_j"),
-        sum(dec(col("__x"))).as("t_j"),
-        sum(dec(col("__x") * col("__x"))).as("s_j"))
+    // the k-row group frame feeds both the totals and the per-group
+    // terms — memoized so the fact table scans once per session
+    val g = Memo(spark, dir, "wave10:anovaGroups")(
+      Tables(spark, dir, "events")
+        .select(col("event_type"), v2.as("__x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(dec(col("__x"))).as("t_j"),
+          sum(dec(col("__x") * col("__x"))).as("s_j")))
     val tot = g.agg(sum(col("n_j")).as("nn"), sum(col("t_j")).as("tt"),
       count(lit(1)).as("k"))
     val terms = g.crossJoin(broadcast(tot))

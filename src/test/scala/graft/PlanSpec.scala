@@ -644,4 +644,53 @@ class PlanSpec extends SparkSpec {
       assert("Exchange".r.findAllIn(p).size <= 4, s"$q: $p")
     }
   }
+
+  test("anova_oneway: memoized group frame — at most one fact scan per session") {
+    val p = plan("anova_oneway")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    val ls = leaves("anova_oneway")
+    // first planning materializes the memo (one scan); later plans read cache
+    assert(ls.count(_.contains("FileSourceScan")) <= 1, ls.mkString(","))
+  }
+
+  test("kruskal_wallis: midranks join value-keyed, never sort-merge on the raw rows") {
+    // the value-level rank frame is range-partitioned + broadcast
+    // offsets; the only shuffles are value-keyed aggregations
+    val p = plan("kruskal_wallis")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("sprt_audit: join-free single scan, walk over the calendar frame") {
+    val p = plan("sprt_audit")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+    val ls = leaves("sprt_audit")
+    assert(ls.count(_.contains("FileSourceScan")) == 1, ls.mkString(","))
+  }
+
+  test("cuped_adjust and heavy_change: broadcast span, no sort-merge join") {
+    Seq("cuped_adjust", "heavy_change").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(400)}")
+      assert(p.contains("BroadcastExchange") || p.contains("InMemoryTableScan"),
+        s"$q: span should arrive by broadcast")
+    }
+  }
+
+  test("max_drawdown: windows over the day frame, scalar frames broadcast") {
+    val p = plan("max_drawdown")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("hazard_curve: one events scan feeds tenure, edge arrives broadcast") {
+    val p = plan("hazard_curve")
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("q20_excess_suppliers: widget filter pushed to the part scan, grid is one pass") {
+    val p = plan("q20_excess_suppliers")
+    assert(p.contains("StringEndsWith(p_name,widget)") || p.contains("p_name"), p.take(800))
+    // part filter + lineitem join + grid agg + demand agg + semi join + sort
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
 }
