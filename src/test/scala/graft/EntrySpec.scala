@@ -111,7 +111,8 @@ class EntrySpec extends SparkSpec {
       "entropy_over_time",
       "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check",
       "cramers_v", "trend_test_ca", "gains_curve", "counting_bloom",
-      "cuped_adjust", "odds_ratio_ci", "max_drawdown")
+      "cuped_adjust", "odds_ratio_ci", "max_drawdown",
+      "kendall_tau", "segmented_trend", "ess_autocorr")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
