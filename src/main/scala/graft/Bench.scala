@@ -15,6 +15,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window left in the suite runs over a BOUNDED
+    // post-agg frame (day/month/bucket/pair-memo scale — documented at
+    // each site and guarded by WindowAuditSpec's allowlist), but each
+    // instance trips WindowExec's blanket "No Partition Defined" WARN —
+    // thousands of copies that bury any real new warning in the bench
+    // tail. Route that one logger to ERROR; all other loggers stay at
+    // WARN so novel warnings still surface.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Untimed warmup: touch every table once so parquet-footer reads, codec
     // init, and first-stage codegen don't land on whichever query runs first.
     Tables.all.foreach { t =>

@@ -775,12 +775,18 @@ object QueriesAnalytics {
   // ---- value_deciles: ntile decile profile ----
 
   /** NTILE(10) decile boundaries of `value` per event_type, tie-broken by
-    * event_id so the tiling is deterministic in both engines.
+    * event_id so the tiling is deterministic in both engines. The tiling
+    * runs on `Layout.groupedRankedNtile`, NOT `ntile(10) OVER (PARTITION
+    * BY event_type)`: with ~5 event types the built-in window sorts ~n/5
+    * rows in one task — a single-executor sort of tens of millions of
+    * rows at 100×. The grouped distributed rank keeps every stage
+    * partition-parallel while producing the identical tiling (the sort
+    * order is tie-free thanks to event_id).
     */
   def valueDecilesQ(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    events(spark, dir)
-      .select(col("event_type"), col("value"), ntile(10).over(w).as("decile"))
+    graft.operators.Layout.groupedRankedNtile(
+        events(spark, dir).select(col("event_type"), col("value"), col("event_id")),
+        Seq("event_type"), Seq(col("value"), col("event_id")), 10, "decile")
       .groupBy(col("event_type"), col("decile"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("event_type"), col("decile"))

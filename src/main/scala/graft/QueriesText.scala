@@ -869,8 +869,10 @@ object QueriesText {
        |) WHERE rnk <= $topK
        |ORDER BY probe_id, rnk""".stripMargin
 
-  /** Rows-only (k-means is not reproducible in the oracle): the MLlib
-    * leg — IVF search over k-means-trained centroids.
+  /** Library surface: the raw MLlib leg — IVF search over
+    * k-means-trained centroids. The trained centroids are not
+    * reproducible in the oracle, so the raw result frame cannot
+    * hash-match; the registered primary form is [[ivfKmeansAnnGatedQ]].
     */
   def ivfKmeansAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
@@ -882,6 +884,39 @@ object QueriesText {
       .ivfAnnWith(emb, col("vec_id") < probeMax, cents, ivfNProbe, topK)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  /** Primary (hash-checked) form of the trained-IVF leg: one row whose
+    * counts the oracle re-derives from the probe set — the search must
+    * return results for EXACTLY the probes (n_probes), EXACTLY topK rows
+    * each (n_results = n_probes × topK), and the conjunction gate holds
+    * (ranked by non-increasing cosine, cosines in [-1, 1], never
+    * self-matching). A dropped probe, a short result list, or a broken
+    * trained index each breaks a data-dependent count, not just a
+    * boolean. Raw search results: [[ivfKmeansAnnQ]]; the per-probe
+    * itemized verdict is [[ivfKmeansCheckQ]].
+    */
+  def ivfKmeansAnnGatedQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("rnk"))
+    ivfKmeansAnnQ(spark, dir)
+      .withColumn("__prev", lag(col("cos"), 1).over(w))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__prev").isNotNull && col("__prev") < col("cos"), 1L)
+          .otherwise(0L)).as("__unsorted"),
+        max(when(abs(col("cos")) <= 1.0 + 1e-9, 0L).otherwise(1L)).as("__oob"),
+        max(when(col("cand_id") === col("probe_id"), 1L).otherwise(0L)).as("__self"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("__n")).as("n_results"),
+        ((sum(col("__unsorted") + col("__oob") + col("__self")) === 0L) &&
+          (max(when(col("__n") === topK.toLong, 0L).otherwise(1L)) === 0L))
+          .as("search_ok"))
+  }
+
+  val ivfKmeansAnnGatedSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |  CAST(COUNT(*) * $topK AS BIGINT) AS n_results, TRUE AS search_ok
+       |FROM embeddings WHERE vec_id < $probeMax""".stripMargin
 
   // ---- row 25i: trained-IVF structural verdict (oracle gate for the trainer leg) ----
 
@@ -1605,7 +1640,7 @@ object QueriesText {
     "dedup_method_agreement" -> (dedupMethodAgreementQ _),
     "embed_pq" -> (embedPqQ _),
     "pq_adc_topk" -> (pqAdcTopkQ _),
-    "ivf_kmeans_ann" -> (ivfKmeansAnnQ _),
+    "ivf_kmeans_ann" -> (ivfKmeansAnnGatedQ _),
     "ivf_kmeans_check" -> (ivfKmeansCheckQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
@@ -1620,10 +1655,13 @@ object QueriesText {
     "mm_meta" -> (mmMetaQ _)
   )
 
-  /** ivf_kmeans_ann is the one rows-only entry here (MLlib trainer);
-    * ivf_kmeans_check is its hash-checked structural contract.
+  /** The registered ivf_kmeans_ann is the gated summary (probe/result
+    * counts the oracle re-derives + conjunction verdict); the raw MLlib
+    * search stays library surface (ivfKmeansAnnQ). ivf_kmeans_check is
+    * the per-probe itemized contract.
     */
   val oracleSql: Map[String, String] = Map(
+    "ivf_kmeans_ann" -> ivfKmeansAnnGatedSql,
     "ivf_kmeans_check" -> ivfKmeansCheckSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_dup" -> winnowDupSql,

@@ -303,11 +303,27 @@ object QueriesWave11 {
     * agreement; this produces the calibrated curve itself). The PAV
     * least-squares solution is UNIQUE, so the fit is deterministic at
     * any partitioning; the piecewise-constant solution is a bounded
-    * (boundary, probability) frame. Rows-only: the trainer isn't
-    * oracle-reproducible — gated by `isotonic_check`.
+    * (boundary, probability) frame. Library surface: the trainer isn't
+    * oracle-reproducible, so the raw staircase cannot hash-match — the
+    * registered primary form is [[isotonicCalibrationGatedQ]].
     */
   def isotonicCalibrationQ(spark: SparkSession, dir: String): DataFrame =
     isotonicFit(spark, dir).orderBy(col("score"))
+
+  /** Primary (hash-checked) form of the isotonic calibrator: the
+    * oracle-re-derived training size and exact base rate next to the
+    * conjunction of the PAV contract gates (monotone, in [0,1],
+    * mass-preserving, a least-squares fit no worse — and strictly
+    * better when non-constant — than the base rate). n and base_rate
+    * are data-dependent columns the oracle computes from the corpus,
+    * so a drifted trainer input fails the hash, not just the booleans.
+    * Raw staircase: [[isotonicCalibrationQ]]; itemized verdicts:
+    * [[isotonicCheckQ]].
+    */
+  def isotonicCalibrationGatedQ(spark: SparkSession, dir: String): DataFrame =
+    isotonicCheckQ(spark, dir).select(col("n"), col("base_rate"),
+      (col("monotone_ok") && col("range_ok") && col("mass_ok") &&
+        col("fit_ok") && col("improves_ok")).as("calibrated_ok"))
 
   /** Hash-checked verdict for the isotonic fit (the `ivf_kmeans_check`
     * discipline): the curve must be monotone non-decreasing, inside
@@ -363,7 +379,9 @@ object QueriesWave11 {
           col("__ssebase") < 1e-12).as("improves_ok"))
   }
 
-  val isotonicCheckSql: String = {
+  /** Shared oracle CTE: n and base_rate re-derived from the corpus; the
+    * caller picks which verdict columns to assert TRUE. */
+  private def isotonicOracleSql(verdictCols: String): String = {
     import operators.TextAnalysis.{emailPat, phonePat}
     s"""WITH ${QueriesText.wordsCte},
        |kept AS (
@@ -376,10 +394,15 @@ object QueriesWave11 {
        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS base_rate,
-       |  TRUE AS monotone_ok, TRUE AS range_ok, TRUE AS mass_ok,
-       |  TRUE AS fit_ok, TRUE AS improves_ok
+       |  $verdictCols
        |FROM kept""".stripMargin
   }
+
+  val isotonicCheckSql: String = isotonicOracleSql(
+    "TRUE AS monotone_ok, TRUE AS range_ok, TRUE AS mass_ok,\n  TRUE AS fit_ok, TRUE AS improves_ok")
+
+  val isotonicCalibrationGatedSql: String =
+    isotonicOracleSql("TRUE AS calibrated_ok")
 
   // ---- registry ----
 
@@ -388,7 +411,7 @@ object QueriesWave11 {
     "ann_ndcg" -> (annNdcgQ _),
     "lorenz_curve" -> (lorenzCurveQ _),
     "mcc_gate_agreement" -> (mccGateAgreementQ _),
-    "isotonic_calibration" -> (isotonicCalibrationQ _),
+    "isotonic_calibration" -> (isotonicCalibrationGatedQ _),
     "isotonic_check" -> (isotonicCheckQ _)
   )
 
@@ -397,8 +420,11 @@ object QueriesWave11 {
     "ann_ndcg" -> annNdcgSql,
     "lorenz_curve" -> lorenzCurveSql,
     "mcc_gate_agreement" -> mccGateAgreementSql,
-    // isotonic_calibration is rows-only (MLlib trainer not
-    // oracle-reproducible); gated by isotonic_check below
+    // the registered isotonic_calibration is the gated form (n/base_rate
+    // re-derived by the oracle + conjunction verdict); the raw staircase
+    // stays library surface (isotonicCalibrationQ). isotonic_check is
+    // the itemized diagnostic contract.
+    "isotonic_calibration" -> isotonicCalibrationGatedSql,
     "isotonic_check" -> isotonicCheckSql
   )
 }

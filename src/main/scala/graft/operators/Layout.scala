@@ -54,6 +54,55 @@ object Layout {
       .drop("__pid", "__off", "__r0", "__N")
   }
 
+  /** Per-group exact NTILE(n) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols) without a per-group single-task sort: the same plan as
+    * [[rankedNtile]], generalized so a handful of huge groups (e.g. 5
+    * event types over 100 TB of events) still spread over every
+    * executor. Range-partition by (group, sort) — contiguous key ranges
+    * mean a group's rows split across partitions in sort order — then
+    * per-(partition, group) counts roll up to exclusive per-group
+    * offsets via a window over ≤ #groups × #shuffle-partitions rows
+    * (bounded by config, not data), broadcast back, and the bucket is
+    * computed from the exact per-group rank with the SQL NTILE size
+    * rule. Identical output to the built-in grouped ntile for a
+    * tie-free sort order (callers append a unique id).
+    */
+  def groupedRankedNtile(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], n: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val stamped = df
+      .repartitionByRange((gcols ++ sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = stamped.groupBy((col("__pid") +: gcols): _*)
+      .agg(count(lit(1)).as("__n"))
+    val offs = counts
+      .withColumn("__off",
+        coalesce(
+          sum(col("__n")).over(
+            Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((col("__pid") +: gcols :+ col("__off")): _*)
+    val totals = counts.groupBy(gcols: _*).agg(sum(col("__n")).as("__N"))
+    stamped
+      .join(broadcast(offs), "__pid" +: groupCols)
+      .withColumn("__r0",
+        row_number().over(
+          Window.partitionBy((col("__pid") +: gcols): _*).orderBy(sortCols: _*)) +
+          col("__off") - lit(1L))
+      .join(broadcast(totals), groupCols)
+      .withColumn(out,
+        when(col("__r0") < (col("__N") % n) * (expr(s"__N div $n") + 1),
+          expr(s"__r0 div ((__N div $n) + 1)") + 1)
+          .otherwise(
+            col("__N") % n +
+              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div (__N div $n)") + 1)
+          .cast("int"))
+      .drop("__pid", "__off", "__r0", "__N")
+  }
+
   /** 2-D skyline (Pareto frontier, minimize BOTH x and y) without a
     * single-partition sweep. A point is dominated iff another point is
     * ≤ in both dimensions and < in one. Classic sweep = global sort by

@@ -423,6 +423,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__pid"), p.take(1200))
   }
 
+  test("value_deciles tiles without a low-cardinality-partition ntile window") {
+    val p = plan("value_deciles")
+    // the r6-weak plan was ntile(10) OVER (PARTITION BY event_type) —
+    // ~5 partitions, each a single-task sort of n/5 rows at scale
+    assert(!p.contains("ntile("), p.take(1200))
+    // the grouped distributed rank: range-partition stamp + per-(pid,
+    // group) window — every window partition key includes __pid
+    assert(p.contains("__pid"), p.take(1200))
+  }
+
   test("q6_forecast_revenue pushes every filter to the scan; one agg exchange") {
     val p = plan("q6_forecast_revenue")
     // toString truncates the PushedFilters list; the data-filter node
