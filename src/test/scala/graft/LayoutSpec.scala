@@ -73,6 +73,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("groupedRankedNtile matches built-in grouped ntile: ragged, exact, and tiny groups") {
+    import org.apache.spark.sql.expressions.Window
+    // group sizes deliberately mixed: ragged (37 % 10 != 0), exact
+    // (30 % 10 == 0), tiny (3 < 10, including a 1-row group) — the
+    // N<n case exercises the div-by-0 guard in the otherwise branch
+    val sizes = Map("a" -> 37, "b" -> 30, "c" -> 3, "d" -> 1, "e" -> 11)
+    val rows = sizes.toSeq.flatMap { case (g, k) =>
+      (0 until k).map(i => (g, (i * 7919) % 104729, (g.hashCode.toLong << 20) + i))
+    }
+    val d = rows.toDF("g", "v", "id")
+    for (n <- Seq(10, 3)) {
+      val want = d.withColumn("t",
+          ntile(n).over(Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Layout.groupedRankedNtile(d, Seq("g"), Seq(col("v"), col("id")), n, "t")
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("skylineMin2 equals brute-force domination, ties and duplicates included") {
     // deterministic pseudo-random points with deliberate duplicates
     val pts = (0 until 300).map { i =>

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Audit of every registered query's physical plan for UNPARTITIONED
+  * window operators. An unpartitioned `Window` runs its whole input
+  * through one task — the classic 100 TB scale-killer — so every
+  * instance left in the suite must run over a frame whose size is
+  * bounded by CONFIG or CATALOG (shuffle-partition counts, bucket/value
+  * grids, model checkpoints, spec lists, day/month calendars), never by
+  * data volume. This spec walks all registered plans (descending into
+  * cached relations and subqueries), collects every unpartitioned
+  * WindowExec, and asserts the owning query is on the allowlist below —
+  * the guard `Bench.scala`'s WindowExec log-routing comment points at.
+  */
+class WindowAuditSpec extends SparkSpec {
+
+  /** Queries documented (at their implementation sites) to run one or
+    * more unpartitioned windows over a bounded frame, by bound class.
+    * A NEW query appearing in the audit failure list needs its own
+    * documented bound before it is added here.
+    */
+  private val allowlist: Set[String] = Set(
+    // ≤ #shuffle-partitions rows: the per-partition-count → cumulative
+    // offset rollup of the distributed rank/quantile/sweep helpers
+    // (Layout.rankedNtile / skylineMin2, Encoding.dictionary,
+    // Stats bucket-locate quantiles, the shared 2×-midrank helper)
+    "dict_encode", "factorize", "rfm_segments", "pareto_skyline",
+    "sample_quantiles", "quality_calibration", "kruskal_wallis",
+    "spearman_rho", "auc_roc", "quantile_norm", "hist_quantile_check",
+    // k-bounded: rank over the k survivors of a TakeOrderedAndProject
+    "mcv",
+    // domain/grid-bounded: windows over value-level or bucket-level
+    // frames whose size is the attribute domain, not the row count
+    "mutual_info", "lorenz_curve", "gains_curve", "zipf_fit",
+    "survival_km", "hazard_curve", "ks_test", "extreme_value_pot",
+    "hurst_exponent", "neyman_alloc", "dp_topk", "source_temp_mix",
+    // calendar-bounded: one row per day/week/month after aggregation
+    "user_growth", "revenue_mom", "cusum_changepoint", "page_hinkley",
+    "binseg_changepoints", "segmented_trend", "late_events",
+    // spec-/sample-/checkpoint-bounded: the cardinality-estimator
+    // family's windows run over the ~2000-slot join sample, the
+    // per-spec union, or the enumerated model joint (catalog-sized)
+    "q_error_quantiles", "progressive_est", "training_batch",
+    "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
+    "nar_inc_check", "wander_join_est", "isotonic_calibration",
+    "isotonic_check", "conformal_interval", "curriculum_plan",
+    "sprt_audit", "max_drawdown")
+
+  /** Entries allowed to show no unpartitioned window in the audited
+    * plan: registrations landing later this round (their names are
+    * pre-listed so Bench's comment stays true the moment they appear).
+    */
+  private val pendingRegs: Set[String] = Set("nar_inc_est", "nar_inc_check")
+
+  /** All WindowExec nodes of a plan, including those inside cached
+    * relations (InMemoryTableScan does not expand its child in the
+    * typed tree) and subquery plans.
+    */
+  private def windows(p: SparkPlan): Seq[WindowExec] = {
+    val here = p.collectWithSubqueries { case w: WindowExec => w }
+    val cached = p
+      .collectWithSubqueries { case s: InMemoryTableScanExec => s }
+      .flatMap(s => windows(s.relation.cachedPlan))
+    here ++ cached
+  }
+
+  test("unpartitioned windows appear only in allowlisted bounded-frame plans") {
+    // AQE wraps the tree (and would defer window planning) — plan
+    // without it, as PlanSpec does, for a deterministic audit.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val ws =
+            try windows(fn(spark, sf).queryExecution.executedPlan)
+            catch { case _: Throwable => Seq.empty } // EntrySpec guards analysis
+          val unpart = ws.count(_.partitionSpec.isEmpty)
+          if (unpart > 0) Some(name -> unpart) else None
+      }
+      info("unpartitioned-window hits: " +
+        hits.map(h => s"${h._1}:${h._2}").mkString(" "))
+      val offenders = hits.map(_._1).filterNot(allowlist)
+      assert(offenders.isEmpty,
+        s"unpartitioned WindowExec outside the allowlist: $offenders — " +
+          "document the frame bound at the site, then add the query here")
+      // keep the allowlist honest both ways: an entry whose plan no
+      // longer carries an unpartitioned window must be pruned
+      val stale = allowlist -- hits.map(_._1).toSet -- pendingRegs
+      assert(stale.isEmpty,
+        s"allowlist entries with no unpartitioned window left — prune: $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
