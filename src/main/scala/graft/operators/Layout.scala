@@ -48,8 +48,11 @@ object Layout {
         when(col("__r0") < (col("__N") % n) * (expr(s"__N div $n") + 1),
           expr(s"__r0 div ((__N div $n) + 1)") + 1)
           .otherwise(
+            // when __N < n the `when` branch covers every rank, so this
+            // divisor is never 0 here — greatest(…,1) keeps that safety
+            // explicit (non-ANSI div-by-0 would silently NULL the bucket)
             col("__N") % n +
-              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div (__N div $n)") + 1)
+              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div greatest(__N div $n, 1)") + 1)
           .cast("int"))
       .drop("__pid", "__off", "__r0", "__N")
   }
@@ -97,8 +100,11 @@ object Layout {
         when(col("__r0") < (col("__N") % n) * (expr(s"__N div $n") + 1),
           expr(s"__r0 div ((__N div $n) + 1)") + 1)
           .otherwise(
+            // unreachable for groups with __N < n (the `when` branch
+            // covers all their ranks) — greatest(…,1) makes the
+            // div-by-0 safety explicit instead of implicit
             col("__N") % n +
-              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div (__N div $n)") + 1)
+              expr(s"(__r0 - (__N % $n) * ((__N div $n) + 1)) div greatest(__N div $n, 1)") + 1)
           .cast("int"))
       .drop("__pid", "__off", "__r0", "__N")
   }
