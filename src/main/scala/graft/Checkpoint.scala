@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse persistence for TRAINED artifacts — the cross-session
+  * counterpart of [[Memo]]. A trained model's parameters (the NAR
+  * joint, k-means centroids, the isotonic staircase) are tiny tables
+  * that cost a training run to produce; a real engine writes them to
+  * the warehouse keyed by (dataset, schema version) and serves every
+  * later session WITHOUT retraining (the reference's checkpoint
+  * load/`--glob` path in scardina/run.py — models are trained once and
+  * reloaded per workload). Here: parquet under
+  * `spark-warehouse/graft_ckpt/<schemaVersion>/<dataset>-<fingerprint>/
+  * <name>`, written on first build, read-if-present ever after.
+  *
+  * The key is defensive on BOTH axes:
+  *  - `schemaVersion` is bumped by hand when a trainer, encoding, or
+  *    feature change invalidates persisted parameters (model-version
+  *    discipline — stale checkpoints must never serve a new contract);
+  *  - the `fingerprint` is data-dependent (row counts of the training
+  *    inputs), so a regenerated dataset at the same path trains fresh
+  *    instead of serving parameters fit to different data.
+  *
+  * Scale: a checkpoint is by contract a catalog/model-sized table
+  * (domain cross-products, k centroids, staircase knots) — one parquet
+  * footer read at load, broadcastable downstream. The 100 TB work is
+  * what the training run consumed, which is exactly what loading skips.
+  */
+object Checkpoint {
+
+  /** Bump when a trainer/encoding change invalidates persisted
+    * artifacts (see class doc). */
+  val schemaVersion = "v1"
+
+  /** Counts build-thunk executions (i.e. actual training runs).
+    * CheckpointSpec uses it to prove a second session serves trained
+    * surfaces from the warehouse with NO trainer invocation. */
+  val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Test seam: redirect the warehouse root (specs point it at a temp
+    * dir so audit runs don't serve each other's artifacts). */
+  @volatile private[graft] var rootOverride: Option[String] = None
+
+  private def root: String =
+    rootOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "spark-warehouse/graft_ckpt"))
+
+  /** Per-(dir, table) row counts for fingerprints — a parquet count is
+    * metadata-only but still a job; cache it for the process lifetime. */
+  private val counts =
+    scala.collection.concurrent.TrieMap[(String, String), Long]()
+
+  /** Order-sensitive combined row-count fingerprint of the named
+    * training-input tables. */
+  def tableFingerprint(spark: SparkSession, dir: String, tables: String*): Long =
+    tables.foldLeft(17L) { (acc, t) =>
+      val n = counts.getOrElseUpdate((dir, t), Tables(spark, dir, t).count())
+      acc * 1000003L + n
+    }
+
+  /** Serve `name` from the warehouse if present; otherwise run `build`
+    * (counted as a training run), persist its result, and serve the
+    * read-back — so downstream plans are identical on the build and
+    * load paths (always a parquet scan of the artifact, never the
+    * trainer's own plan).
+    */
+  def apply(spark: SparkSession, dir: String, name: String)(fingerprint: => Long)(
+      build: => DataFrame): DataFrame = {
+    val p = java.nio.file.Paths.get(
+      root, schemaVersion,
+      s"${new java.io.File(dir).getName}-${fingerprint}", name)
+    if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+      builds.incrementAndGet()
+      build.write.mode("overwrite").parquet(p.toString)
+    }
+    spark.read.parquet(p.toString)
+  }
+}

@@ -1789,36 +1789,45 @@ object QueriesEstimators {
       "c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND o_orderstatus = 'O'"),
     ("n04", true, true, col("l_returnflag") =!= "N", "l_returnflag != 'N'"))
 
+  /** Fingerprint of the NAR training inputs (the chain's tables) —
+    * keys the persisted model so regenerated data trains fresh. */
+  private def narFingerprint(spark: SparkSession, dir: String): Long =
+    Checkpoint.tableFingerprint(spark, dir, "customer", "orders", "lineitem")
+
   /** The trained model's exact joint, decoded back to values (code 1 →
-    * NULL = absent) — trained ONCE per (session, dir) and reused by
-    * nar_est and nar_check, the way the reference loads one checkpoint
-    * for a whole workload.
+    * NULL = absent) — trained ONCE per (dataset, schema version) and
+    * PERSISTED to the warehouse ([[Checkpoint]]), the way the reference
+    * trains a checkpoint once and reloads it per workload (run.py
+    * model-glob load path). A fresh session serves nar_est /
+    * nar_progressive / nar_check from the persisted joint with no
+    * trainer invocation; the session [[Memo]] only pins the loaded
+    * artifact + decode joins.
     */
   private def narJointDecoded(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "narJoint") {
-      import graft.operators.{Encoding, NarModel}
+      import graft.operators.Encoding
       def dict(t: String, c: String) =
         Encoding.dictionary(Tables(spark, dir, t), c)
-      def dmax(d: DataFrame): Int =
-        d.agg(max(col("code"))).head().getInt(0)
       val (dc, dd, dl) = (dict("customer", "c_mktsegment"),
         dict("orders", "o_orderstatus"), dict("lineitem", "l_returnflag"))
-      val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
-      val fMax = math.min(
-        batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
       // The enumerated joint IS the model checkpoint — catalog-sized
-      // (domain cross-product) by construction. Materialize it to a
-      // LITERAL frame (the kmeansCentroids discipline: trained
-      // parameters become a tiny local table): the raw frame's plan
-      // embeds the heads' ML-transform UDFs, which are nondeterministic
-      // to the cache canonicalizer, so every downstream action would
-      // re-run the softmax evaluation instead of hitting the cache.
-      import spark.implicits._
-      val checkpoint = NarModel
-        .joint(batch, dmax(dc), dmax(dd), dmax(dl), fMax, narHidden, narSeed)
-        .select(col("c_code"), col("o_code"), col("l_code"), col("p"), col("einv"))
-        .as[(Int, Int, Int, Double, Double)].collect().toSeq
-        .toDF("c_code", "o_code", "l_code", "p", "einv")
+      // (domain cross-product) by construction. Persisting it (instead
+      // of caching the raw frame) also sidesteps the cache
+      // canonicalizer: the raw frame's plan embeds the heads'
+      // ML-transform UDFs, which are nondeterministic to it, so every
+      // downstream action would re-run the softmax evaluation.
+      val checkpoint =
+        Checkpoint(spark, dir, "nar_joint")(narFingerprint(spark, dir)) {
+          import graft.operators.NarModel
+          def dmax(d: DataFrame): Int =
+            d.agg(max(col("code"))).head().getInt(0)
+          val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
+          val fMax = math.min(
+            batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
+          NarModel
+            .joint(batch, dmax(dc), dmax(dd), dmax(dl), fMax, narHidden, narSeed)
+            .select(col("c_code"), col("o_code"), col("l_code"), col("p"), col("einv"))
+        }
       checkpoint
         .join(broadcast(dc.withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
         .join(broadcast(dd.withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
@@ -2020,6 +2029,169 @@ object QueriesEstimators {
         " TRUE AS qerr_ok, TRUE AS prog_ok"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
+  // ---- rows 11k/11l: incremental training (run.py --inc-train) ----
+
+  /** Iteration budget for the incremental continuation — half the
+    * from-scratch budget: warm-started L-BFGS starts near the optimum,
+    * which is the entire point of incremental training. */
+  private val narIncIter = 30
+
+  /** Incremental training — the reference's `--inc-train` path
+    * (run.py:118; models.py load-checkpoint-and-continue): a model
+    * trained on the BASE batch (the first half of the sample slots) is
+    * UPDATED when the appended half arrives by warm-starting every head
+    * from the base checkpoint's weights and continuing L-BFGS on
+    * base+delta ([[graft.operators.NarModel.heads]] `init`), instead of
+    * refitting from the seed initialization. Both enumerated joints
+    * (base and incrementally-updated) persist as ONE warehouse
+    * checkpoint, tagged by a `model` column — a fresh session serves
+    * the before/after comparison with no trainer invocation.
+    *
+    * The fanout cap is computed over the FULL batch so both trainings
+    * share layer shapes (warm-starting requires matching dimensions) —
+    * the cap is a catalog constant, not a fitted parameter.
+    */
+  private def narIncJoints(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narIncJoints") {
+      Checkpoint(spark, dir, "nar_inc_joint")(narFingerprint(spark, dir)) {
+        import graft.operators.{Encoding, NarModel}
+        def dict(t: String, c: String) =
+          Encoding.dictionary(Tables(spark, dir, t), c)
+        def dmax(d: DataFrame): Int =
+          d.agg(max(col("code"))).head().getInt(0)
+        val (cMax, oMax, lMax) = (dmax(dict("customer", "c_mktsegment")),
+          dmax(dict("orders", "o_orderstatus")),
+          dmax(dict("lineitem", "l_returnflag")))
+        val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
+        val fMax = math.min(
+          batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
+        // slots are md5 hex ids (uniform): the low half of the hex space
+        // is a deterministic ~50% "base corpus"; the rest is the
+        // appended batch the incremental update folds in
+        val base = batch.filter(substring(col("slot"), 1, 1) < "8")
+        val baseHeads =
+          NarModel.heads(base, cMax, oMax, lMax, fMax, narHidden, narSeed)
+        val incHeads = NarModel.heads(batch, cMax, oMax, lMax, fMax, narHidden,
+          narSeed, maxIter = narIncIter, init = Some(baseHeads))
+        def tag(m: String, j: DataFrame) = j.select(lit(m).as("model"),
+          col("c_code"), col("o_code"), col("l_code"), col("p"), col("einv"))
+        tag("base", NarModel.jointOf(baseHeads, base, cMax, oMax, lMax, fMax))
+          .unionAll(
+            tag("inc", NarModel.jointOf(incHeads, batch, cMax, oMax, lMax, fMax)))
+      }
+    }
+
+  /** The persisted base/inc joints decoded back to values (code 1 →
+    * NULL = absent), same decode as [[narJointDecoded]]. */
+  private def narIncDecoded(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narIncDecoded") {
+      import graft.operators.Encoding
+      def dict(t: String, c: String) =
+        Encoding.dictionary(Tables(spark, dir, t), c)
+      narIncJoints(spark, dir)
+        .join(broadcast(dict("customer", "c_mktsegment")
+          .withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
+        .join(broadcast(dict("orders", "o_orderstatus")
+          .withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
+        .join(broadcast(dict("lineitem", "l_returnflag")
+          .withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
+    }
+
+  /** (query_id, base est, incrementally-trained est) per covered spec —
+    * [[narEstFrame]]'s formula per model tag, one grouped aggregate
+    * over the checkpoint instead of one per model. */
+  private def narIncEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narIncEstFrame") {
+      val joints = narIncDecoded(spark, dir)
+      val w = narW(spark, dir)
+      narSpecs.map { case (id, needO, needL, pred, _) =>
+        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+          (if (needL) Seq(col("l_code") =!= 1) else Nil)
+        val sat = (pred +: flags).reduce(_ && _)
+        val mass = if (needL) col("p") else col("p") * col("einv")
+        joints
+          .groupBy(col("model"))
+          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .crossJoin(w)
+          .groupBy(lit(id).as("query_id"))
+          .agg(
+            max(when(col("model") === "base",
+              greatest(col("__w") * col("__pm"), lit(1.0)))).as("base_est"),
+            max(when(col("model") === "inc",
+              greatest(col("__w") * col("__pm"), lit(1.0)))).as("inc_est"))
+      }.reduce(_.unionAll(_))
+    }
+
+  /** Library surface: raw before/after estimates of the incremental
+    * training path (not hash-matchable — the registered primary form is
+    * [[narIncEstGatedQ]]). */
+  def narIncEstQ(spark: SparkSession, dir: String): DataFrame =
+    narIncEstFrame(spark, dir).orderBy(col("query_id"))
+
+  /** Primary (hash-checked) form of the incrementally-trained
+    * estimator: per spec, the oracle-re-derived true cardinality and
+    * the updated model's gate (finite, ≥ 1, within the same q-error
+    * bound the from-scratch model must meet) — folding the appended
+    * batch in must leave the model inside the contract. */
+  def narIncEstGatedQ(spark: SparkSession, dir: String): DataFrame =
+    narIncEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("inc_est")) && col("inc_est").isNotNull &&
+          col("inc_est") >= 1.0 &&
+          greatest(col("inc_est"), col("__t")) /
+            greatest(least(col("inc_est"), col("__t")), lit(1.0)) <= narBound)
+          .as("est_ok"))
+      .orderBy(col("query_id"))
+
+  val narIncEstGatedSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS est_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Hash-checked verdict for incremental training (the nar_check
+    * discipline), per covered spec against oracle-re-derived truth:
+    *  - `base_ok`: the base model (half the sample) is itself within
+    *    2× the q-error bound — the "before" report;
+    *  - `inc_ok`: the updated model is within the full-model bound —
+    *    the "after" report (folding data in must not break the gate);
+    *  - `not_worse_ok`: the update did not degrade the fit — the
+    *    after-q-error is within 2× of the before-q-error;
+    *  - `agree_ok`: the incremental continuation lands where a
+    *    from-scratch fit on the same base+delta lands (within 2×) —
+    *    warm-start converges to the retrained model, the property that
+    *    makes incremental training trustworthy at all.
+    */
+  def narIncCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    def qerr(e: Column, t: Column): Column =
+      greatest(e, t) / greatest(least(e, t), lit(1.0))
+    narIncEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .join(narEstFrame(spark, dir).withColumnRenamed("est", "__scratch"),
+        Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("base_est")) && col("base_est") >= 1.0 &&
+          qerr(col("base_est"), col("__t")) <= narBound * 2.0).as("base_ok"),
+        (!isnan(col("inc_est")) && col("inc_est") >= 1.0 &&
+          qerr(col("inc_est"), col("__t")) <= narBound).as("inc_ok"),
+        (qerr(col("inc_est"), col("__t")) <=
+          qerr(col("base_est"), col("__t")) * 2.0).as("not_worse_ok"),
+        (qerr(col("inc_est"), col("__scratch")) <= 2.0).as("agree_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val narIncCheckSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS base_ok," +
+        " TRUE AS inc_ok, TRUE AS not_worse_ok, TRUE AS agree_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
 
   /** (edge label, fact table, fact filter, fact key, dim table,
@@ -2104,7 +2276,9 @@ object QueriesEstimators {
     "training_batch" -> (trainingBatchQ _),
     "nar_est" -> (narEstGatedQ _),
     "nar_progressive" -> (narProgressiveGatedQ _),
-    "nar_check" -> (narCheckQ _)
+    "nar_check" -> (narCheckQ _),
+    "nar_inc_est" -> (narIncEstGatedQ _),
+    "nar_inc_check" -> (narIncCheckQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -2140,6 +2314,8 @@ object QueriesEstimators {
     "nar_est" -> narEstGatedSql,
     "nar_progressive" -> narProgressiveGatedSql,
     "nar_check" -> narCheckSql,
+    "nar_inc_est" -> narIncEstGatedSql,
+    "nar_inc_check" -> narIncCheckSql,
     "training_batch" -> trainingBatchSql
   )
 }

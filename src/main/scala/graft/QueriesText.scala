@@ -876,10 +876,14 @@ object QueriesText {
     */
   def ivfKmeansAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    // the trainer runs once per (session, dir) — the tiny centroid table
-    // is the materialized index every subsequent search reuses
+    // the trainer runs once per (dataset, schema version) — the tiny
+    // centroid table is PERSISTED to the warehouse (Checkpoint) and
+    // served to every later session as the materialized index; the
+    // session Memo only pins the loaded artifact
     val cents = Memo(spark, dir, "kmeansCents")(
-      Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L))
+      Checkpoint(spark, dir, "kmeans_centroids")(
+        Checkpoint.tableFingerprint(spark, dir, "embeddings"))(
+        Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L)))
     Similarity
       .ivfAnnWith(emb, col("vec_id") < probeMax, cents, ivfNProbe, topK)
       .orderBy(col("probe_id"), col("rnk"))
@@ -895,22 +899,30 @@ object QueriesText {
     * boolean. Raw search results: [[ivfKmeansAnnQ]]; the per-probe
     * itemized verdict is [[ivfKmeansCheckQ]].
     */
-  def ivfKmeansAnnGatedQ(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKmeansAnnGatedQ(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansProbeVerdicts(spark, dir)
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("__n")).as("n_results"),
+        ((sum(col("__unsorted") + col("__oob") + col("__self")) === 0L) &&
+          (max(when(col("__n") === topK.toLong, 0L).otherwise(1L)) === 0L))
+          .as("search_ok"))
+
+  /** Per-probe structural counters of the trained-IVF search — the one
+    * frame both [[ivfKmeansCheckQ]] (itemized verdicts) and
+    * [[ivfKmeansAnnGatedQ]] (hash-gated summary) derive from, so the
+    * two gates cannot drift apart.
+    */
+  private def ivfKmeansProbeVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("rnk"))
     ivfKmeansAnnQ(spark, dir)
       .withColumn("__prev", lag(col("cos"), 1).over(w))
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("__n"),
-        max(when(col("__prev").isNotNull && col("__prev") < col("cos"), 1L)
+        sum(when(col("__prev").isNotNull && col("__prev") < col("cos"), 1L)
           .otherwise(0L)).as("__unsorted"),
-        max(when(abs(col("cos")) <= 1.0 + 1e-9, 0L).otherwise(1L)).as("__oob"),
-        max(when(col("cand_id") === col("probe_id"), 1L).otherwise(0L)).as("__self"))
-      .agg(count(lit(1)).as("n_probes"),
-        sum(col("__n")).as("n_results"),
-        ((sum(col("__unsorted") + col("__oob") + col("__self")) === 0L) &&
-          (max(when(col("__n") === topK.toLong, 0L).otherwise(1L)) === 0L))
-          .as("search_ok"))
+        sum(when(abs(col("cos")) <= 1.0 + 1e-9, 0L).otherwise(1L)).as("__oob"),
+        sum(when(col("cand_id") === col("probe_id"), 1L).otherwise(0L)).as("__self"))
   }
 
   val ivfKmeansAnnGatedSql: String =
@@ -928,20 +940,14 @@ object QueriesText {
     * the correctness gate instead of hiding behind rows-only. Quality
     * (actual recall) is ScalaTest-covered.
     */
-  def ivfKmeansCheckQ(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("rnk"))
-    ivfKmeansAnnQ(spark, dir)
-      .withColumn("__prev", lag(col("cos"), 1).over(w))
-      .groupBy(col("probe_id"))
-      .agg(
-        (count(lit(1)) === lit(topK.toLong)).as("k_ok"),
-        (sum(when(col("__prev").isNotNull && col("__prev") < col("cos"), 1L).otherwise(0L)) === 0L)
-          .as("sorted_ok"),
-        (sum(when(abs(col("cos")) <= 1.0 + 1e-9, 0L).otherwise(1L)) === 0L).as("bounded_ok"),
-        (sum(when(col("cand_id") === col("probe_id"), 1L).otherwise(0L)) === 0L).as("self_ok"))
+  def ivfKmeansCheckQ(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansProbeVerdicts(spark, dir)
+      .select(col("probe_id"),
+        (col("__n") === lit(topK.toLong)).as("k_ok"),
+        (col("__unsorted") === 0L).as("sorted_ok"),
+        (col("__oob") === 0L).as("bounded_ok"),
+        (col("__self") === 0L).as("self_ok"))
       .orderBy(col("probe_id"))
-  }
 
   val ivfKmeansCheckSql: String =
     s"""SELECT CAST(vec_id AS BIGINT) AS probe_id, TRUE AS k_ok, TRUE AS sorted_ok,

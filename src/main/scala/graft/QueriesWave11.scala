@@ -274,26 +274,32 @@ object QueriesWave11 {
   // ---- isotonic_calibration: MLlib PAV score calibrator (+ check) ----
 
   /** The isotonic fit as a bounded (boundary, fitted-probability)
-    * frame, collected once per session into a literal checkpoint table
-    * (the kmeansCentroids discipline — MLlib model transforms are
-    * nondeterministic to the cache canonicalizer). */
+    * staircase, trained once per (dataset, schema version) and
+    * PERSISTED to the warehouse (Checkpoint) — a fresh session serves
+    * the calibrator without refitting; the session Memo only pins the
+    * loaded artifact. (Persisting also sidesteps the cache
+    * canonicalizer, to which MLlib model transforms are
+    * nondeterministic.) */
   private def isotonicFit(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave11:isotonicFit") {
-      import spark.implicits._
-      val scored = Memo(spark, dir, "wave10:aucScored")(
-        operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-          .select(col("doc_id"),
-            expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-          .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-            .select(col("doc_id"), col("kept")), "doc_id"))
-      val train = scored.select(
-        (col("s6").cast("double") / 1e6).as("features"),
-        col("kept").cast("double").as("label"))
-      val model = new org.apache.spark.ml.regression.IsotonicRegression()
-        .setIsotonic(true)
-        .fit(train)
-      model.boundaries.toArray.zip(model.predictions.toArray).toSeq
-        .toDF("score", "p_calibrated")
+      Checkpoint(spark, dir, "isotonic_staircase")(
+        Checkpoint.tableFingerprint(spark, dir, "documents")) {
+        import spark.implicits._
+        val scored = Memo(spark, dir, "wave10:aucScored")(
+          operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
+            .select(col("doc_id"),
+              expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
+            .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+              .select(col("doc_id"), col("kept")), "doc_id"))
+        val train = scored.select(
+          (col("s6").cast("double") / 1e6).as("features"),
+          col("kept").cast("double").as("label"))
+        val model = new org.apache.spark.ml.regression.IsotonicRegression()
+          .setIsotonic(true)
+          .fit(train)
+        model.boundaries.toArray.zip(model.predictions.toArray).toSeq
+          .toDF("score", "p_calibrated")
+      }
     }
 
   /** MLlib IsotonicRegression (distributed pool-adjacent-violators) of

@@ -49,11 +49,18 @@ object NarModel {
     * training is deterministic given the seed. (The batch is
     * sample-sized by contract; one partition of it is not a scale
     * concern — the 100 TB work happened producing the sample.)
+    *
+    * `init` warm-starts L-BFGS from an existing head's weights — the
+    * incremental-training path (the reference's run.py `--inc-train`:
+    * continue optimizing a loaded checkpoint on base+appended data
+    * instead of refitting from the seed initialization).
     */
   def head(
       batch: DataFrame, orderCol: String, featCols: Seq[(String, Int)],
-      labelCol: String, nClasses: Int, hidden: Int,
-      seed: Long): MultilayerPerceptronClassificationModel = {
+      labelCol: String, nClasses: Int, hidden: Int, seed: Long,
+      maxIter: Int = 60,
+      init: Option[MultilayerPerceptronClassificationModel] = None)
+      : MultilayerPerceptronClassificationModel = {
     val dim = featCols.map(_._2).sum
     val train = batch
       .select(col(orderCol), featVec(featCols).as("features"),
@@ -61,16 +68,48 @@ object NarModel {
       .coalesce(1)
       .sortWithinPartitions(col(orderCol))
       .drop(orderCol)
-    new MultilayerPerceptronClassifier()
+    val cls = new MultilayerPerceptronClassifier()
       .setLayers(Array(dim, hidden, nClasses))
       .setSeed(seed)
       // 60 L-BFGS iterations at 1e-6 converge these catalog-sized
       // softmax heads to the same ≤1.1 q-error as 300@1e-9 at a fifth
       // of the cost — each iteration is a driver-coordinated job over
       // the one-partition batch, so iteration count IS the wall time
-      .setMaxIter(60)
+      .setMaxIter(maxIter)
       .setTol(1e-6)
-      .fit(train)
+    init.foreach(m => cls.setInitialWeights(m.weights))
+    cls.fit(train)
+  }
+
+  /** The three autoregressive heads P(o|c), P(l|c,o), P(f|c,o,l) as one
+    * trainable unit — what a model checkpoint holds. */
+  case class Heads(
+      po: MultilayerPerceptronClassificationModel,
+      pl: MultilayerPerceptronClassificationModel,
+      pf: MultilayerPerceptronClassificationModel)
+
+  /** Train all three heads on `batch` (concurrent Spark jobs — same
+    * seeds and single-partition inputs, so results are unchanged and
+    * wall time is the slowest head, not the sum). `init` warm-starts
+    * each head from a previous [[Heads]] (incremental training).
+    */
+  def heads(
+      batch: DataFrame, cMax: Int, oMax: Int, lMax: Int, fMax: Int,
+      hidden: Int, seed: Long, maxIter: Int = 60,
+      init: Option[Heads] = None): Heads = {
+    val codeFeats = Seq("c_code" -> cMax, "o_code" -> oMax, "l_code" -> lMax)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fPo = Future(head(batch, "slot", Seq("c_code" -> cMax), "o_code",
+      oMax, hidden, seed, maxIter, init.map(_.po)))
+    val fPl = Future(head(batch, "slot", Seq("c_code" -> cMax, "o_code" -> oMax),
+      "l_code", lMax, hidden, seed + 1, maxIter, init.map(_.pl)))
+    val fPf = Future(head(
+      batch.withColumn("f_code", least(col("lo_fanout"), lit(fMax.toLong)).cast("int")),
+      "slot", codeFeats, "f_code", fMax, hidden, seed + 2, maxIter, init.map(_.pf)))
+    Heads(Await.result(fPo, Duration.Inf), Await.result(fPl, Duration.Inf),
+      Await.result(fPf, Duration.Inf))
   }
 
   /** Attach `out` = P̂(labelCol's code | featCols) to each row of `df`
@@ -97,28 +136,22 @@ object NarModel {
     */
   def joint(
       batch: DataFrame, cMax: Int, oMax: Int, lMax: Int, fMax: Int,
-      hidden: Int, seed: Long): DataFrame = {
+      hidden: Int, seed: Long): DataFrame =
+    jointOf(heads(batch, cMax, oMax, lMax, fMax, hidden, seed), batch,
+      cMax, oMax, lMax, fMax)
+
+  /** The enumerated joint of an already-trained [[Heads]] over `batch`
+    * (whose empirical root marginal supplies P(c)) — shared by the
+    * from-scratch and incremental training paths.
+    */
+  def jointOf(
+      hs: Heads, batch: DataFrame, cMax: Int, oMax: Int, lMax: Int,
+      fMax: Int): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val codeFeats =
       Seq("c_code" -> cMax, "o_code" -> oMax, "l_code" -> lMax)
-    // the three heads are independent fits over the same cached batch —
-    // train them as concurrent Spark jobs (same session, same seeds,
-    // same single-partition inputs: results are unchanged, wall time is
-    // the slowest head instead of the sum)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fPo = Future(
-      head(batch, "slot", Seq("c_code" -> cMax), "o_code", oMax, hidden, seed))
-    val fPl = Future(head(batch, "slot", Seq("c_code" -> cMax, "o_code" -> oMax),
-      "l_code", lMax, hidden, seed + 1))
-    val fPf = Future(head(
-      batch.withColumn("f_code", least(col("lo_fanout"), lit(fMax.toLong)).cast("int")),
-      "slot", codeFeats, "f_code", fMax, hidden, seed + 2))
-    val po = Await.result(fPo, Duration.Inf)
-    val pl = Await.result(fPl, Duration.Inf)
-    val pf = Await.result(fPf, Duration.Inf)
+    val (po, pl, pf) = (hs.po, hs.pl, hs.pf)
     // root marginal is the exact empirical distribution of the sample —
     // the reference's first autoregressive slot is likewise fit directly
     val n = batch.agg(count(lit(1)).cast("double").as("__n"))

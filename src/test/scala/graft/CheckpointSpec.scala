@@ -1,0 +1,61 @@
+package graft
+
+/** Proof of the warehouse-persistence contract: trained artifacts (NAR
+  * joint, k-means centroids, isotonic staircase) are written once keyed
+  * by (dataset fingerprint, schema version), and a SECOND session
+  * serves every trained surface from the warehouse with NO trainer
+  * invocation — reload identity, the way a real engine cold-starts
+  * from its model store instead of retraining per session.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private def run(s: org.apache.spark.sql.SparkSession, name: String): Seq[String] =
+    SparkEntry.queries(name)(s, sf).collect().map(_.toString).toSeq.sorted
+
+  test("a second session serves all trained surfaces from the warehouse, trainer untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-spec").toString
+    Checkpoint.rootOverride = Some(tmp)
+    try {
+      val surfaces = Seq("nar_est", "nar_check", "nar_inc_check",
+        "ivf_kmeans_ann", "isotonic_calibration")
+      // session 1: cold start — trains and persists
+      val s1 = spark.newSession()
+      val before = Checkpoint.builds.get
+      val got1 = surfaces.map(q => q -> run(s1, q)).toMap
+      val trained = Checkpoint.builds.get - before
+      assert(trained >= 3, s"expected the three trainers to run, saw $trained builds")
+      // session 2: fresh session state (empty Memo) — must serve from
+      // the warehouse with ZERO additional trainer builds
+      val s2 = spark.newSession()
+      val got2 = surfaces.map(q => q -> run(s2, q)).toMap
+      assert(Checkpoint.builds.get - before == trained,
+        "second session re-ran a trainer instead of loading its checkpoint")
+      // reload identity: both sessions answer identically
+      for (q <- surfaces) assert(got1(q) == got2(q), s"reload drift on $q")
+    } finally {
+      Checkpoint.rootOverride = None
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("the checkpoint key is data-dependent: a different fingerprint trains fresh") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-fp").toString
+    Checkpoint.rootOverride = Some(tmp)
+    try {
+      import org.apache.spark.sql.functions._
+      var built = 0
+      def artifact(fp: Long) =
+        Checkpoint(spark, sf, "probe")(fp) {
+          built += 1
+          spark.range(3).select(col("id"))
+        }
+      artifact(1L).count(); artifact(1L).count()
+      assert(built == 1, "same fingerprint must serve the persisted artifact")
+      artifact(2L).count()
+      assert(built == 2, "a changed fingerprint must rebuild")
+    } finally {
+      Checkpoint.rootOverride = None
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+}

@@ -50,21 +50,28 @@ class WindowAuditSpec extends SparkSpec {
     "sprt_audit", "max_drawdown")
 
   /** Entries allowed to show no unpartitioned window in the audited
-    * plan: registrations landing later this round (their names are
-    * pre-listed so Bench's comment stays true the moment they appear).
-    */
-  private val pendingRegs: Set[String] = Set("nar_inc_est", "nar_inc_check")
+    * plan (e.g. a registration staged before its query lands). */
+  private val pendingRegs: Set[String] = Set.empty
 
   /** All WindowExec nodes of a plan, including those inside cached
     * relations (InMemoryTableScan does not expand its child in the
-    * typed tree) and subquery plans.
+    * typed tree), AQE wrappers (cached frames materialized by earlier
+    * suites in this JVM were planned with AQE on, and
+    * AdaptiveSparkPlanExec is a traversal leaf), and subquery plans —
+    * so the audit sees the same windows whether or not another suite
+    * already materialized a shared memo.
     */
   private def windows(p: SparkPlan): Seq[WindowExec] = {
     val here = p.collectWithSubqueries { case w: WindowExec => w }
-    val cached = p
-      .collectWithSubqueries { case s: InMemoryTableScanExec => s }
-      .flatMap(s => windows(s.relation.cachedPlan))
-    here ++ cached
+    val nested = p.collectWithSubqueries {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      // an already-executed AQE plan is a tree of QueryStageExec
+      // wrappers, each a traversal leaf hiding its stage's subtree
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+    }.flatMap(windows)
+    here ++ nested
   }
 
   test("unpartitioned windows appear only in allowlisted bounded-frame plans") {
