@@ -1003,16 +1003,33 @@ object QueriesEstimators {
     * own broadcast stats row — adding a model costs expressions, not
     * join passes.
     */
+  /** All six models' (model, query_id, q_err) rows as a session
+    * LITERAL checkpoint (bounded: 6 models × the spec list ≈ 60 rows).
+    * The arms themselves are memoized, but their plans carry the
+    * normal-equation / CASE-per-spec algebra — per-ACTION
+    * canonicalization of those trees cost ~0.15–0.35 s per arm on a
+    * warm pass, dominating q_error_models and q_error_model_quantiles.
+    * Collapsing the bounded result to a LocalTableScan (the
+    * kcore/mmr_rerank literal-checkpoint discipline) makes every later
+    * action on either query plan-flat; values are the identical
+    * doubles, so both oracle hashes are unchanged.
+    */
+  private def modelQErrFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "modelQErrsLit") {
+      import spark.implicits._
+      Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
+        .flatMap { model =>
+          estFrame(spark, dir, model)
+            .select(
+              lit(model).as("model"), col("query_id"),
+              qErrCol(col("est"), col("__card")).as("q_err"))
+            .as[(String, String, Double)].collect().toSeq
+        }
+        .toDF("model", "query_id", "q_err")
+    }
+
   def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame =
-    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
-      .map { model =>
-        estFrame(spark, dir, model)
-          .select(
-            lit(model).as("model"), col("query_id"),
-            qErrCol(col("est"), col("__card")).as("q_err"))
-      }
-      .reduce(_.unionAll(_))
-      .orderBy(col("model"), col("query_id"))
+    modelQErrFrame(spark, dir).orderBy(col("model"), col("query_id"))
 
   /** Each model maps (id, parsed query) → its full est expression; the
     * stats models are |J| × Π selectivities, cin is its own factor
