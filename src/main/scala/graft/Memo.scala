@@ -14,5 +14,17 @@ object Memo {
 
   def apply(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, dir, tag), build.cache())
+    frames.getOrElseUpdate((spark, dir, tag), persisted(build))
+
+  /** Idempotent cache: two memo tags (or a memo and an operator-level
+    * persist) can resolve to canonically identical plans — re-caching
+    * would log "Asked to cache already cached data" and register a
+    * duplicate cache entry. Reuse the existing one instead.
+    */
+  def persisted(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(level)
+    else df
 }

@@ -1003,33 +1003,37 @@ object QueriesEstimators {
     * own broadcast stats row — adding a model costs expressions, not
     * join passes.
     */
-  /** All six models' (model, query_id, q_err) rows as a session
+  /** All six models' (model, query_id, est, __card) rows as a session
     * LITERAL checkpoint (bounded: 6 models × the spec list ≈ 60 rows).
     * The arms themselves are memoized, but their plans carry the
     * normal-equation / CASE-per-spec algebra — per-ACTION
     * canonicalization of those trees cost ~0.15–0.35 s per arm on a
-    * warm pass, dominating q_error_models and q_error_model_quantiles.
-    * Collapsing the bounded result to a LocalTableScan (the
-    * kcore/mmr_rerank literal-checkpoint discipline) makes every later
-    * action on either query plan-flat; values are the identical
-    * doubles, so both oracle hashes are unchanged.
+    * warm pass, dominating every query that unions the six arms
+    * (q_error_models, q_error_model_quantiles, ensemble_est,
+    * calib_est_bias). Collapsing the bounded result to a
+    * LocalTableScan (the kcore/mmr_rerank literal-checkpoint
+    * discipline) makes every later action on those queries plan-flat;
+    * values are the identical doubles, so the oracle hashes are
+    * unchanged.
     */
-  private def modelQErrFrame(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "modelQErrsLit") {
+  private def modelEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "modelEstsLit") {
       import spark.implicits._
       Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
         .flatMap { model =>
           estFrame(spark, dir, model)
-            .select(
-              lit(model).as("model"), col("query_id"),
-              qErrCol(col("est"), col("__card")).as("q_err"))
-            .as[(String, String, Double)].collect().toSeq
+            .select(lit(model).as("model"), col("query_id"),
+              col("est"), col("__card"))
+            .as[(String, String, Double, Double)].collect().toSeq
         }
-        .toDF("model", "query_id", "q_err")
+        .toDF("model", "query_id", "est", "__card")
     }
 
   def qErrorModelsQ(spark: SparkSession, dir: String): DataFrame =
-    modelQErrFrame(spark, dir).orderBy(col("model"), col("query_id"))
+    modelEstFrame(spark, dir)
+      .select(col("model"), col("query_id"),
+        qErrCol(col("est"), col("__card")).as("q_err"))
+      .orderBy(col("model"), col("query_id"))
 
   /** Each model maps (id, parsed query) → its full est expression; the
     * stats models are |J| × Π selectivities, cin is its own factor
@@ -1089,17 +1093,14 @@ object QueriesEstimators {
     * memoized per-model est frames — no new scans.
     */
   def calibEstBiasQ(spark: SparkSession, dir: String): DataFrame =
-    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
-      .map { m =>
-        estFrame(spark, dir, m)
-          .filter(col("est") > 0 && col("__card") > 0)
-          .select(expr("CAST(ln(est / __card) AS DECIMAL(38,6))").as("lb"))
-          .agg(count(lit(1)).as("n_used"),
-            (sum(col("lb")).cast("decimal(38,6)").cast("double") / count(lit(1)))
-              .as("bias_nats"))
-          .select(lit(m).as("model"), col("n_used"), col("bias_nats"))
-      }
-      .reduce(_.unionAll(_))
+    modelEstFrame(spark, dir)
+      .filter(col("est") > 0 && col("__card") > 0)
+      .select(col("model"),
+        expr("CAST(ln(est / __card) AS DECIMAL(38,6))").as("lb"))
+      .groupBy(col("model"))
+      .agg(count(lit(1)).as("n_used"),
+        (sum(col("lb")).cast("decimal(38,6)").cast("double") / count(lit(1)))
+          .as("bias_nats"))
       .orderBy(col("model"))
 
   val calibEstBiasSql: String = {
@@ -1737,12 +1738,7 @@ object QueriesEstimators {
   def ensembleEstQ(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("est"), col("model"))
-    Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
-      .map { m =>
-        estFrame(spark, dir, m)
-          .select(col("query_id"), lit(m).as("model"), col("est"), col("__card"))
-      }
-      .reduce(_.unionAll(_))
+    modelEstFrame(spark, dir)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn").isin(3, 4))
       .groupBy(col("query_id"))

@@ -35,7 +35,7 @@ object QueriesWave10 {
     val stamped = vt
       .repartitionByRange(col("__v"))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Memo.persisted(_))
     val offsets = stamped
       .groupBy(col("__pid")).agg(sum(col("__t")).as("__n"))
       .withColumn("__off",

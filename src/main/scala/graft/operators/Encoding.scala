@@ -40,7 +40,7 @@ object Encoding {
       .select(col(c)).na.drop().distinct()
       .repartitionByRange(col(c))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Memo.persisted(_))
     val offsets = stamped
       .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .withColumn(

@@ -28,7 +28,7 @@ object Layout {
     val stamped = df
       .repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Memo.persisted(_))
     val counts = stamped.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     val offs = counts
       .withColumn("__off",
@@ -77,7 +77,7 @@ object Layout {
     val stamped = df
       .repartitionByRange((gcols ++ sortCols): _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Memo.persisted(_))
     val counts = stamped.groupBy((col("__pid") +: gcols): _*)
       .agg(count(lit(1)).as("__n"))
     val offs = counts
@@ -127,7 +127,7 @@ object Layout {
     val g = df.groupBy(col(x)).agg(min(col(y)).as("__gy"))
       .repartitionByRange(col(x))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Memo.persisted(_))
     // strict-prefix min inside each partition…
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col(x))
       .rowsBetween(Window.unboundedPreceding, -1)
