@@ -50,13 +50,25 @@ object Checkpoint {
   private val counts =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
 
+  /** Modulus of the fingerprint fold: a prime < 2^31, so every
+    * intermediate (acc × 1000003 + n) stays < 2^51 — exact in BIGINT
+    * on any engine, which lets `model_store`'s oracle re-derive the
+    * fingerprint from COUNT(*)s in plain SQL. */
+  val fingerprintMod = 2147483629L
+
   /** Order-sensitive combined row-count fingerprint of the named
-    * training-input tables. */
+    * training-input tables (polynomial fold mod [[fingerprintMod]]). */
   def tableFingerprint(spark: SparkSession, dir: String, tables: String*): Long =
     tables.foldLeft(17L) { (acc, t) =>
       val n = counts.getOrElseUpdate((dir, t), Tables(spark, dir, t).count())
-      acc * 1000003L + n
+      (acc * 1000003L + n) % fingerprintMod
     }
+
+  /** The identical fold as engine-portable SQL (the oracle's side of
+    * the model-store contract). */
+  def fingerprintSql(tables: Seq[String]): String =
+    tables.foldLeft("17")((acc, t) =>
+      s"(($acc * 1000003 + (SELECT COUNT(*) FROM $t)) % $fingerprintMod)")
 
   /** Serve `name` from the warehouse if present; otherwise run `build`
     * (counted as a training run), persist its result, and serve the

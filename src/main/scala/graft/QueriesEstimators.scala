@@ -1802,10 +1802,21 @@ object QueriesEstimators {
       "c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AND o_orderstatus = 'O'"),
     ("n04", true, true, col("l_returnflag") =!= "N", "l_returnflag != 'N'"))
 
+  /** Training-input tables whose row counts key the persisted NAR
+    * models (shared with model_store's catalog row). */
+  private[graft] val narFpTables = Seq("customer", "orders", "lineitem")
+
   /** Fingerprint of the NAR training inputs (the chain's tables) —
     * keys the persisted model so regenerated data trains fresh. */
   private def narFingerprint(spark: SparkSession, dir: String): Long =
-    Checkpoint.tableFingerprint(spark, dir, "customer", "orders", "lineitem")
+    Checkpoint.tableFingerprint(spark, dir, narFpTables: _*)
+
+  /** model_store accessors: the loaded artifacts (trained checkpoints
+    * after decode), bounded frames by contract. */
+  private[graft] def narJointArtifact(spark: SparkSession, dir: String): DataFrame =
+    narJointDecoded(spark, dir)
+  private[graft] def narIncArtifact(spark: SparkSession, dir: String): DataFrame =
+    narIncJoints(spark, dir)
 
   /** The trained model's exact joint, decoded back to values (code 1 →
     * NULL = absent) — trained ONCE per (dataset, schema version) and

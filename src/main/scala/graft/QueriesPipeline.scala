@@ -631,7 +631,55 @@ object QueriesPipeline {
        |ORDER BY a.query_id""".stripMargin
   }
 
+  // ---- row 11m: model_store — the warehouse model-store catalog ----
+
+  /** The model-store catalog: one row per persisted trained artifact
+    * (NAR joint, incremental NAR joints, k-means centroid index,
+    * isotonic staircase) with the data-dependent fingerprint that keys
+    * it and a loaded-and-non-empty verdict. Constructing the frame
+    * LOADS every artifact through its owner (training on a cold store,
+    * reading parquet ever after) — so the catalog row is a live probe
+    * of the serve path, and the oracle re-derives each fingerprint from
+    * the training inputs' COUNT(*)s via the identical polynomial fold
+    * ([[Checkpoint.fingerprintSql]]): a drifted dataset or a
+    * mis-keyed store breaks the hash. Artifacts are bounded
+    * (catalog/model-sized) by contract, so the per-artifact count is a
+    * cached-scan action, not data-scale work.
+    */
+  def modelStoreQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val artifacts: Seq[(String, Seq[String], DataFrame)] = Seq(
+      ("isotonic_staircase", QueriesWave11.isoFpTables,
+        QueriesWave11.isotonicFit(spark, dir)),
+      ("kmeans_centroids", QueriesText.kmeansFpTables,
+        QueriesText.kmeansCentsFrame(spark, dir)),
+      ("nar_inc_joint", QueriesEstimators.narFpTables,
+        QueriesEstimators.narIncArtifact(spark, dir)),
+      ("nar_joint", QueriesEstimators.narFpTables,
+        QueriesEstimators.narJointArtifact(spark, dir)))
+    artifacts
+      .map { case (name, tables, frame) =>
+        (name, Checkpoint.tableFingerprint(spark, dir, tables: _*),
+          frame.count() > 0)
+      }
+      .toDF("artifact", "fingerprint", "loaded_ok")
+      .orderBy(col("artifact"))
+  }
+
+  val modelStoreSql: String = {
+    val rows = Seq(
+      ("isotonic_staircase", QueriesWave11.isoFpTables),
+      ("kmeans_centroids", QueriesText.kmeansFpTables),
+      ("nar_inc_joint", QueriesEstimators.narFpTables),
+      ("nar_joint", QueriesEstimators.narFpTables))
+    rows.map { case (name, tables) =>
+      s"SELECT '$name' AS artifact, CAST(${Checkpoint.fingerprintSql(tables)}" +
+        " AS BIGINT) AS fingerprint, TRUE AS loaded_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY artifact")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_store" -> (modelStoreQ _),
     "join_order_advisor" -> (joinOrderAdvisorQ _),
     "last_touch_attribution" -> (lastTouchAttributionQ _),
     "centroid_drift" -> (centroidDriftQ _),
@@ -646,6 +694,7 @@ object QueriesPipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "model_store" -> modelStoreSql,
     "join_order_advisor" -> joinOrderAdvisorSql,
     "last_touch_attribution" -> lastTouchAttributionSql,
     "centroid_drift" -> centroidDriftSql,

@@ -874,18 +874,26 @@ object QueriesText {
     * reproducible in the oracle, so the raw result frame cannot
     * hash-match; the registered primary form is [[ivfKmeansAnnGatedQ]].
     */
+  /** Training-input tables whose row counts key the persisted centroid
+    * index (shared with model_store's catalog row). */
+  private[graft] val kmeansFpTables = Seq("embeddings")
+
+  /** The trained centroid index: built once per (dataset, schema
+    * version) and PERSISTED to the warehouse (Checkpoint); every later
+    * session loads the tiny centroid table instead of retraining. The
+    * session Memo only pins the loaded artifact. */
+  private[graft] def kmeansCentsFrame(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "kmeansCents")(
+      Checkpoint(spark, dir, "kmeans_centroids")(
+        Checkpoint.tableFingerprint(spark, dir, kmeansFpTables: _*))(
+        Similarity.kmeansCentroids(
+          Tables(spark, dir, "embeddings"), ivfNCent, seed = 7L)))
+
   def ivfKmeansAnnQ(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    // the trainer runs once per (dataset, schema version) — the tiny
-    // centroid table is PERSISTED to the warehouse (Checkpoint) and
-    // served to every later session as the materialized index; the
-    // session Memo only pins the loaded artifact
-    val cents = Memo(spark, dir, "kmeansCents")(
-      Checkpoint(spark, dir, "kmeans_centroids")(
-        Checkpoint.tableFingerprint(spark, dir, "embeddings"))(
-        Similarity.kmeansCentroids(emb, ivfNCent, seed = 7L)))
     Similarity
-      .ivfAnnWith(emb, col("vec_id") < probeMax, cents, ivfNProbe, topK)
+      .ivfAnnWith(emb, col("vec_id") < probeMax, kmeansCentsFrame(spark, dir),
+        ivfNProbe, topK)
       .orderBy(col("probe_id"), col("rnk"))
   }
 

@@ -280,10 +280,12 @@ object QueriesWave11 {
     * loaded artifact. (Persisting also sidesteps the cache
     * canonicalizer, to which MLlib model transforms are
     * nondeterministic.) */
-  private def isotonicFit(spark: SparkSession, dir: String): DataFrame =
+  private[graft] val isoFpTables = Seq("documents")
+
+  private[graft] def isotonicFit(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave11:isotonicFit") {
       Checkpoint(spark, dir, "isotonic_staircase")(
-        Checkpoint.tableFingerprint(spark, dir, "documents")) {
+        Checkpoint.tableFingerprint(spark, dir, isoFpTables: _*)) {
         import spark.implicits._
         val scored = Memo(spark, dir, "wave10:aucScored")(
           operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
