@@ -345,6 +345,142 @@ object QueriesCorpus {
        |SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM p GROUP BY 1
        |ORDER BY cnt DESC, pair LIMIT $bpeTopK""".stripMargin
 
+  // ---- row 38c: bpe_train — greedy BPE merge loop (tokenizer training) ----
+
+  val bpeMerges = 6
+
+  /** Word vocabulary with counts and the sentinel-spaced character
+    * sequence each word starts from: leading/trailing single space,
+    * TWO spaces between symbols. The two-space separator is what makes
+    * one literal replace-all per merge exactly the greedy left-to-right
+    * BPE merge: the needle `␣a␣␣b␣` consumes one space of each
+    * flanking separator and the replacement `␣ab␣` restores it, so
+    * consecutive occurrences (`a b a b`) all merge in a single pass
+    * and a needle can never match inside a longer symbol (symbols are
+    * space-free by construction).
+    */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "corpus:bpeVocab")(
+      Tables(spark, dir, "documents")
+        .select(explode(operators.TextOps.tokensExpr).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .select(col("c"),
+          concat(lit(" "),
+            concat_ws("  ",
+              expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+            lit(" ")).as("seq")))
+
+  /** BPE tokenizer TRAINING — the full greedy merge loop, not just one
+    * pair count (`bpe_pairs` is the inner statistic): `bpeMerges`
+    * iterations of count-adjacent-pairs → pick the most frequent
+    * (ties: lexicographic) → merge it everywhere. Every iteration is
+    * vocabulary-bounded work (the corpus is touched once, for the word
+    * counts), each winner is a 1-row driver pick, and the resulting
+    * merge table — the trained tokenizer — is PERSISTED to the model
+    * store keyed by the corpus fingerprint, like every other trained
+    * artifact. The oracle replays the identical loop as chained CTE
+    * stages, so the trained merges hash-match end-to-end.
+    */
+  private[graft] def bpeMergesArtifact(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "corpus:bpeMerges")(
+      Checkpoint(spark, dir, "bpe_merges")(
+        Checkpoint.tableFingerprint(spark, dir, "documents")) {
+        import spark.implicits._
+        Corpus.bpeTrain(bpeVocab(spark, dir), bpeMerges)
+          .toDF("merge_idx", "sym_a", "sym_b", "merged", "cnt")
+      })
+
+  def bpeTrainQ(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesArtifact(spark, dir).orderBy(col("merge_idx"))
+
+  val bpeTrainSql: String = {
+    val stages = (1 to bpeMerges).map { t =>
+      s"""p$t AS (SELECT u.a AS a, u.b AS b, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+         |  SELECT c, unnest(list_transform(range(1, len(syms)),
+         |    i -> {'a': syms[i], 'b': syms[i + 1]})) AS u
+         |  FROM (SELECT c, string_split(trim(seq), '  ') AS syms FROM v${t - 1})
+         |  WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT a, b, a || b AS m, cnt FROM p$t
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$t AS MATERIALIZED (SELECT c,
+         |  replace(seq, ' ' || (SELECT a FROM b$t) || '  ' || (SELECT b FROM b$t) || ' ',
+         |    ' ' || (SELECT m FROM b$t) || ' ') AS seq FROM v${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to bpeMerges)
+      .map(t => s"SELECT CAST($t AS INTEGER) AS merge_idx, a AS sym_a, b AS sym_b," +
+        s" m AS merged, cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${QueriesText.wordsCte},
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT c, ' ' || array_to_string(
+       |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ')
+       |    || ' ' AS seq FROM wc),
+       |$stages
+       |$out
+       |ORDER BY merge_idx""".stripMargin
+  }
+
+  // ---- row 38d: bpe_encode — apply the trained merges (tokenize) ----
+
+  /** The trained tokenizer's APPLY side: run the persisted merge table
+    * over the vocabulary (the same chained sentinel-space replaces the
+    * trainer used — applying k merges is k vocabulary-bounded string
+    * replaces, the corpus itself is never re-touched) and report the
+    * corpus-level encoding statistics a tokenizer release ships:
+    * word/char/token totals, fertility (tokens per word) and the
+    * char→token compression ratio. The merge list is a k-row driver
+    * collect of the model-store artifact; the oracle replays training
+    * AND application in one CTE chain, so the encoded statistics
+    * hash-match end-to-end.
+    */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesArtifact(spark, dir)
+      .orderBy(col("merge_idx"))
+      .select(col("sym_a"), col("sym_b"), col("merged"))
+      .collect() // k rows — the trained merge table itself
+    val encoded = merges.foldLeft(bpeVocab(spark, dir)) { (v, m) =>
+      v.select(col("c"), expr(
+        s"replace(seq, ' ${m.getString(0)}  ${m.getString(1)} ', ' ${m.getString(2)} ')")
+        .as("seq"))
+    }
+    encoded
+      .select(col("c"), size(split(trim(col("seq")), "  ")).cast("long").as("__nt"),
+        (length(col("seq")) - lit(2) -
+          (size(split(trim(col("seq")), "  ")) - lit(1)) * lit(2))
+          .cast("long").as("__nc"))
+      .agg(
+        sum(col("c")).cast("bigint").as("n_words"),
+        sum(col("__nc") * col("c")).cast("bigint").as("n_chars"),
+        sum(col("__nt") * col("c")).cast("bigint").as("n_tokens"))
+      .select(col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_tokens").cast("double") / col("n_chars").cast("double"))
+          .as("compression"))
+  }
+
+  val bpeEncodeSql: String = {
+    // reuse the training CTE chain; v<bpeMerges> is the encoded vocab
+    val body = bpeTrainSql
+    val chain = body.substring(0, body.indexOf("\nSELECT CAST(1 AS INTEGER)")).trim
+    // NB: stripMargin only on the local template — the interpolated
+    // chain contains `||` concats at line starts that stripMargin
+    // would truncate to `|`
+    val tail =
+      s"""enc AS (SELECT c, string_split(trim(seq), '  ') AS syms,
+         |          length(seq) - 2 - (len(string_split(trim(seq), '  ')) - 1) * 2 AS nc
+         |        FROM v$bpeMerges),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_words,
+         |          CAST(SUM(nc * c) AS BIGINT) AS n_chars,
+         |          CAST(SUM(len(syms) * c) AS BIGINT) AS n_tokens FROM enc)
+         |SELECT n_words, n_chars, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE) AS compression
+         |FROM tot""".stripMargin
+    chain + ",\n" + tail
+  }
+
   // ---- substring_dup: exact repeated-substring span coverage ----
 
   val ssdGram = 10
@@ -652,6 +788,8 @@ object QueriesCorpus {
     "tok_fertility" -> (tokFertilityQ _),
     "zipf_fit" -> (zipfFitQ _),
     "bpe_pairs" -> (bpePairsQ _),
+    "bpe_train" -> (bpeTrainQ _),
+    "bpe_encode" -> (bpeEncodeQ _),
     "substring_dup" -> (substringDupQ _),
     "curation_pass" -> (curationPassQ _),
     "source_mix_sample" -> (sourceMixSampleQ _),
@@ -673,6 +811,8 @@ object QueriesCorpus {
     "tok_fertility" -> tokFertilitySql,
     "zipf_fit" -> zipfFitSql,
     "bpe_pairs" -> bpePairsSql,
+    "bpe_train" -> bpeTrainSql,
+    "bpe_encode" -> bpeEncodeSql,
     "substring_dup" -> substringDupSql,
     "curation_pass" -> curationPassSql,
     "source_mix_sample" -> sourceMixSampleSql,

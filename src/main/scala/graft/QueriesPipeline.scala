@@ -649,6 +649,8 @@ object QueriesPipeline {
   def modelStoreQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val artifacts: Seq[(String, Seq[String], DataFrame)] = Seq(
+      ("bpe_merges", Seq("documents"),
+        QueriesCorpus.bpeMergesArtifact(spark, dir)),
       ("isotonic_staircase", QueriesWave11.isoFpTables,
         QueriesWave11.isotonicFit(spark, dir)),
       ("kmeans_centroids", QueriesText.kmeansFpTables,
@@ -668,6 +670,7 @@ object QueriesPipeline {
 
   val modelStoreSql: String = {
     val rows = Seq(
+      ("bpe_merges", Seq("documents")),
       ("isotonic_staircase", QueriesWave11.isoFpTables),
       ("kmeans_centroids", QueriesText.kmeansFpTables),
       ("nar_inc_joint", QueriesEstimators.narFpTables),

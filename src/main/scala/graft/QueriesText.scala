@@ -994,6 +994,45 @@ object QueriesText {
        |SELECT probe_id, n_hits, CAST(n_hits AS DOUBLE) / ${topK}.0 AS recall
        |FROM h ORDER BY probe_id""".stripMargin
 
+  // ---- row 25k: recall of the TRAINED IVF index vs brute force ----
+
+  /** Minimum acceptable mean recall@k of the k-means-trained IVF
+    * search at nProbe=2 of 16 lists. Observed 0.375–0.45 at the test
+    * scales (the synthetic embeddings are near-uniform, so the
+    * 2-of-16 probe budget bounds attainable recall); an UNINFORMATIVE
+    * index (random list assignment) would land near 2/16 ≈ 0.125.
+    * 0.2 flags a genuinely broken trained index without tripping on
+    * the recall the probe budget legitimately forfeits. */
+  val ivfKmeansRecallBound = 0.2
+
+  /** The trained-index counterpart of [[annRecallQ]]: recall@k of the
+    * MLlib-k-means IVF search against the brute-force cosine truth —
+    * `ivf_kmeans_check` proves the search is structurally sound; this
+    * measures whether the TRAINED index actually finds the right
+    * neighbors. Both legs are memoized verified operators; the
+    * measurement is one semi-join over them. The trained recall value
+    * itself is not oracle-reproducible, so the registered form carries
+    * the oracle-re-derived probe count next to the recall gate (the
+    * nar_check discipline).
+    */
+  def ivfKmeansRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val gt = embedCosineTopkQ(spark, dir).select(col("probe_id"), col("cand_id"))
+    val ann = ivfKmeansAnnQ(spark, dir).select(col("probe_id"), col("cand_id"))
+    val hits = gt.join(ann, Seq("probe_id", "cand_id"), "leftsemi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__h"))
+    gt.groupBy(col("probe_id")).agg(count(lit(1)).as("__k"))
+      .join(hits, Seq("probe_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        (sum(coalesce(col("__h"), lit(0L))).cast("double") /
+          sum(col("__k")).cast("double")).as("__recall"))
+      .select(col("n_probes"),
+        (col("__recall") >= ivfKmeansRecallBound).as("recall_ok"))
+  }
+
+  val ivfKmeansRecallSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_probes, TRUE AS recall_ok
+       |FROM embeddings WHERE vec_id < $probeMax""".stripMargin
+
   // ---- row 25h: int8 scalar quantization + reconstruction error ----
 
   /** Per-vector int8 scalar quantization (the serving-time compression
@@ -1656,6 +1695,7 @@ object QueriesText {
     "pq_adc_topk" -> (pqAdcTopkQ _),
     "ivf_kmeans_ann" -> (ivfKmeansAnnGatedQ _),
     "ivf_kmeans_check" -> (ivfKmeansCheckQ _),
+    "ivf_kmeans_recall" -> (ivfKmeansRecallQ _),
     "lang_id" -> (langIdQ _),
     "quality_score" -> (qualityScoreQ _),
     "quality_calibration" -> (qualityCalibrationQ _),
@@ -1677,6 +1717,7 @@ object QueriesText {
   val oracleSql: Map[String, String] = Map(
     "ivf_kmeans_ann" -> ivfKmeansAnnGatedSql,
     "ivf_kmeans_check" -> ivfKmeansCheckSql,
+    "ivf_kmeans_recall" -> ivfKmeansRecallSql,
     "winnow_fingerprint" -> winnowFingerprintSql,
     "winnow_dup" -> winnowDupSql,
     "minhash_jaccard_est" -> minhashJaccardEstSql,

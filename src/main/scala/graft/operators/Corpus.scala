@@ -199,6 +199,40 @@ object Corpus {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
 
+  /** Greedy BPE merge loop over a sentinel-spaced vocabulary frame
+    * `(c, seq)` — seq = leading/trailing single space, TWO spaces
+    * between symbols (see QueriesCorpus.bpeVocab for why that makes
+    * one literal replace-all per merge exactly the greedy
+    * left-to-right BPE merge). Each of the `merges` iterations counts
+    * adjacent symbol pairs weighted by `c` (vocabulary-bounded work),
+    * picks the most frequent (ties: lexicographic on the pair), and
+    * merges it everywhere; the winner is a 1-row driver pick. Returns
+    * (merge_idx, sym_a, sym_b, merged, cnt) per iteration — the
+    * trained tokenizer's merge table.
+    */
+  def bpeTrain(vocab: DataFrame, merges: Int): Seq[(Int, String, String, String, Long)] = {
+    var v = vocab
+    val rows = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (t <- 1 to merges) {
+      val best = v
+        .select(col("c"), split(trim(col("seq")), "  ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      rows += ((t, a, b, a + b, cnt))
+      v = v.select(col("c"),
+        expr(s"replace(seq, ' $a  $b ', ' ${a + b} ')").as("seq"))
+    }
+    rows.result()
+  }
+
   /** Exact-substring duplication profile: token `gram`-grams occurring
     * more than once anywhere in the corpus mark their covering spans;
     * per doc, distinct covered positions and the coverage ratio. Docs

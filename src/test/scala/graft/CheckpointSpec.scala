@@ -17,13 +17,13 @@ class CheckpointSpec extends SparkSpec {
     Checkpoint.rootOverride = Some(tmp)
     try {
       val surfaces = Seq("nar_est", "nar_check", "nar_inc_check",
-        "ivf_kmeans_ann", "isotonic_calibration")
+        "ivf_kmeans_ann", "isotonic_calibration", "bpe_train", "model_store")
       // session 1: cold start — trains and persists
       val s1 = spark.newSession()
       val before = Checkpoint.builds.get
       val got1 = surfaces.map(q => q -> run(s1, q)).toMap
       val trained = Checkpoint.builds.get - before
-      assert(trained >= 3, s"expected the three trainers to run, saw $trained builds")
+      assert(trained >= 5, s"expected all five trainers to run, saw $trained builds")
       // session 2: fresh session state (empty Memo) — must serve from
       // the warehouse with ZERO additional trainer builds
       val s2 = spark.newSession()

@@ -143,4 +143,26 @@ class CorpusSpec extends SparkSpec {
       math.abs(db1 - (1.0 - 1.0 / 5)) < 1e-12, got(1L))
     assert(got(2L) == ((0.0, 0.25, 0.0)), got(2L))
   }
+
+  test("bpeTrain replays greedy BPE by hand: overlaps, ties, and merged-symbol pairs") {
+    import spark.implicits._
+    // words: abab x3, ab x2, aaa x4 — hand-computed merge sequence:
+    //  1. ties (a,a)=8 vs (a,b)=8 -> lexicographic (a,a); greedy
+    //     left-to-right turns "a a a" into "aa a" (overlap handling)
+    //  2. (a,b)=8
+    //  3. (aa,a)=4 beats (ab,ab)=3 — a pair of MERGED symbols
+    //  4. (ab,ab)=3
+    val vocab = Seq(("abab", 3L), ("ab", 2L), ("aaa", 4L))
+      .toDF("word", "c")
+      .select(col("c"), concat(lit(" "),
+        concat_ws("  ",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit(" ")).as("seq"))
+    val got = Corpus.bpeTrain(vocab, 4)
+    assert(got == Seq(
+      (1, "a", "a", "aa", 8L),
+      (2, "a", "b", "ab", 8L),
+      (3, "aa", "a", "aaa", 4L),
+      (4, "ab", "ab", "abab", 3L)), got)
+  }
 }

@@ -27,7 +27,7 @@ class EntrySpec extends SparkSpec {
     val expected = Set(
       "q1_agg", "fk_count", "adj_fanout", "fanout_weight", "subschema_sizes", "ur_size",
       "distinct_vals", "dict_encode", "factorize", "pred_eval", "true_card",
-      "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "progressive_est", "ols_est", "ensemble_est", "nar_est", "nar_progressive", "nar_check", "nar_inc_est", "nar_inc_check", "model_store", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
+      "naive_est", "hist_est", "mcv_est", "joint_est", "cin_est", "sample_est", "progressive_est", "ols_est", "ensemble_est", "nar_est", "nar_progressive", "nar_check", "nar_inc_est", "nar_inc_check", "model_store", "bpe_train", "bpe_encode", "ivf_kmeans_recall", "q_error", "q_error_quantiles", "q_error_models", "q_error_model_quantiles", "join_sample", "training_batch",
       "col_stats", "histogram", "mcv", "cms_freq", "hll_ndv", "kmv_ndv",
       "col_quantiles", "bloom_filter", "kmv_group_ndv", "mergeable_stats",
       "eqdepth_hist", "event_pivot",
