@@ -88,4 +88,11 @@ class EstimatorModelSpec extends SparkSpec {
       assert(ne >= -1e-9 && ne <= 1.0 + 1e-9, s"$cn norm=$ne")
     }
   }
+
+  test("incremental NAR training: every before/after/agreement gate holds") {
+    val rows = QueriesEstimators.queries("nar_inc_check")(spark, sf).collect()
+    assert(rows.length == 4, rows.mkString(" | "))
+    for (r <- rows; i <- 2 until 6)
+      assert(r.getBoolean(i), s"gate $i false in $r")
+  }
 }
