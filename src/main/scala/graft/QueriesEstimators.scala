@@ -2216,6 +2216,160 @@ object QueriesEstimators {
         " TRUE AS inc_ok, TRUE AS not_worse_ok, TRUE AS agree_ok"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
+  // ---- rows 11n/11o: transformer NAR (models.py:435 NARTransformer) ----
+
+  /** Adam steps for the transformer fit — full-batch over the weighted
+    * combo table; 800 converges the weighted CE to the empirical
+    * conditionals' noise floor at these domain sizes (spec-checked). */
+  private val narTxSteps = 800
+
+  /** The transformer NAR's enumerated joint — the reference's
+    * `NARTransformer` (models.py:435) re-expressed: one causal
+    * self-attention network learns ALL the autoregressive conditionals
+    * (including P(c) and the fanout head) instead of one MLP per
+    * conditional ([[graft.operators.NarTransformer]]). Trained on the
+    * weighted distinct-combo collapse of the same encoded training
+    * batch (bounded: ≤ cMax·oMax·lMax·fMax rows — a documented
+    * bounded-frame collect), persisted to the warehouse model store
+    * like every trained artifact.
+    */
+  /** The transformer trainer's bounded input: the weighted distinct-combo
+    * collapse of the encoded training batch (gradient-identical to the
+    * raw rows, ≤ cMax·oMax·lMax·fMax rows — a documented bounded-frame
+    * collect) plus the per-position domain sizes. Shared by the
+    * checkpoint trainer ([[narTxJoint]]) and the intermediate-model
+    * curve ([[narTxCurveEsts]]). */
+  private def narTxInputs(spark: SparkSession, dir: String)
+      : (Array[(Int, Int, Int, Int, Double)], Int, Int, Int, Int) = {
+    import graft.operators.Encoding
+    def dmax(t: String, c: String): Int =
+      Encoding.dictionary(Tables(spark, dir, t), c)
+        .agg(max(col("code"))).head().getInt(0)
+    val (cMax, oMax, lMax) = (dmax("customer", "c_mktsegment"),
+      dmax("orders", "o_orderstatus"), dmax("lineitem", "l_returnflag"))
+    val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
+    val fMax = math.min(
+      batch.agg(max(col("lo_fanout"))).head().getLong(0), 32L).toInt
+    val combos = batch
+      .groupBy(col("c_code"), col("o_code"), col("l_code"),
+        least(col("lo_fanout"), lit(fMax.toLong)).cast("int").as("f_code"))
+      .agg(count(lit(1)).as("w"))
+      .collect()
+      .map(r => (r.getInt(0) - 1, r.getInt(1) - 1, r.getInt(2) - 1,
+        r.getInt(3) - 1, r.getLong(4).toDouble))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+    (combos, cMax, oMax, lMax, fMax)
+  }
+
+  private def narTxJoint(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narTxJoint") {
+      Checkpoint(spark, dir, "nar_tx_joint")(narFingerprint(spark, dir)) {
+        val (combos, cMax, oMax, lMax, fMax) = narTxInputs(spark, dir)
+        val model = graft.operators.NarTransformer.train(
+          combos, cMax, oMax, lMax, fMax, narSeed, narTxSteps)
+        import spark.implicits._
+        model.enumerateJoint()
+          .toDF("c_code", "o_code", "l_code", "p", "einv")
+      }
+    }
+
+  /** The persisted transformer joint decoded back to values (code 1 →
+    * NULL = absent), same decode as [[narJointDecoded]]. */
+  private def narTxDecoded(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narTxDecoded") {
+      import graft.operators.Encoding
+      def dict(t: String, c: String) =
+        Encoding.dictionary(Tables(spark, dir, t), c)
+      narTxJoint(spark, dir)
+        .join(broadcast(dict("customer", "c_mktsegment")
+          .withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
+        .join(broadcast(dict("orders", "o_orderstatus")
+          .withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
+        .join(broadcast(dict("lineitem", "l_returnflag")
+          .withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
+    }
+
+  /** model_store accessor: the loaded transformer joint (bounded). */
+  private[graft] def narTxArtifact(spark: SparkSession, dir: String): DataFrame =
+    narTxDecoded(spark, dir)
+
+  /** [[narEstFrame]]'s estimate formula evaluated over the transformer
+    * joint — est = W × Σ P̂(combo satisfying spec), E[1/fanout]
+    * downweight on order-level specs. */
+  private def narTxEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narTxEstFrame") {
+      val joint = narTxDecoded(spark, dir)
+      val w = narW(spark, dir)
+      narSpecs.map { case (id, needO, needL, pred, _) =>
+        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+          (if (needL) Seq(col("l_code") =!= 1) else Nil)
+        val sat = (pred +: flags).reduce(_ && _)
+        val mass = if (needL) col("p") else col("p") * col("einv")
+        joint
+          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .crossJoin(w)
+          .select(lit(id).as("query_id"),
+            greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+      }.reduce(_.unionAll(_))
+    }
+
+  /** Library surface: the transformer NAR's raw estimates (not
+    * hash-matchable; primary form is [[narTxEstGatedQ]]). */
+  def narTxEstQ(spark: SparkSession, dir: String): DataFrame =
+    narTxEstFrame(spark, dir).orderBy(col("query_id"))
+
+  /** Primary (hash-checked) form of the transformer NAR: per spec, the
+    * oracle-re-derived true cardinality and the model gate ([[narBound]]
+    * q-error) — the same contract the MLP NAR meets; a broken attention
+    * mask, collapsed softmax, or missing fanout downweight fails the
+    * hash. Raw estimates: [[narTxEstQ]]. */
+  def narTxEstGatedQ(spark: SparkSession, dir: String): DataFrame =
+    narTxEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("est")) && col("est").isNotNull && col("est") >= 1.0 &&
+          greatest(col("est"), col("__t")) /
+            greatest(least(col("est"), col("__t")), lit(1.0)) <= narBound).as("est_ok"))
+      .orderBy(col("query_id"))
+
+  val narTxEstGatedSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS est_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Itemized verdict for the transformer NAR (the nar_check
+    * discipline) against oracle-re-derived truth: estimate finite, ≥ 1,
+    * within the q-error bound, and AGREEING with the MLP NAR within 2× —
+    * two independently-trained architectures landing together is the
+    * cross-check that makes either trustworthy (the reference ships
+    * both backbones for exactly this comparison). */
+  def narTxCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    def qerr(e: Column, t: Column): Column =
+      greatest(e, t) / greatest(least(e, t), lit(1.0))
+    narTxEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .join(narEstFrame(spark, dir).withColumnRenamed("est", "__mlp"),
+        Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("est")) && col("est").isNotNull).as("finite_ok"),
+        (col("est") >= 1.0).as("pos_ok"),
+        (qerr(col("est"), col("__t")) <= narBound).as("qerr_ok"),
+        (qerr(col("est"), col("__mlp")) <= 2.0).as("mlp_agree_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val narTxCheckSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS finite_ok," +
+        " TRUE AS pos_ok, TRUE AS qerr_ok, TRUE AS mlp_agree_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
 
   /** (edge label, fact table, fact filter, fact key, dim table,
@@ -2302,7 +2456,9 @@ object QueriesEstimators {
     "nar_progressive" -> (narProgressiveGatedQ _),
     "nar_check" -> (narCheckQ _),
     "nar_inc_est" -> (narIncEstGatedQ _),
-    "nar_inc_check" -> (narIncCheckQ _)
+    "nar_inc_check" -> (narIncCheckQ _),
+    "nar_tx_est" -> (narTxEstGatedQ _),
+    "nar_tx_check" -> (narTxCheckQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -2340,6 +2496,8 @@ object QueriesEstimators {
     "nar_check" -> narCheckSql,
     "nar_inc_est" -> narIncEstGatedSql,
     "nar_inc_check" -> narIncCheckSql,
+    "nar_tx_est" -> narTxEstGatedSql,
+    "nar_tx_check" -> narTxCheckSql,
     "training_batch" -> trainingBatchSql
   )
 }

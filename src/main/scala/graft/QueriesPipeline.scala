@@ -658,7 +658,9 @@ object QueriesPipeline {
       ("nar_inc_joint", QueriesEstimators.narFpTables,
         QueriesEstimators.narIncArtifact(spark, dir)),
       ("nar_joint", QueriesEstimators.narFpTables,
-        QueriesEstimators.narJointArtifact(spark, dir)))
+        QueriesEstimators.narJointArtifact(spark, dir)),
+      ("nar_tx_joint", QueriesEstimators.narFpTables,
+        QueriesEstimators.narTxArtifact(spark, dir)))
     artifacts
       .map { case (name, tables, frame) =>
         (name, Checkpoint.tableFingerprint(spark, dir, tables: _*),
@@ -674,7 +676,8 @@ object QueriesPipeline {
       ("isotonic_staircase", QueriesWave11.isoFpTables),
       ("kmeans_centroids", QueriesText.kmeansFpTables),
       ("nar_inc_joint", QueriesEstimators.narFpTables),
-      ("nar_joint", QueriesEstimators.narFpTables))
+      ("nar_joint", QueriesEstimators.narFpTables),
+      ("nar_tx_joint", QueriesEstimators.narFpTables))
     rows.map { case (name, tables) =>
       s"SELECT '$name' AS artifact, CAST(${Checkpoint.fingerprintSql(tables)}" +
         " AS BIGINT) AS fingerprint, TRUE AS loaded_ok"

@@ -109,6 +109,35 @@ object Layout {
       .drop("__pid", "__off", "__r0", "__N")
   }
 
+  /** Exact top-k per group WITHOUT a per-group single-task sort: any
+    * partitioning works, because each partition's local top-k is a
+    * superset of that partition's contribution to the global answer —
+    * stage 1 keeps ≤ k rows per (group, partition) via a
+    * HIGH-cardinality partitioned window, stage 2 ranks the survivors
+    * (≤ k × #partitions per group — bounded by config, not data) with
+    * the final per-group window. Identical output to the built-in
+    * `row_number over (partition by group)` top-k for a tie-free sort
+    * order (callers append a unique id), but no group ever funnels its
+    * full row set through one task — the plan that survives 5 groups
+    * over 100 TB.
+    */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+      k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val local = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        row_number().over(
+          Window.partitionBy((col("__pid") +: gcols): _*).orderBy(sortCols: _*)))
+      .filter(col("__lr") <= k)
+    local
+      .withColumn(out,
+        row_number().over(Window.partitionBy(gcols: _*).orderBy(sortCols: _*)))
+      .filter(col(out) <= k)
+      .drop("__pid", "__lr")
+  }
+
   /** 2-D skyline (Pareto frontier, minimize BOTH x and y) without a
     * single-partition sweep. A point is dominated iff another point is
     * ≤ in both dimensions and < in one. Classic sweep = global sort by

@@ -95,4 +95,60 @@ class EstimatorModelSpec extends SparkSpec {
     for (r <- rows; i <- 2 until 6)
       assert(r.getBoolean(i), s"gate $i false in $r")
   }
+
+  test("transformer NAR: hand-rolled backprop matches numeric gradients") {
+    // tiny instance, exhaustive central-difference check of every param
+    val m = new graft.operators.NarTransformer(2, 2, 2, 2, d = 4, h = 3, seed = 7L)
+    val data = Array((0, 1, 0, 1, 2.0), (1, 0, 1, 0, 1.0), (1, 1, 1, 1, 3.0))
+    val g = new Array[Double](m.nParams)
+    m.lossAndGrad(data, g)
+    val eps = 1e-6
+    var worst = 0.0
+    for (i <- 0 until m.nParams) {
+      val p0 = m.params(i)
+      m.params(i) = p0 + eps
+      val lp = m.lossAndGrad(data, null)
+      m.params(i) = p0 - eps
+      val lm = m.lossAndGrad(data, null)
+      m.params(i) = p0
+      val num = (lp - lm) / (2 * eps)
+      val rel = math.abs(num - g(i)) / math.max(1e-4, math.abs(num) + math.abs(g(i)))
+      if (rel > worst) worst = rel
+      assert(rel < 1e-4, s"param $i: analytic ${g(i)} vs numeric $num (rel $rel)")
+    }
+    assert(worst >= 0.0)
+  }
+
+  test("transformer NAR training is deterministic given the seed") {
+    val data = Array((0, 1, 0, 1, 5.0), (1, 0, 1, 0, 2.0), (0, 0, 0, 0, 3.0))
+    val a = graft.operators.NarTransformer.train(data, 2, 2, 2, 2, 11L, steps = 50)
+    val b = graft.operators.NarTransformer.train(data, 2, 2, 2, 2, 11L, steps = 50)
+    assert(a.params.sameElements(b.params))
+    assert(a.enumerateJoint() == b.enumerateJoint())
+  }
+
+  test("transformer NAR fits the empirical conditionals on a separable toy") {
+    // weighted combos with a hard dependency: o == c, l == o, f == l
+    val data = Array((0, 0, 0, 0, 10.0), (1, 1, 1, 1, 30.0))
+    val m = graft.operators.NarTransformer.train(data, 2, 2, 2, 2, 3L, steps = 400)
+    val c0 = m.conditionals(0, 0, 0)
+    val c1 = m.conditionals(1, 1, 1)
+    assert(math.abs(c0(0)(0) - 0.25) < 0.05, s"P(c=0) ${c0(0)(0)}")
+    assert(c0(1)(0) > 0.9, s"P(o=0|c=0) ${c0(1)(0)}")
+    assert(c1(1)(1) > 0.9, s"P(o=1|c=1) ${c1(1)(1)}")
+    assert(c1(2)(1) > 0.9 && c1(3)(1) > 0.9)
+  }
+
+  test("transformer NAR: joint mass 1, structural zero, every registered gate holds") {
+    val rows = QueriesEstimators.queries("nar_tx_check")(spark, sf).collect()
+    assert(rows.length == 4, rows.mkString(" | "))
+    for (r <- rows; i <- 2 until 6)
+      assert(r.getBoolean(i), s"gate $i false in $r")
+    val joint = QueriesEstimators.narTxArtifact(spark, sf)
+    val mass = joint.agg(sum($"p")).as[Double].collect().head
+    assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
+    val leak = joint.filter($"o_code" === 1 && $"l_code" =!= 1)
+      .agg(sum($"p")).as[Double].collect().head
+    assert(leak == 0.0, s"structural-zero mass $leak")
+  }
 }
