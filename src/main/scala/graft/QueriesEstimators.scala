@@ -2223,16 +2223,6 @@ object QueriesEstimators {
     * conditionals' noise floor at these domain sizes (spec-checked). */
   private val narTxSteps = 800
 
-  /** The transformer NAR's enumerated joint — the reference's
-    * `NARTransformer` (models.py:435) re-expressed: one causal
-    * self-attention network learns ALL the autoregressive conditionals
-    * (including P(c) and the fanout head) instead of one MLP per
-    * conditional ([[graft.operators.NarTransformer]]). Trained on the
-    * weighted distinct-combo collapse of the same encoded training
-    * batch (bounded: ≤ cMax·oMax·lMax·fMax rows — a documented
-    * bounded-frame collect), persisted to the warehouse model store
-    * like every trained artifact.
-    */
   /** The transformer trainer's bounded input: the weighted distinct-combo
     * collapse of the encoded training batch (gradient-identical to the
     * raw rows, ≤ cMax·oMax·lMax·fMax rows — a documented bounded-frame
@@ -2261,6 +2251,12 @@ object QueriesEstimators {
     (combos, cMax, oMax, lMax, fMax)
   }
 
+  /** The transformer NAR's enumerated joint — the reference's
+    * `NARTransformer` (models.py:435) re-expressed: one causal
+    * self-attention network learns ALL the autoregressive conditionals
+    * (including P(c) and the fanout head) instead of one MLP per
+    * conditional ([[graft.operators.NarTransformer]]); persisted to the
+    * warehouse model store like every trained artifact. */
   private def narTxJoint(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "narTxJoint") {
       Checkpoint(spark, dir, "nar_tx_joint")(narFingerprint(spark, dir)) {
@@ -2273,20 +2269,27 @@ object QueriesEstimators {
       }
     }
 
-  /** The persisted transformer joint decoded back to values (code 1 →
-    * NULL = absent), same decode as [[narJointDecoded]]. */
+  /** Decode a (c_code, o_code, l_code, …) joint back to values (code 1
+    * → NULL = absent) via broadcast dictionary joins, same decode as
+    * [[narJointDecoded]]. */
+  private def narDictDecode(spark: SparkSession, dir: String,
+      joint: DataFrame): DataFrame = {
+    import graft.operators.Encoding
+    def dict(t: String, c: String) =
+      Encoding.dictionary(Tables(spark, dir, t), c)
+    joint
+      .join(broadcast(dict("customer", "c_mktsegment")
+        .withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
+      .join(broadcast(dict("orders", "o_orderstatus")
+        .withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
+      .join(broadcast(dict("lineitem", "l_returnflag")
+        .withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
+  }
+
+  /** The persisted transformer joint decoded back to values. */
   private def narTxDecoded(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "narTxDecoded") {
-      import graft.operators.Encoding
-      def dict(t: String, c: String) =
-        Encoding.dictionary(Tables(spark, dir, t), c)
-      narTxJoint(spark, dir)
-        .join(broadcast(dict("customer", "c_mktsegment")
-          .withColumnRenamed("code", "c_code")), Seq("c_code"), "left")
-        .join(broadcast(dict("orders", "o_orderstatus")
-          .withColumnRenamed("code", "o_code")), Seq("o_code"), "left")
-        .join(broadcast(dict("lineitem", "l_returnflag")
-          .withColumnRenamed("code", "l_code")), Seq("l_code"), "left")
+      narDictDecode(spark, dir, narTxJoint(spark, dir))
     }
 
   /** model_store accessor: the loaded transformer joint (bounded). */
@@ -2369,6 +2372,91 @@ object QueriesEstimators {
         s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS finite_ok," +
         " TRUE AS pos_ok, TRUE AS qerr_ok, TRUE AS mlp_agree_ok"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  // ---- row 11p: nar_training_curve (run.py:156 --eval-all-intermediate-models) ----
+
+  /** Checkpoint steps at which the training trajectory is evaluated —
+    * ascending, last = the production budget so the final snapshot IS
+    * the served model's fit. */
+  private val narCurveRungs = Seq(50, 200, narTxSteps)
+
+  /** Per-checkpoint estimates across the transformer NAR's training
+    * trajectory — the reference's `--eval-all-intermediate-models`
+    * (run.py:156 walks the saved per-step checkpoints and re-runs
+    * eval_batch on each): ONE continuous training run snapshots the
+    * enumerated joint at each rung ([[graft.operators.NarTransformer
+    * .fitSnapshots]] — optimizer state never resets, so the final rung
+    * is bit-identical to the production fit), and every snapshot is
+    * evaluated with [[narTxEstFrame]]'s est formula. Rows:
+    * (step, query_id, est) — rungs × specs, bounded. The frame persists
+    * to the warehouse like the trained joints (run.py:170
+    * `--dump-intermediates` saves exactly these per-step eval products),
+    * so later sessions serve the curve without retraining. */
+  private def narTxCurveEsts(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narTxCurveEsts") {
+     Checkpoint(spark, dir, "nar_tx_curve")(narFingerprint(spark, dir)) {
+      val (combos, cMax, oMax, lMax, fMax) = narTxInputs(spark, dir)
+      val snaps = new graft.operators.NarTransformer(
+        cMax, oMax, lMax, fMax, 16, 32, narSeed)
+        .fitSnapshots(combos, narCurveRungs)
+      import spark.implicits._
+      val joints = snaps.flatMap { case (step, j) =>
+        j.map { case (c, o, l, p, e) => (step, c, o, l, p, e) }
+      }.toDF("step", "c_code", "o_code", "l_code", "p", "einv")
+      val dec = narDictDecode(spark, dir, joints)
+      val w = narW(spark, dir)
+      narSpecs.map { case (id, needO, needL, pred, _) =>
+        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+          (if (needL) Seq(col("l_code") =!= 1) else Nil)
+        val sat = (pred +: flags).reduce(_ && _)
+        val mass = if (needL) col("p") else col("p") * col("einv")
+        dec.groupBy(col("step"))
+          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .crossJoin(w)
+          .select(col("step"), lit(id).as("query_id"),
+            greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+      }.reduce(_.unionAll(_))
+     }
+    }
+
+  /** Primary (hash-checked) training-curve verdict, per (checkpoint
+    * step, spec): oracle-re-derived truth plus three gates — every
+    * snapshot's estimate is finite and ≥ 1, the FINAL snapshot meets
+    * the full q-error bound, and the final snapshot's worst q-error is
+    * no worse than the first's (training moved the model toward the
+    * data, the property `--eval-all-intermediate-models` exists to
+    * show). A broken snapshot path, optimizer-state reset, or divergent
+    * training breaks the hash. */
+  def narTrainingCurveQ(spark: SparkSession, dir: String): DataFrame = {
+    def qerr(e: Column, t: Column): Column =
+      greatest(e, t) / greatest(least(e, t), lit(1.0))
+    val rows = narTxCurveEsts(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .withColumn("__qe", qerr(col("est"), col("__t")))
+    val gate = rows.agg(
+      max(when(col("step") === narCurveRungs.head, col("__qe"))).as("__mq0"),
+      max(when(col("step") === narCurveRungs.last, col("__qe"))).as("__mq1"))
+    rows.crossJoin(broadcast(gate))
+      .select(col("step"), col("query_id"),
+        col("__t").cast("bigint").as("truth"),
+        (!isnan(col("est")) && col("est").isNotNull && col("est") >= 1.0)
+          .as("finite_ok"),
+        (col("step") =!= narCurveRungs.last || col("__qe") <= narBound)
+          .as("final_ok"),
+        (col("__mq1") <= col("__mq0")).as("curve_ok"))
+      .orderBy(col("step"), col("query_id"))
+  }
+
+  val narTrainingCurveSql: String =
+    narCurveRungs.flatMap { step =>
+      narSpecs.map { case (id, _, needL, _, predSql) =>
+        val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+          (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+        s"SELECT $step AS step, '$id' AS query_id, CAST((SELECT COUNT(*)" +
+          s" FROM $joins WHERE $predSql) AS BIGINT) AS truth," +
+          " TRUE AS finite_ok, TRUE AS final_ok, TRUE AS curve_ok"
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step, query_id")
 
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
 
@@ -2458,7 +2546,8 @@ object QueriesEstimators {
     "nar_inc_est" -> (narIncEstGatedQ _),
     "nar_inc_check" -> (narIncCheckQ _),
     "nar_tx_est" -> (narTxEstGatedQ _),
-    "nar_tx_check" -> (narTxCheckQ _)
+    "nar_tx_check" -> (narTxCheckQ _),
+    "nar_training_curve" -> (narTrainingCurveQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -2498,6 +2587,7 @@ object QueriesEstimators {
     "nar_inc_check" -> narIncCheckSql,
     "nar_tx_est" -> narTxEstGatedSql,
     "nar_tx_check" -> narTxCheckSql,
+    "nar_training_curve" -> narTrainingCurveSql,
     "training_batch" -> trainingBatchSql
   )
 }

@@ -205,6 +205,74 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("code"), col("d2"))
   }
 
+  /** IVFADC — the composed coarse-quantizer + residual-PQ search that
+    * billion-vector indexes actually run (FAISS's IVFADC): every vector
+    * is assigned to its nearest coarse cell by exact integer L2, its
+    * RESIDUAL (vector − cell centroid) is product-quantized against a
+    * residual codebook, and a probe searches only its nProbe nearest
+    * cells, scoring candidates by asymmetric distance — a per-(probe,
+    * cell) lookup table of slice-L2s between the probe's residual and
+    * each codeword, so candidates ship nSub small codes, never vectors.
+    * All distances are exact BIGINT sums over the quantized grid, so
+    * ranking is deterministic and the oracle reproduces it bit-for-bit.
+    * Both the coarse cells and the residual codebook are deterministic
+    * corpus slices here (like [[pqEncode]]'s codebook); trained tables
+    * slot in unchanged.
+    *
+    * Scale: coarse assignment and PQ encode are map-side against
+    * broadcast centroid/codebook rows; the LUT is probes × nProbe ×
+    * nSub × codebook rows (tiny, broadcast); the ADC join keys on
+    * (cell, subspace, code) and aggregates probed-cell candidates only.
+    */
+  def ivfPqAdc(embeddings: DataFrame, probePred: Column, coarsePred: Column,
+      codebookPred: Column, nSub: Int, nProbe: Int, k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+    val coarse = q.filter(coarsePred)
+      .select(col("vec_id").as("cent_id"), col("qv").as("ccv"))
+    val d2c = q.crossJoin(broadcast(coarse))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, ccv, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)"))
+    val assign = d2c
+      .groupBy(col("vec_id"), col("qv"))
+      .agg(min_by(struct(col("cent_id"), col("ccv")),
+        struct(col("d2"), col("cent_id"))).as("__c"))
+      .select(col("vec_id"), col("__c.cent_id").as("list_id"),
+        expr("zip_with(qv, __c.ccv, (a, b) -> a - b)").as("rv"))
+    val cb = assign.filter(codebookPred)
+      .select(col("vec_id").as("code"), col("rv").as("kv"))
+    val sliceD2 = expr(
+      "aggregate(zip_with(slice(rv, m * w + 1, w), slice(kv, m * w + 1, w)," +
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val codes = assign.crossJoin(broadcast(cb))
+      .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
+      .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
+      .withColumn("d2", sliceD2)
+      .groupBy(col("vec_id"), col("list_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    val plist = d2c.filter(probePred)
+      .withColumn("rnc", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+      .filter(col("rnc") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("list_id"),
+        expr("zip_with(qv, ccv, (a, b) -> a - b)").as("rv"))
+    val lut = plist.crossJoin(broadcast(cb))
+      .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
+      .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
+      .withColumn("d2", sliceD2)
+      .select(col("probe_id"), col("list_id"), col("m"), col("code"), col("d2"))
+    val win = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("cand_id"))
+    codes
+      .select(col("vec_id").as("cand_id"), col("list_id"), col("m"), col("code"))
+      .join(broadcast(lut), Seq("list_id", "m", "code"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), col("adc"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidate pairs share a
     * random-hyperplane LSH bucket (the blocking step — at corpus scale
     * the self-join is per-bucket, never all-pairs), then each candidate

@@ -112,7 +112,10 @@ class EntrySpec extends SparkSpec {
       "binseg_changepoints", "seasonal_strength", "grid_dbscan", "srm_check",
       "cramers_v", "trend_test_ca", "gains_curve", "counting_bloom",
       "cuped_adjust", "odds_ratio_ci", "max_drawdown",
-      "kendall_tau", "segmented_trend", "ess_autocorr")
+      "kendall_tau", "segmented_trend", "ess_autocorr",
+      "nar_tx_est", "nar_tx_check", "nar_training_curve",
+      "lsh_precision_audit", "split_leak_audit", "ivf_pq_adc",
+      "mmd_drift", "gumbel_topk_sample")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -139,6 +139,14 @@ class EstimatorModelSpec extends SparkSpec {
     assert(c1(2)(1) > 0.9 && c1(3)(1) > 0.9)
   }
 
+  test("nar_training_curve: gates hold and training monotonically helped") {
+    val rows = QueriesEstimators.queries("nar_training_curve")(spark, sf).collect()
+    assert(rows.length == 12, s"3 rungs x 4 specs expected, got ${rows.length}")
+    for (r <- rows; i <- 3 until 6)
+      assert(r.getBoolean(i), s"gate $i false in $r")
+    assert(rows.map(_.getInt(0)).distinct.sorted.toSeq == Seq(50, 200, 800))
+  }
+
   test("transformer NAR: joint mass 1, structural zero, every registered gate holds") {
     val rows = QueriesEstimators.queries("nar_tx_check")(spark, sf).collect()
     assert(rows.length == 4, rows.mkString(" | "))

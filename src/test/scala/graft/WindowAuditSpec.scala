@@ -45,13 +45,19 @@ class WindowAuditSpec extends SparkSpec {
     // per-spec union, or the enumerated model joint (catalog-sized)
     "q_error_quantiles", "progressive_est", "training_batch",
     "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
-    "nar_inc_check", "wander_join_est", "isotonic_calibration",
+    "nar_inc_check", "nar_tx_est", "nar_tx_check", "nar_training_curve",
+    "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
     "sprt_audit", "max_drawdown")
 
   /** Entries allowed to show no unpartitioned window in the audited
-    * plan (e.g. a registration staged before its query lands). */
-  private val pendingRegs: Set[String] = Set.empty
+    * plan: a registration staged before its query lands, or a
+    * checkpoint-backed trainer whose windows exist only on a COLD
+    * warehouse (nar_training_curve loads its persisted eval frame when
+    * present — the audited plan is then a parquet scan + bounded joins;
+    * on a fresh clone the training path's bounded windows appear and
+    * the allowlist entry covers them). */
+  private val pendingRegs: Set[String] = Set("nar_training_curve")
 
   /** All WindowExec nodes of a plan, including those inside cached
     * relations (InMemoryTableScan does not expand its child in the
