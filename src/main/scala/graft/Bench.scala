@@ -57,6 +57,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val top10 = results.toSeq.sortBy(-_._2).take(10)
+    // timed passes are over — restore the WindowExec logger so nothing
+    // after this point (or a future same-JVM caller) misses its WARNs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.WARN)
     spark.stop()
     // After spark.stop() so the JSON line is the app's last stdout write.
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(top10)},"sf":"$sfDir","n_queries":${results.size},"detail":"BENCH_DETAIL.json"}""")

@@ -25,6 +25,9 @@ object Layout {
     */
   def rankedNtile(df: DataFrame, sortCols: Seq[Column], n: Int, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // session-scoped persist (never unpersisted): the stamped frame is
+    // read twice below and callers run once per (session, dir); the
+    // cached blocks are reclaimed at session teardown like the Memo's
     val stamped = df
       .repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())

@@ -115,7 +115,7 @@ class EntrySpec extends SparkSpec {
       "kendall_tau", "segmented_trend", "ess_autocorr",
       "nar_tx_est", "nar_tx_check", "nar_training_curve",
       "lsh_precision_audit", "split_leak_audit", "ivf_pq_adc",
-      "mmd_drift", "gumbel_topk_sample")
+      "mmd_drift", "gumbel_topk_sample", "wasserstein_drift", "kmeans_coreset")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

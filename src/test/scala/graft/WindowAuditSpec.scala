@@ -31,7 +31,7 @@ class WindowAuditSpec extends SparkSpec {
     "sample_quantiles", "quality_calibration", "kruskal_wallis",
     "spearman_rho", "auc_roc", "quantile_norm", "hist_quantile_check",
     // k-bounded: rank over the k survivors of a TakeOrderedAndProject
-    "mcv",
+    "mcv", "kmeans_coreset",
     // domain/grid-bounded: windows over value-level or bucket-level
     // frames whose size is the attribute domain, not the row count
     "mutual_info", "lorenz_curve", "gains_curve", "zipf_fit",
