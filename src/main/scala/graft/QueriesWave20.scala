@@ -129,15 +129,21 @@ object QueriesWave20 {
     * ([[graft.operators.Similarity.ivfPqAdc]]), so the oracle replays
     * the whole index bit-for-bit.
     */
-  def ivfPqAdcQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Similarity.ivfPqAdc(
-      Tables(spark, dir, "embeddings"),
-      col("vec_id") < QueriesText.probeMax,
-      col("vec_id") >= QueriesText.ivfCentLo &&
-        col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent,
-      col("vec_id") >= ivfPqCbLo && col("vec_id") < ivfPqCbLo + ivfPqCbN,
+  def ivfPqAdcQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val coarsePred = col("vec_id") >= QueriesText.ivfCentLo &&
+      col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent
+    val cbPred = col("vec_id") >= ivfPqCbLo && col("vec_id") < ivfPqCbLo + ivfPqCbN
+    // the stored index is built ONCE per (session, corpus) — searches
+    // only pay the probe-side LUT + one broadcast join
+    val index = Memo(spark, dir, "wave20:ivfPqIndex")(
+      Similarity.ivfPqIndex(Tables(spark, dir, "embeddings"),
+        coarsePred, cbPred, QueriesText.pqNSub))
+    Similarity.ivfPqAdc(Tables(spark, dir, "embeddings"), index,
+      col("vec_id") < QueriesText.probeMax, coarsePred, cbPred,
       QueriesText.pqNSub, QueriesText.ivfNProbe, QueriesText.topK)
       .orderBy(col("probe_id"), col("rnk"))
+  }
 
   val ivfPqAdcSql: String = {
     val (cLo, cHi) = (QueriesText.ivfCentLo, QueriesText.ivfCentLo + QueriesText.ivfNCent)

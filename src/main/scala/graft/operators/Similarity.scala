@@ -224,33 +224,75 @@ object Similarity {
     * nSub × codebook rows (tiny, broadcast); the ADC join keys on
     * (cell, subspace, code) and aggregates probed-cell candidates only.
     */
-  def ivfPqAdc(embeddings: DataFrame, probePred: Column, coarsePred: Column,
-      codebookPred: Column, nSub: Int, nProbe: Int, k: Int): DataFrame = {
-    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+  private def residualAssign(q: DataFrame, coarsePred: Column): DataFrame = {
     val coarse = q.filter(coarsePred)
       .select(col("vec_id").as("cent_id"), col("qv").as("ccv"))
-    val d2c = q.crossJoin(broadcast(coarse))
+    q.crossJoin(broadcast(coarse))
       .withColumn("d2", expr(
         "aggregate(zip_with(qv, ccv, (a, b) -> (a - b) * (a - b))," +
           " 0L, (acc, x) -> acc + x)"))
-    val assign = d2c
       .groupBy(col("vec_id"), col("qv"))
       .agg(min_by(struct(col("cent_id"), col("ccv")),
         struct(col("d2"), col("cent_id"))).as("__c"))
       .select(col("vec_id"), col("__c.cent_id").as("list_id"),
         expr("zip_with(qv, __c.ccv, (a, b) -> a - b)").as("rv"))
-    val cb = assign.filter(codebookPred)
+  }
+
+  private def sliceD2(nSub: Int) = expr(
+    "aggregate(zip_with(slice(rv, m * w + 1, w), slice(kv, m * w + 1, w)," +
+      " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** The residual codebook: the codebook slice's residuals to THEIR
+    * coarse cells (deterministic here; a trained table slots in). */
+  def ivfPqCodebook(embeddings: DataFrame, coarsePred: Column,
+      codebookPred: Column): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+    residualAssign(q.filter(coarsePred || codebookPred), coarsePred)
+      .filter(codebookPred)
       .select(col("vec_id").as("code"), col("rv").as("kv"))
-    val sliceD2 = expr(
-      "aggregate(zip_with(slice(rv, m * w + 1, w), slice(kv, m * w + 1, w)," +
-        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-    val codes = assign.crossJoin(broadcast(cb))
+  }
+
+  /** The STORED IVFADC index: one row per (vector, subspace) carrying
+    * the coarse cell and the residual-PQ code — built once per corpus
+    * (callers memoize/persist it), searched many times. nSub codes per
+    * vector replace dim floats, which is what makes the index fit at
+    * billion-vector scale.
+    */
+  def ivfPqIndex(embeddings: DataFrame, coarsePred: Column,
+      codebookPred: Column, nSub: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+    val cb = ivfPqCodebook(embeddings, coarsePred, codebookPred)
+    residualAssign(q, coarsePred).crossJoin(broadcast(cb))
       .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
       .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
-      .withColumn("d2", sliceD2)
+      .withColumn("d2", sliceD2(nSub))
       .groupBy(col("vec_id"), col("list_id"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-    val plist = d2c.filter(probePred)
+  }
+
+  /** IVFADC — the composed coarse-quantizer + residual-PQ search that
+    * billion-vector indexes actually run (FAISS's IVFADC): a probe
+    * searches only its nProbe nearest cells, scoring candidates by
+    * asymmetric distance — a per-(probe, cell) lookup table of
+    * slice-L2s between the probe's residual and each codeword, joined
+    * to the stored `index` on (cell, subspace, code) — so candidates
+    * never ship vectors. All distances are exact BIGINT sums over the
+    * quantized grid: deterministic ranking, bit-for-bit oracle replay.
+    * Probe-side work is probes × (cells + nProbe × codebook) — tiny,
+    * broadcast; the index side is one broadcast-hash join + a keyed
+    * aggregate over the probed cells' candidates only.
+    */
+  def ivfPqAdc(embeddings: DataFrame, index: DataFrame, probePred: Column,
+      coarsePred: Column, codebookPred: Column, nSub: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
+    val coarse = q.filter(coarsePred)
+      .select(col("vec_id").as("cent_id"), col("qv").as("ccv"))
+    val cb = ivfPqCodebook(embeddings, coarsePred, codebookPred)
+    val plist = q.filter(probePred).crossJoin(broadcast(coarse))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, ccv, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)"))
       .withColumn("rnc", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
       .filter(col("rnc") <= nProbe)
@@ -259,10 +301,10 @@ object Similarity {
     val lut = plist.crossJoin(broadcast(cb))
       .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
       .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
-      .withColumn("d2", sliceD2)
+      .withColumn("d2", sliceD2(nSub))
       .select(col("probe_id"), col("list_id"), col("m"), col("code"), col("d2"))
     val win = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("cand_id"))
-    codes
+    index
       .select(col("vec_id").as("cand_id"), col("list_id"), col("m"), col("code"))
       .join(broadcast(lut), Seq("list_id", "m", "code"))
       .filter(col("cand_id") =!= col("probe_id"))

@@ -703,4 +703,23 @@ class PlanSpec extends SparkSpec {
     // part filter + lineitem join + grid agg + demand agg + semi join + sort
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
+  test("ivf_pq_adc searches the stored index by broadcast LUT join, no cartesian") {
+    val p = plan("ivf_pq_adc")
+    // candidates join the probe LUT on (cell, subspace, code) — a
+    // broadcast hash join; the only nested-loop joins are the bounded
+    // centroid/codebook crosses on the probe/index-build side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("gumbel_topk_sample ranks per (partition, source) first — no full-group sort") {
+    val p = plan("gumbel_topk_sample")
+    // stage-1 window keys include the partition stamp; the final
+    // per-source window sees only the k-per-partition survivors
+    assert(p.contains("__pid"), p.take(1200))
+  }
+
+  test("wasserstein_drift windows are pair-partitioned over the bounded grid") {
+    val p = plan("wasserstein_drift")
+    assert(p.contains("windowspecdefinition(src_a"), p.take(1600))
+  }
 }
