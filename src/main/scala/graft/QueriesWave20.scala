@@ -134,13 +134,17 @@ object QueriesWave20 {
     val coarsePred = col("vec_id") >= QueriesText.ivfCentLo &&
       col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent
     val cbPred = col("vec_id") >= ivfPqCbLo && col("vec_id") < ivfPqCbLo + ivfPqCbN
-    // the stored index is built ONCE per (session, corpus) — searches
-    // only pay the probe-side LUT + one broadcast join
+    // the residual codebook and the stored index are built ONCE per
+    // (session, corpus) and shared — searches only pay the probe-side
+    // LUT + one broadcast join, never an index-artifact rebuild
+    val codebook = Memo(spark, dir, "wave20:ivfPqCodebook")(
+      Similarity.ivfPqCodebook(Tables(spark, dir, "embeddings"),
+        coarsePred, cbPred))
     val index = Memo(spark, dir, "wave20:ivfPqIndex")(
       Similarity.ivfPqIndex(Tables(spark, dir, "embeddings"),
-        coarsePred, cbPred, QueriesText.pqNSub))
+        coarsePred, codebook, QueriesText.pqNSub))
     Similarity.ivfPqAdc(Tables(spark, dir, "embeddings"), index,
-      col("vec_id") < QueriesText.probeMax, coarsePred, cbPred,
+      col("vec_id") < QueriesText.probeMax, coarsePred, codebook,
       QueriesText.pqNSub, QueriesText.ivfNProbe, QueriesText.topK)
       .orderBy(col("probe_id"), col("rnk"))
   }
@@ -248,9 +252,14 @@ object QueriesWave20 {
       dec(n) * dec(n - 1) * dec(lit(mmdC * mmdC)) +
         dec(lit(2L * mmdC)) * (dec(s1) * dec(s1) - dec(s2)) +
         (dec(s2) * dec(s2) - s4)
-    val a = mom.select(col("source").as("src_a"), col("n").as("na"),
+    // A singleton source has no within-group pair, so its n(n−1)
+    // denominator is 0 → NaN mmd2 for every pair involving it; the
+    // unbiased statistic is undefined there, so those sources are
+    // excluded from pair enumeration (mirrored in the SQL oracle).
+    val multi = mom.filter(col("n") > 1)
+    val a = multi.select(col("source").as("src_a"), col("n").as("na"),
       col("s1").as("s1a"), col("s2").as("s2a"), col("s4").as("s4a"))
-    val b = mom.select(col("source").as("src_b"), col("n").as("nb"),
+    val b = multi.select(col("source").as("src_b"), col("n").as("nb"),
       col("s1").as("s1b"), col("s2").as("s2b"), col("s4").as("s4b"))
     a.join(b, col("src_a") < col("src_b"))
       .withColumn("__wa", within(col("na"), col("s1a"), col("s2a"), col("s4a")))
@@ -286,7 +295,8 @@ object QueriesWave20 {
        |p AS (SELECT a.source AS src_a, b.source AS src_b,
        |    a.n AS na, a.s1 AS s1a, a.s2 AS s2a, a.s4 AS s4a,
        |    b.n AS nb, b.s1 AS s1b, b.s2 AS s2b, b.s4 AS s4b
-       |  FROM mom a JOIN mom b ON a.source < b.source),
+       |  FROM mom a JOIN mom b ON a.source < b.source
+       |  WHERE a.n > 1 AND b.n > 1),
        |w2 AS (SELECT src_a, src_b, na, nb,
        |    CAST(na AS HUGEINT) * (na - 1) * $c2
        |      + $twoC * (CAST(s1a AS HUGEINT) * s1a - s2a)

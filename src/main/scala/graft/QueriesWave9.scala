@@ -357,14 +357,25 @@ object QueriesWave9 {
         .unionAll(e.select(col("v").cast("long").as("a"), col("u").cast("long").as("b")))
         .filter(col("a") =!= col("b")).distinct())
     val a0 = Memo(spark, dir, "wave9:kcoreA0")(und.select(col("a").as("node")).distinct())
+    // Literal checkpoint PER ROUND (the kcoreFinal discipline applied to
+    // each iteration): every round references the previous one twice
+    // (a-side and b-side survivor joins), so a lazy unroll doubles the
+    // logical plan per round — 2^6 copies of the 4-table edge lineage.
+    // Execution was fine (memoized), but the driver paid minutes of CPU
+    // just stringifying that tree for the SQL-execution event. The
+    // active set is the ≤25-row nation node set, so collecting each
+    // round to a LocalRelation keeps every downstream plan flat.
     def peel(active: DataFrame, round: Int): DataFrame =
-      Memo(spark, dir, s"wave9:kcoreA$round")(
+      Memo(spark, dir, s"wave9:kcoreA$round") {
+        import spark.implicits._
         und
           .join(broadcast(active.select(col("node").as("a"))), "a")
           .join(broadcast(active.select(col("node").as("b"))), "b")
           .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= kcoreK)
-          .select(col("node")))
+          .select(col("node"))
+          .as[Long].collect().toSeq.toDF("node")
+      }
     val rounds = (1 to kcoreRounds).scanLeft(a0)((acc, r) => peel(acc, r))
     val fin = rounds.last
     val deg = und

@@ -170,12 +170,16 @@ object Layout {
         min(col("__pm")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("__pid"), col("__carry"))
+    // survivors derive from df, so keep the join keys under fresh names
+    // — a df(x) === survivors(x) predicate on a self-derived frame only
+    // works through Spark's self-join disambiguation (and logs a
+    // trivially-true-predicate warning); distinct names are unambiguous
     val survivors = g
       .join(broadcast(carry), "__pid")
       .withColumn("__prefix", least(min(col("__gy")).over(wLocal), col("__carry")))
       .filter(col("__prefix").isNull || col("__gy") < col("__prefix"))
-      .select(col(x), col("__gy"))
-    df.join(survivors, df(x) === survivors(x) && df(y) === survivors("__gy"), "leftsemi")
+      .select(col(x).as("__sx"), col("__gy").as("__sy"))
+    df.join(survivors, df(x) === col("__sx") && df(y) === col("__sy"), "leftsemi")
   }
 
   /** Z-value (Morton code) of two non-negative keys over their low

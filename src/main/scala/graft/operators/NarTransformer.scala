@@ -1,19 +1,26 @@
 package graft.operators
 
-/** Causal self-attention autoregressive density model — the Spark-first
-  * re-expression of the reference's transformer NAR variant
-  * (scardina/models.py:435 `NARTransformer`): the same autoregressive
-  * factorization the MLP heads learn ([[NarModel]]), but with ONE
-  * shared-parameter network whose causal attention mask enforces the
-  * autoregressive order, instead of one MLP per conditional.
+/** Causal self-attention AUTOREGRESSIVE density model — a transformer
+  * backbone for the same AR factorization the MLP heads learn
+  * ([[NarModel]]). This deliberately re-expresses the reference's
+  * transformer variant (scardina/models.py:435 `NARTransformer`) into
+  * the repo's AR family rather than copying it: the reference model is
+  * NON-autoregressive — models.py:211 applies no attention mask and
+  * trains by random masked-column denoising (LayerNorm, multi-head,
+  * multi-block) — while this repo's whole estimator stack (nar_est /
+  * nar_progressive and their oracles) is built on the chain-rule
+  * factorization, so the transformer leg keeps that factorization and
+  * swaps only the per-conditional MLPs for one shared-parameter
+  * attention network with a causal mask. Same backbone family,
+  * different (AR) training objective — documented as a re-expression,
+  * not a faithful copy.
   *
-  * Architecture (a faithful minimum of the reference's block):
+  * Architecture (the minimum transformer block that serves that goal):
   *  - token sequence `[BOS, c, o, l]`; position i's input is the
   *    column-value embedding plus a learned positional embedding (the
   *    reference embeds each column's discretized value the same way);
   *  - a single-head scaled-dot-product self-attention layer with the
-  *    CAUSAL mask (position i attends to j ≤ i — models.py's
-  *    autoregressive attention mask), residual-connected;
+  *    CAUSAL mask (position i attends to j ≤ i), residual-connected;
   *  - a ReLU feed-forward block, residual-connected (LayerNorm is
   *    omitted: at d=16 over catalog-sized domains Adam converges
   *    without it, and dropping it keeps the hand-rolled backprop —

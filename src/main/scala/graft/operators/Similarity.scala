@@ -259,10 +259,9 @@ object Similarity {
     * billion-vector scale.
     */
   def ivfPqIndex(embeddings: DataFrame, coarsePred: Column,
-      codebookPred: Column, nSub: Int): DataFrame = {
+      codebook: DataFrame, nSub: Int): DataFrame = {
     val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
-    val cb = ivfPqCodebook(embeddings, coarsePred, codebookPred)
-    residualAssign(q, coarsePred).crossJoin(broadcast(cb))
+    residualAssign(q, coarsePred).crossJoin(broadcast(codebook))
       .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
       .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
       .withColumn("d2", sliceD2(nSub))
@@ -280,15 +279,17 @@ object Similarity {
     * quantized grid: deterministic ranking, bit-for-bit oracle replay.
     * Probe-side work is probes × (cells + nProbe × codebook) — tiny,
     * broadcast; the index side is one broadcast-hash join + a keyed
-    * aggregate over the probed cells' candidates only.
+    * aggregate over the probed cells' candidates only. The `codebook`
+    * is the SAME table the stored index was built from ([[ivfPqIndex]])
+    * — callers build/memoize it once and pass it to both, so a search
+    * never re-derives the index's training artifacts.
     */
   def ivfPqAdc(embeddings: DataFrame, index: DataFrame, probePred: Column,
-      coarsePred: Column, codebookPred: Column, nSub: Int, nProbe: Int,
+      coarsePred: Column, codebook: DataFrame, nSub: Int, nProbe: Int,
       k: Int): DataFrame = {
     val q = embeddings.select(col("vec_id"), quantExpr.as("qv"))
     val coarse = q.filter(coarsePred)
       .select(col("vec_id").as("cent_id"), col("qv").as("ccv"))
-    val cb = ivfPqCodebook(embeddings, coarsePred, codebookPred)
     val plist = q.filter(probePred).crossJoin(broadcast(coarse))
       .withColumn("d2", expr(
         "aggregate(zip_with(qv, ccv, (a, b) -> (a - b) * (a - b))," +
@@ -298,7 +299,7 @@ object Similarity {
       .filter(col("rnc") <= nProbe)
       .select(col("vec_id").as("probe_id"), col("cent_id").as("list_id"),
         expr("zip_with(qv, ccv, (a, b) -> a - b)").as("rv"))
-    val lut = plist.crossJoin(broadcast(cb))
+    val lut = plist.crossJoin(broadcast(codebook))
       .withColumn("m", explode(sequence(lit(0), lit(nSub - 1))))
       .withColumn("w", expr(s"CAST(FLOOR(size(rv) / $nSub.0) AS INT)"))
       .withColumn("d2", sliceD2(nSub))
