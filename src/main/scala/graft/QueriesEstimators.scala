@@ -2458,6 +2458,118 @@ object QueriesEstimators {
       }
     }.mkString("", "\nUNION ALL\n", "\nORDER BY step, query_id")
 
+  // ---- row 11q: nar_hpo (run.py:204 n_trials hyperparameter search) ----
+
+  /** The deterministic search grid — (trial, d, h, lr1000): network
+    * width and learning rate, the searchable axes of the reference's
+    * Optuna space (run.py:290 `d_word: tune.choice([32, 64])`, :292
+    * `lr: tune.loguniform(1e-4, 5e-3)`, plus the per-model-type
+    * d_ff/n_ff choices), quantized to a fixed grid so the trial set is
+    * identical on every engine and every run — a deterministic grid is
+    * to Optuna what the md5 uniform is to rand(): the same search,
+    * reproducible. lr is carried ×1000 as an integer so the output
+    * schema stays engine-portable. */
+  private val narHpoGrid: Seq[(Int, Int, Int, Int)] = Seq(
+    (1, 8, 16, 10), (2, 8, 16, 30), (3, 16, 32, 10), (4, 16, 32, 30))
+
+  /** Search budget per trial: trials run at a quarter of the production
+    * step budget (the reference caps search trials by n_epochs the same
+    * way), so the whole 4-trial search costs ONE production run. */
+  private val narHpoSteps = narTxSteps / 4
+
+  /** Per-trial search products — each grid config trained from its own
+    * seed on the same weighted combo table, final weighted NLL recorded,
+    * joint enumerated: (trial, d, h, lr1000, loss, c_code, o_code,
+    * l_code, p, einv). PERSISTED to the warehouse like every training
+    * product (a search is the most expensive thing a train harness
+    * runs; re-running it per session would be absurd at any scale).
+    * Scale: the search input is the bounded combo collapse — the 100 TB
+    * work happened making the join sample; trials are driver-side
+    * catalog-sized fits, embarrassingly parallel in a real deployment. */
+  private def narHpoEvals(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narHpoEvals") {
+      Checkpoint(spark, dir, "nar_hpo_evals")(narFingerprint(spark, dir)) {
+        val (combos, cMax, oMax, lMax, fMax) = narTxInputs(spark, dir)
+        import spark.implicits._
+        narHpoGrid.flatMap { case (trial, d, h, lr1000) =>
+          val model = new graft.operators.NarTransformer(
+            cMax, oMax, lMax, fMax, d, h, narSeed + trial)
+            .fit(combos, narHpoSteps, lr1000 / 1000.0)
+          val loss = model.loss(combos)
+          model.enumerateJoint().map { case (c, o, l, p, e) =>
+            (trial, d, h, lr1000, loss, c, o, l, p, e)
+          }
+        }.toDF("trial", "d", "h", "lr1000", "loss",
+          "c_code", "o_code", "l_code", "p", "einv")
+      }
+    }
+
+  /** Every trial's estimate per spec (the production est formula over
+    * that trial's enumerated joint), config and loss carried along. */
+  private def narHpoEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narHpoEstFrame") {
+      val dec = narDictDecode(spark, dir, narHpoEvals(spark, dir))
+      val w = narW(spark, dir)
+      narSpecs.map { case (id, needO, needL, pred, _) =>
+        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+          (if (needL) Seq(col("l_code") =!= 1) else Nil)
+        val sat = (pred +: flags).reduce(_ && _)
+        val mass = if (needL) col("p") else col("p") * col("einv")
+        dec.groupBy(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"))
+          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .crossJoin(w)
+          .select(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"),
+            lit(id).as("query_id"),
+            greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+      }.reduce(_.unionAll(_))
+    }
+
+  /** Primary (hash-checked) hyperparameter-search verdict, per (trial,
+    * spec) — the reference's `--n-trials` search (run.py:204; Optuna
+    * over architecture/lr scored by per-trial loss, best checkpoint
+    * kept) with oracle-re-derived truth and four gates: the trial's
+    * loss is finite and positive, the SELECTED trial (argmin loss,
+    * tie-break by trial id) has loss ≤ this trial's (a broken argmin
+    * breaks the hash on some row), every trial's estimate is finite
+    * ≥ 1, and the selected trial's estimate meets the full production
+    * q-error bound per spec — the search must END at a servable model,
+    * which is the property the reference's search exists to guarantee. */
+  def narHpoQ(spark: SparkSession, dir: String): DataFrame = {
+    def qerr(e: Column, t: Column): Column =
+      greatest(e, t) / greatest(least(e, t), lit(1.0))
+    val ests = narHpoEstFrame(spark, dir)
+    val sel = ests.groupBy().agg(
+      min_by(struct(col("trial"), col("loss")),
+        struct(col("loss"), col("trial"))).as("__s"))
+      .select(col("__s.trial").as("__selTrial"), col("__s.loss").as("__selLoss"))
+    val best = ests.join(broadcast(sel), col("trial") === col("__selTrial"))
+      .select(col("query_id"), col("est").as("__bestEst"))
+    ests
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .crossJoin(broadcast(sel))
+      .join(broadcast(best), Seq("query_id"))
+      .select(col("trial"), col("d"), col("h"), col("lr1000"),
+        col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("loss")) && col("loss") > 0.0).as("loss_ok"),
+        (col("__selLoss") <= col("loss")).as("sel_ok"),
+        (!isnan(col("est")) && col("est").isNotNull && col("est") >= 1.0)
+          .as("finite_ok"),
+        (qerr(col("__bestEst"), col("__t")) <= narBound).as("best_ok"))
+      .orderBy(col("trial"), col("query_id"))
+  }
+
+  val narHpoSql: String =
+    narHpoGrid.flatMap { case (trial, d, h, lr1000) =>
+      narSpecs.map { case (id, _, needL, _, predSql) =>
+        val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+          (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+        s"SELECT $trial AS trial, $d AS d, $h AS h, $lr1000 AS lr1000," +
+          s" '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+          s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS loss_ok," +
+          " TRUE AS sel_ok, TRUE AS finite_ok, TRUE AS best_ok"
+      }
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY trial, query_id")
+
   // ---- join_card_est: System-R join-size estimate vs ground truth ----
 
   /** (edge label, fact table, fact filter, fact key, dim table,
@@ -2547,7 +2659,8 @@ object QueriesEstimators {
     "nar_inc_check" -> (narIncCheckQ _),
     "nar_tx_est" -> (narTxEstGatedQ _),
     "nar_tx_check" -> (narTxCheckQ _),
-    "nar_training_curve" -> (narTrainingCurveQ _)
+    "nar_training_curve" -> (narTrainingCurveQ _),
+    "nar_hpo" -> (narHpoQ _)
   )
 
   /** join_sample and sample_est are fully SQL-checked: the sampling's
@@ -2588,6 +2701,7 @@ object QueriesEstimators {
     "nar_tx_est" -> narTxEstGatedSql,
     "nar_tx_check" -> narTxCheckSql,
     "nar_training_curve" -> narTrainingCurveSql,
+    "nar_hpo" -> narHpoSql,
     "training_batch" -> trainingBatchSql
   )
 }

@@ -387,6 +387,13 @@ final class NarTransformer(
     out.result()
   }
 
+  /** Weighted NLL of `data` under the CURRENT parameters (no gradient
+    * side effects beyond a scratch buffer) — the objective the
+    * hyperparameter search ranks trials by (the reference search's
+    * per-trial validation loss, run.py's tune report). */
+  def loss(data: Array[(Int, Int, Int, Int, Double)]): Double =
+    lossAndGrad(data, new Array[Double](nParams))
+
   /** The four conditional distributions for one (c, o, l) prefix:
     * (P̂(c=·), P̂(o=· | c), P̂(l=· | c, o), P̂(f=· | c, o, l)) — one causal
     * forward pass serves all four heads. Returned arrays are copies. */

@@ -147,6 +147,16 @@ class EstimatorModelSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).distinct.sorted.toSeq == Seq(50, 200, 800))
   }
 
+  test("nar_hpo: grid shape, argmin selection, and the winner's contract hold") {
+    val rows = QueriesEstimators.queries("nar_hpo")(spark, sf).collect()
+    assert(rows.length == 16, s"4 trials x 4 specs expected, got ${rows.length}")
+    // columns: trial d h lr1000 query_id truth loss_ok sel_ok finite_ok best_ok
+    assert(rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .distinct.length == 4, "4 distinct (d, h, lr) configs expected")
+    for (r <- rows; i <- 6 until 10)
+      assert(r.getBoolean(i), s"gate $i false in $r")
+  }
+
   test("transformer NAR: joint mass 1, structural zero, every registered gate holds") {
     val rows = QueriesEstimators.queries("nar_tx_check")(spark, sf).collect()
     assert(rows.length == 4, rows.mkString(" | "))

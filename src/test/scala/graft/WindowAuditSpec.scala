@@ -46,6 +46,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_error_quantiles", "progressive_est", "training_batch",
     "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
     "nar_inc_check", "nar_tx_est", "nar_tx_check", "nar_training_curve",
+    "nar_hpo",
     "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
     "sprt_audit", "max_drawdown")
