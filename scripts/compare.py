@@ -23,7 +23,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def main():
+    # optional 3rd arg: path to write a driver-style JSON summary
+    # ({name: {rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}}) — committed per round as CORRECTNESS_SELF.json
+    # so an empty/absent driver artifact never leaves a round unattested.
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -37,22 +43,32 @@ def main():
         if not os.path.isdir(d):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
+        def rec(rows_match, schema_match, hash_match, sr, orr, err):
+            results[name] = {"rows_match": rows_match,
+                "schema_match": schema_match, "hash_match": hash_match,
+                "spark_rows": sr, "oracle_rows": orr, "err": err}
         if not files:
-            print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
+            print(f"FAIL {name}: no parquet written"); n_fail += 1
+            rec(False, False, False, 0, None, "no parquet written"); continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracle:
             print(f"OK?  {name}: rows-only ({len(got)} rows)"); n_pass += 1
+            rec(len(got) > 0, None, None, len(got), None, "rows-only")
             continue
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
+            rec(False, False, False, len(got), None, f"oracle SQL error: {e}")
+            continue
         g, w = canon(got), canon(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
-            n_fail += 1; continue
+            n_fail += 1
+            rec(len(g) == len(w), False, False, len(g), len(w), None); continue
         if len(g) != len(w):
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1
+            rec(False, True, False, len(g), len(w), None); continue
         bad = None
         kind_bad = None
         for c in g.columns:
@@ -67,7 +83,9 @@ def main():
         if kind_bad:
             c, da, db = kind_bad
             print(f"FAIL {name}: col {c} dtype kind {da} vs {db} (int/float drift)")
-            n_fail += 1; continue
+            n_fail += 1
+            rec(True, False, False, len(g), len(w),
+                f"dtype drift on {c}: {da} vs {db}"); continue
         for c in g.columns:
             a, b = g[c], w[c]
             try:
@@ -82,9 +100,15 @@ def main():
             c, i, av, bv, n = bad
             print(f"FAIL {name}: col {c} row {i}: got {av!r} want {bv!r} ({n} diffs)")
             n_fail += 1
+            rec(True, True, False, len(g), len(w),
+                f"value diff col {c} row {i}")
         else:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            rec(True, True, True, len(g), len(w), None)
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
