@@ -344,7 +344,11 @@ object QueriesWave9 {
     * the guard that the budget suffices. Output: every node, its
     * membership, and its degree within the surviving core.
     */
-  def kcoreMembershipQ(spark: SparkSession, dir: String): DataFrame = {
+  /** The undirected nation trade graph (deduped symmetric edge list,
+    * self-loops dropped) — shared by kcore_membership and Wave22's
+    * label propagation; the directed weighted edges are the session's
+    * `graph:nationEdges` memo. */
+  private[graft] def nationUndirected(spark: SparkSession, dir: String): DataFrame = {
     val e = Memo(spark, dir, "graph:nationEdges")(
       Tables(spark, dir, "lineitem")
         .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -352,10 +356,27 @@ object QueriesWave9 {
         .join(broadcast(Tables(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("u"), col("s_nationkey").as("v"))
         .agg(count(lit(1)).as("w")))
-    val und = Memo(spark, dir, "wave9:nationUndirected")(
+    Memo(spark, dir, "wave9:nationUndirected")(
       e.select(col("u").cast("long").as("a"), col("v").cast("long").as("b"))
         .unionAll(e.select(col("v").cast("long").as("a"), col("u").cast("long").as("b")))
         .filter(col("a") =!= col("b")).distinct())
+  }
+
+  /** The same graph as engine-portable CTEs (`e`, `und`) for oracles. */
+  private[graft] val nationUndCte: String =
+    """e AS (
+      |  SELECT c.c_nationkey AS u, s.s_nationkey AS v
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |und AS (SELECT DISTINCT a, b FROM (
+      |  SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b FROM e
+      |  UNION ALL SELECT CAST(v AS BIGINT), CAST(u AS BIGINT) FROM e)
+      |  WHERE a != b)""".stripMargin
+
+  def kcoreMembershipQ(spark: SparkSession, dir: String): DataFrame = {
+    val und = nationUndirected(spark, dir)
     val a0 = Memo(spark, dir, "wave9:kcoreA0")(und.select(col("a").as("node")).distinct())
     // Literal checkpoint PER ROUND (the kcoreFinal discipline applied to
     // each iteration): every round references the previous one twice
@@ -417,16 +438,7 @@ object QueriesWave9 {
          |  JOIN a$p y ON y.node = e.b
          |  GROUP BY 1 HAVING COUNT(*) >= $kcoreK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT c.c_nationkey AS u, s.s_nationkey AS v
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |  JOIN customer c ON o.o_custkey = c.c_custkey
-       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-       |  GROUP BY 1, 2),
-       |und AS (SELECT DISTINCT a, b FROM (
-       |  SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b FROM e
-       |  UNION ALL SELECT CAST(v AS BIGINT), CAST(u AS BIGINT) FROM e)
-       |  WHERE a != b),
+    s"""WITH $nationUndCte,
        |a0 AS (SELECT DISTINCT a AS node FROM und),
        |$peels,
        |deg AS (SELECT e.a AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM und e

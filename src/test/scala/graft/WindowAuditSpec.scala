@@ -49,7 +49,10 @@ class WindowAuditSpec extends SparkSpec {
     "nar_hpo",
     "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
-    "sprt_audit", "max_drawdown")
+    "sprt_audit", "max_drawdown",
+    // ≤ #sources² rows: the BH step-up ranking over the pairwise
+    // z-test frame (per-source rates are a one-scan memoized aggregate)
+    "bh_fdr")
 
   /** Entries allowed to show no unpartitioned window in the audited
     * plan: a registration staged before its query lands, or a
