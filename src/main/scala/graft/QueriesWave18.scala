@@ -23,17 +23,35 @@ object QueriesWave18 {
     * decimals over one per-user conditional aggregate; θ and ρ² pinned
     * to the 1e-6 grid.
     */
-  def cupedAdjustQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user (first-half, second-half) activity counts, split at the
+    * stream's midpoint timestamp — CUPED's covariate/outcome pair and
+    * diff_in_diff's pre/post outcomes (one shared memoized scan). */
+  private[graft] def cupedXY(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), expr("unix_micros(ts)").as("__us"))
     val span = ev.agg(min(col("__us")).as("d0"), max(col("__us")).as("d1"))
-    val xy = Memo(spark, dir, "wave18:cupedXY")(
+    Memo(spark, dir, "wave18:cupedXY")(
       ev.crossJoin(broadcast(span))
         .groupBy(col("user_id"))
         .agg(sum(when(col("__us") * 2 <= col("d0") + col("d1"), 1L).otherwise(0L))
           .as("x"),
           sum(when(col("__us") * 2 > col("d0") + col("d1"), 1L).otherwise(0L))
             .as("y")))
+  }
+
+  /** The same per-user pre/post frame as portable CTEs (`ev`, `span`,
+    * `xy`). */
+  private[graft] val cupedXYCte: String =
+    """ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |span AS (SELECT MIN(us) AS d0, MAX(us) AS d1 FROM ev),
+      |xy AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN us * 2 <= d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN us * 2 > d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM ev, span GROUP BY 1)""".stripMargin
+
+  def cupedAdjustQ(spark: SparkSession, dir: String): DataFrame = {
+    val xy = cupedXY(spark, dir)
     val m = xy.agg(count(lit(1)).as("n"),
       sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
       sum(dec(col("x")) * dec(col("x"))).as("qx"),
@@ -54,13 +72,7 @@ object QueriesWave18 {
   }
 
   val cupedAdjustSql: String =
-    """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-      |span AS (SELECT MIN(us) AS d0, MAX(us) AS d1 FROM ev),
-      |xy AS (
-      |  SELECT user_id,
-      |    CAST(SUM(CASE WHEN us * 2 <= d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS x,
-      |    CAST(SUM(CASE WHEN us * 2 > d0 + d1 THEN 1 ELSE 0 END) AS BIGINT) AS y
-      |  FROM ev, span GROUP BY 1),
+    s"""WITH $cupedXYCte,
       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,

@@ -210,15 +210,356 @@ object QueriesWave22 {
        |FROM hh h JOIN tr t USING (user_id), stot st
        |ORDER BY est DESC, user_id""".stripMargin
 
+  // ---- diff_in_diff: two-group two-period causal contrast ----
+
+  /** Difference-in-differences on per-user activity: outcome = each
+    * user's pre/post event counts around the stream midpoint (the
+    * shared `cupedXY` scan), groups = the deterministic md5 50/50
+    * assignment (`train_split`'s discipline). DiD on two periods
+    * reduces EXACTLY to a two-sample test on the per-user differences
+    * d_u = post − pre, so the estimate is (d̄_T − d̄_C) and the Welch SE
+    * comes from exact integer moments of d per group — parallel-trends
+    * bias cancels in d̄_C, which is what the plain post-period contrast
+    * (`cuped_adjust` improves, `srm_check` guards) cannot claim. One
+    * quantized √; significance at the same driver-quantized z as
+    * `prop_ztest_pairs`. At 100 TB: one user-keyed aggregate, then a
+    * 2-row frame.
+    */
+  def diffInDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = QueriesWave18.cupedXY(spark, dir)
+      .withColumn("t",
+        conv(substring(md5(concat(lit("did:"), col("user_id").cast("string"))),
+          1, 13), 16, 10).cast("long") % 2 === 0)
+      .select(col("t"), col("x"), col("y"), (col("y") - col("x")).as("d"))
+    def side(f: Column, c: Column) = sum(when(f, c).otherwise(lit(0L)))
+    val m = d.agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+      side(col("t"), col("x")).as("sxt"), side(col("t"), col("y")).as("syt"),
+      side(!col("t"), col("x")).as("sxc"), side(!col("t"), col("y")).as("syc"),
+      side(col("t"), col("d")).as("sdt"), side(!col("t"), col("d")).as("sdc"),
+      side(col("t"), col("d") * col("d")).as("qdt"),
+      side(!col("t"), col("d") * col("d")).as("qdc"))
+    m
+      .withColumn("did",
+        col("sdt").cast("double") / col("nt") -
+          col("sdc").cast("double") / col("nc"))
+      .withColumn("se6", expr(
+        """CAST(round(1e6 * sqrt(
+          |  CAST(nt * qdt - sdt * sdt AS DOUBLE)
+          |    / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+          |  + CAST(nc * qdc - sdc * sdc AS DOUBLE)
+          |    / (CAST(nc AS DOUBLE) * (nc - 1) * nc))) AS BIGINT)""".stripMargin))
+      .select(col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+        (col("sxt").cast("double") / col("nt")).as("pre_mean_treat"),
+        (col("syt").cast("double") / col("nt")).as("post_mean_treat"),
+        (col("sxc").cast("double") / col("nc")).as("pre_mean_ctrl"),
+        (col("syc").cast("double") / col("nc")).as("post_mean_ctrl"),
+        col("did"), (col("did") * 1e6 / col("se6")).as("t_stat"))
+      .withColumn("significant", abs(col("t_stat")) >= QueriesWave9.ztestCrit)
+  }
+
+  val diffInDiffSql: String =
+    s"""WITH ${QueriesWave18.cupedXYCte},
+       |g AS (SELECT
+       |    CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 13))
+       |      AS BIGINT) % 2 = 0 AS t,
+       |    x, y, y - x AS d
+       |  FROM xy),
+       |m AS (SELECT
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sxt,
+       |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt,
+       |    CAST(SUM(CASE WHEN NOT t THEN x ELSE 0 END) AS BIGINT) AS sxc,
+       |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS syc,
+       |    CAST(SUM(CASE WHEN t THEN d ELSE 0 END) AS BIGINT) AS sdt,
+       |    CAST(SUM(CASE WHEN NOT t THEN d ELSE 0 END) AS BIGINT) AS sdc,
+       |    CAST(SUM(CASE WHEN t THEN d * d ELSE 0 END) AS BIGINT) AS qdt,
+       |    CAST(SUM(CASE WHEN NOT t THEN d * d ELSE 0 END) AS BIGINT) AS qdc
+       |  FROM g),
+       |e AS (SELECT *,
+       |    CAST(sdt AS DOUBLE) / nt - CAST(sdc AS DOUBLE) / nc AS did,
+       |    CAST(round(1e6 * sqrt(
+       |      CAST(nt * qdt - sdt * sdt AS DOUBLE)
+       |        / (CAST(nt AS DOUBLE) * (nt - 1) * nt)
+       |      + CAST(nc * qdc - sdc * sdc AS DOUBLE)
+       |        / (CAST(nc AS DOUBLE) * (nc - 1) * nc))) AS BIGINT) AS se6
+       |  FROM m)
+       |SELECT nt AS n_treat, nc AS n_ctrl,
+       |  CAST(sxt AS DOUBLE) / nt AS pre_mean_treat,
+       |  CAST(syt AS DOUBLE) / nt AS post_mean_treat,
+       |  CAST(sxc AS DOUBLE) / nc AS pre_mean_ctrl,
+       |  CAST(syc AS DOUBLE) / nc AS post_mean_ctrl,
+       |  did, did * 1e6 / se6 AS t_stat,
+       |  abs(did * 1e6 / se6) >= ${QueriesWave9.ztestCrit} AS significant
+       |FROM e""".stripMargin
+
+  // ---- rendezvous_shard: HRW routing + balance/minimal-move audit ----
+
+  val hrwShards = 8
+
+  /** Highest-random-weight routing argmax as a pure codegen'd
+    * expression — one transform over the shard grid per row, NO
+    * shuffle, no explode: any executor routes any key locally (the
+    * property that makes HRW the coordination-free shard router). */
+  private def hrwArgmax(nShards: Int): String =
+    s"""array_max(transform(sequence(0, ${nShards - 1}),
+       |  sh -> struct(CAST(conv(substring(md5(concat(
+       |    'hrw:', CAST(sh AS STRING), ':', CAST(doc_id AS STRING))),
+       |    1, 13), 16, 10) AS BIGINT) AS h, sh))).sh""".stripMargin
+
+  /** Rendezvous (highest-random-weight) sharding of the corpus, with
+    * the two audits that justify choosing it over `mod`: per-shard
+    * BALANCE (count and share under [[hrwShards]] shards) and the
+    * MINIMAL-MOVEMENT property on scale-out — under HRW, adding shard
+    * S+1 moves a key iff the new shard's weight beats all S old ones
+    * (expected share 1/(S+1)); under `hash mod S` almost every key
+    * moves. n_move counts each current shard's keys that the S+1-shard
+    * assignment routes to the new shard — by construction the ONLY
+    * moves — so move_share per shard is directly comparable to the
+    * 1/(S+1) ideal. Routing is a map-side expression (argmax over the
+    * md5 weights, ties to the larger shard id in both engines); the
+    * audit is one keyed aggregate.
+    */
+  def rendezvousShardQ(spark: SparkSession, dir: String): DataFrame = {
+    val asg = Tables(spark, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("shard", expr(hrwArgmax(hrwShards)))
+      .withColumn("__s9", expr(hrwArgmax(hrwShards + 1)))
+    val tot = asg.agg(count(lit(1)).as("__n"))
+    asg.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__s9") === hrwShards, 1L).otherwise(0L)).as("n_move"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"),
+        (col("n_docs").cast("double") / col("__n")).as("share"),
+        col("n_move"),
+        (col("n_move").cast("double") / col("n_docs")).as("move_share"))
+      .orderBy(col("shard"))
+  }
+
+  val rendezvousShardSql: String = {
+    // single line: a stripMargin here would eat the first '|' of a
+    // line-leading '||' concat operator
+    def hSql(alias: String) =
+      s"CAST(('0x' || substr(md5('hrw:' || CAST($alias.s AS VARCHAR) || " +
+        s"':' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+    s"""WITH grid AS (SELECT CAST(range AS INT) AS s FROM range(${hrwShards + 1})),
+       |h AS (SELECT d.doc_id, g.s, ${hSql("g")} AS h
+       |  FROM documents d, grid g),
+       |a8 AS (SELECT doc_id, s AS shard FROM (
+       |  SELECT doc_id, s, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+       |  FROM h WHERE s < $hrwShards) WHERE rn = 1),
+       |a9 AS (SELECT doc_id, s AS s9 FROM (
+       |  SELECT doc_id, s, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+       |  FROM h) WHERE rn = 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+       |SELECT a8.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS DOUBLE) / tot.n AS share,
+       |  CAST(SUM(CASE WHEN a9.s9 = $hrwShards THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_move,
+       |  CAST(SUM(CASE WHEN a9.s9 = $hrwShards THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS move_share
+       |FROM a8 JOIN a9 USING (doc_id), tot
+       |GROUP BY a8.shard, tot.n ORDER BY shard""".stripMargin
+  }
+
+  // ---- deletion_vector_plan: rewrite-vs-DV planning per file ----
+
+  /** Rewrite a file when at least this share of its rows is deleted
+    * (the standard lakehouse DV-vs-rewrite threshold shape). */
+  val dvRewriteShare = 0.2
+
+  /** Deletion-vector vs rewrite planning over the corpus's file layout
+    * — the delete-path companion of `compaction_plan` (same next-fit
+    * bins = files): deletes are the docs curation rejects
+    * (`doc_filter`'s kept=false), and per file the plan compares the
+    * deleted share against [[dvRewriteShare]] — REWRITE the file (pay
+    * its bytes once, reclaim space) above the threshold, attach a
+    * deletion vector (pay n_del positions, defer IO) below it, KEEP
+    * untouched files as-is. Output per file: counts, decision, and the
+    * two costs the planner trades (bytes_rewritten vs dv_entries).
+    * One window + two keyed aggregates; at 100 TB this is metadata
+    * math over the file manifest, which is the point.
+    */
+  def deletionVectorPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        coalesce(sum(col("n_chars")).over(w), lit(0L)).as("__cum"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("__cum") / QueriesAnalytics.compactionTarget).cast("long").as("bin_id"))
+      .join(graft.operators.Corpus.docFilter(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("kept")), "doc_id")
+    binned.groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_bytes"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_del"))
+      .withColumn("del_share",
+        col("n_del").cast("double") / col("n_docs").cast("double"))
+      .withColumn("action",
+        when(col("n_del") === 0, "KEEP")
+          .when(col("del_share") >= dvRewriteShare, "REWRITE")
+          .otherwise("DV"))
+      .select(col("source"), col("bin_id"), col("n_docs"), col("n_bytes"),
+        col("n_del"), col("del_share"), col("action"),
+        when(col("action") === "REWRITE", col("n_bytes")).otherwise(lit(0L))
+          .as("bytes_rewritten"),
+        when(col("action") === "DV", col("n_del")).otherwise(lit(0L))
+          .as("dv_entries"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  val deletionVectorPlanSql: String = {
+    import graft.operators.TextAnalysis.{emailPat, phonePat}
+    s"""WITH ${QueriesText.wordsCte},
+       |kept AS (
+       |  SELECT w.doc_id,
+       |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
+       |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
+       |     AND (len(regexp_extract_all(d.text, '$emailPat'))
+       |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
+       |  FROM w JOIN documents d USING (doc_id)),
+       |o AS (SELECT source, doc_id, n_chars,
+       |  COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM documents),
+       |f AS (SELECT o.source,
+       |    CAST(o.cum // ${QueriesAnalytics.compactionTarget} AS BIGINT) AS bin_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(o.n_chars) AS BIGINT) AS n_bytes,
+       |    CAST(SUM(CASE WHEN NOT k.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+       |  FROM o JOIN kept k USING (doc_id) GROUP BY 1, 2),
+       |p AS (SELECT *, CAST(n_del AS DOUBLE) / CAST(n_docs AS DOUBLE) AS del_share,
+       |    CASE WHEN n_del = 0 THEN 'KEEP'
+       |         WHEN CAST(n_del AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |           >= $dvRewriteShare THEN 'REWRITE'
+       |         ELSE 'DV' END AS action
+       |  FROM f)
+       |SELECT source, bin_id, n_docs, n_bytes, n_del, del_share, action,
+       |  CAST(CASE WHEN action = 'REWRITE' THEN n_bytes ELSE 0 END AS BIGINT)
+       |    AS bytes_rewritten,
+       |  CAST(CASE WHEN action = 'DV' THEN n_del ELSE 0 END AS BIGINT)
+       |    AS dv_entries
+       |FROM p ORDER BY source, bin_id""".stripMargin
+  }
+
+  // ---- group_sequential: O'Brien–Fleming interim monitoring ----
+
+  val gstLooks = 5
+  /** Two-sided O'Brien–Fleming final-look critical value for K=5 looks
+    * at overall α=0.05 (standard tabulated constant, driver-quantized
+    * like [[QueriesWave9.ztestCrit]]); look-k boundary = c·√(K/k). */
+  val gstCObf = 2.0403
+  /** Per-look boundaries, pinned to the 1e-6 grid at config time so
+    * both engines compare against identical literals. */
+  val gstBounds: Seq[Double] = (1 to gstLooks).map(k =>
+    math.round(1e6 * gstCObf * math.sqrt(gstLooks.toDouble / k)) / 1e6)
+
+  /** Group-sequential interim monitoring (O'Brien–Fleming boundaries)
+    * of the md5 A/B split on event volume — the A/B-platform standard
+    * for "peek K times without inflating α" that `sprt_audit` (Wald's
+    * per-observation SPRT) and the fixed-horizon tests can't give:
+    * K equal calendar looks, at each the cumulative balance statistic
+    * z_k = (n_T − n_C)/√(n_T + n_C) against the boundary c·√(K/k) —
+    * early looks need overwhelming evidence, the final look spends
+    * almost the full α. Counts are one keyed aggregate over
+    * calendar-sliced looks (look id = exact integer floor over the
+    * span), cumulated over the K-row look frame; one quantized √ per
+    * look. `crossed` per look and the monitor's running verdict are
+    * both emitted.
+    */
+  def groupSequentialQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("__us"))
+    val span = ev.agg(min(col("__us")).as("d0"), max(col("__us")).as("d1"))
+    val looks = ev.crossJoin(broadcast(span))
+      .select(
+        expr(s"CAST(1 + ((__us - d0) * $gstLooks) div (d1 - d0 + 1) AS INT)")
+          .as("look"),
+        (conv(substring(md5(concat(lit("gst:"), col("user_id").cast("string"))),
+          1, 13), 16, 10).cast("long") % 2 === 0).as("t"))
+      .groupBy(col("look"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("dt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("dc"))
+    // K-row look frame: cumulative window is config-bounded (allowlist)
+    val wCum = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bounds = coalesce(gstBounds.zipWithIndex
+      .map { case (b, i) => when(col("look") === i + 1, lit(b)) }: _*)
+    looks
+      .withColumn("n_treat", sum(col("dt")).over(wCum))
+      .withColumn("n_ctrl", sum(col("dc")).over(wCum))
+      .withColumn("se6", expr(
+        "CAST(round(1e6 * sqrt(CAST(n_treat + n_ctrl AS DOUBLE))) AS BIGINT)"))
+      .withColumn("z",
+        (col("n_treat") - col("n_ctrl")).cast("double") * 1e6 / col("se6"))
+      .withColumn("boundary", bounds)
+      .withColumn("crossed", abs(col("z")) >= col("boundary"))
+      .withColumn("rejected_by_now",
+        max(col("crossed")).over(wCum))
+      .select(col("look"), col("n_treat"), col("n_ctrl"), col("z"),
+        col("boundary"), col("crossed"), col("rejected_by_now"))
+      .orderBy(col("look"))
+  }
+
+  val groupSequentialSql: String = {
+    val boundsCase = gstBounds.zipWithIndex
+      .map { case (b, i) => s"WHEN look = ${i + 1} THEN $b" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |span AS (SELECT MIN(us) AS d0, MAX(us) AS d1 FROM ev),
+       |lk AS (SELECT
+       |    CAST(1 + ((us - d0) * $gstLooks) // (d1 - d0 + 1) AS INT) AS look,
+       |    CAST(('0x' || substr(md5('gst:' || CAST(user_id AS VARCHAR)), 1, 13))
+       |      AS BIGINT) % 2 = 0 AS t
+       |  FROM ev, span),
+       |g AS (SELECT look,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS dt,
+       |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS dc
+       |  FROM lk GROUP BY 1),
+       |c AS (SELECT look,
+       |    CAST(SUM(dt) OVER (ORDER BY look
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_treat,
+       |    CAST(SUM(dc) OVER (ORDER BY look
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ctrl
+       |  FROM g),
+       |z AS (SELECT *,
+       |    CAST(n_treat - n_ctrl AS DOUBLE) * 1e6
+       |      / CAST(round(1e6 * sqrt(CAST(n_treat + n_ctrl AS DOUBLE))) AS BIGINT)
+       |      AS z,
+       |    $boundsCase AS boundary
+       |  FROM c),
+       |x AS (SELECT *, abs(z) >= boundary AS crossed FROM z)
+       |SELECT look, n_treat, n_ctrl, z, boundary, crossed,
+       |  MAX(crossed) OVER (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rejected_by_now
+       |FROM x ORDER BY look""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_sequential" -> (groupSequentialQ _),
     "bh_fdr" -> (bhFdrQ _),
     "label_propagation" -> (labelPropagationQ _),
-    "mg_heavy_hitters" -> (mgHeavyHittersQ _)
+    "mg_heavy_hitters" -> (mgHeavyHittersQ _),
+    "diff_in_diff" -> (diffInDiffQ _),
+    "rendezvous_shard" -> (rendezvousShardQ _),
+    "deletion_vector_plan" -> (deletionVectorPlanQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "group_sequential" -> groupSequentialSql,
     "bh_fdr" -> bhFdrSql,
     "label_propagation" -> labelPropagationSql,
-    "mg_heavy_hitters" -> mgHeavyHittersSql
+    "mg_heavy_hitters" -> mgHeavyHittersSql,
+    "diff_in_diff" -> diffInDiffSql,
+    "rendezvous_shard" -> rendezvousShardSql,
+    "deletion_vector_plan" -> deletionVectorPlanSql
   )
 }

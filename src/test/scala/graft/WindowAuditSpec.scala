@@ -52,7 +52,11 @@ class WindowAuditSpec extends SparkSpec {
     "sprt_audit", "max_drawdown",
     // ≤ #sources² rows: the BH step-up ranking over the pairwise
     // z-test frame (per-source rates are a one-scan memoized aggregate)
-    "bh_fdr")
+    "bh_fdr",
+    // K-row look frame: the interim monitor's cumulative window runs
+    // over gstLooks rows (config-bounded), after the calendar-sliced
+    // keyed aggregate
+    "group_sequential")
 
   /** Entries allowed to show no unpartitioned window in the audited
     * plan: a registration staged before its query lands, or a
