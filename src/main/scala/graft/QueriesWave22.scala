@@ -323,14 +323,18 @@ object QueriesWave22 {
     * audit is one keyed aggregate.
     */
   def rendezvousShardQ(spark: SparkSession, dir: String): DataFrame = {
-    val asg = Tables(spark, dir, "documents")
-      .select(col("doc_id"))
-      .withColumn("shard", expr(hrwArgmax(hrwShards)))
-      .withColumn("__s9", expr(hrwArgmax(hrwShards + 1)))
-    val tot = asg.agg(count(lit(1)).as("__n"))
-    asg.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__s9") === hrwShards, 1L).otherwise(0L)).as("n_move"))
+    // ONE corpus scan: the audit aggregates to a shard-bounded frame,
+    // and the total is derived from that frame, never a second scan
+    val grouped = Memo(spark, dir, "wave22:hrwGrouped")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"))
+        .withColumn("shard", expr(hrwArgmax(hrwShards)))
+        .withColumn("__s9", expr(hrwArgmax(hrwShards + 1)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__s9") === hrwShards, 1L).otherwise(0L)).as("n_move")))
+    val tot = grouped.agg(sum(col("n_docs")).as("__n"))
+    grouped
       .crossJoin(broadcast(tot))
       .select(col("shard"), col("n_docs"),
         (col("n_docs").cast("double") / col("__n")).as("share"),

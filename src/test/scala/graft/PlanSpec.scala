@@ -722,4 +722,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("wasserstein_drift")
     assert(p.contains("windowspecdefinition(src_a"), p.take(1600))
   }
+
+  test("rendezvous_shard routes map-side: no join, one corpus scan total") {
+    val p = plan("rendezvous_shard")
+    // HRW argmax is a transform+array_max expression per row; the only
+    // joins are the broadcast of the 1-row total onto the 8-row frame
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+    val ls = leaves("rendezvous_shard")
+    assert(ls.count(_.contains("FileSourceScan")) <= 1, ls.mkString(","))
+  }
+
+  test("label_propagation's registered plan reads literal rounds, not the graph") {
+    // every peel round is a literal checkpoint; the final frame joins
+    // two bounded local relations — no file scan, no wide join
+    val ls = leaves("label_propagation")
+    assert(ls.count(_.contains("FileSourceScan")) === 0, ls.mkString(","))
+  }
+
+  test("mg_heavy_hitters ranks per (partition, shard) first, truth is one scan") {
+    val p = plan("mg_heavy_hitters")
+    // groupedTopK's stage-1 window keys include the partition stamp
+    assert(p.contains("__pid"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("diff_in_diff and group_sequential: broadcast span, single-scan moments") {
+    Seq("diff_in_diff", "group_sequential").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(400)}")
+    }
+  }
 }

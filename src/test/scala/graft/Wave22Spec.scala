@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Wave22Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bh_fdr: p monotone in rank, rejections are exactly the prefix 1..k*") {
+    val rows = QueriesWave22.bhFdrQ(spark, sf).collect()
+    // cols: src_a src_b z p9 rnk m bh_ok rejected
+    val m = rows.head.getLong(5)
+    assert(rows.length.toLong === m)
+    for (r <- rows) {
+      val p9 = r.getLong(3)
+      assert(p9 >= 0L && p9 <= 1000000000L, s"p out of range in $r")
+    }
+    val byRank = rows.sortBy(_.getLong(4)).map(_.getLong(3))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+      "p must be non-decreasing in rank")
+    val rej = rows.filter(_.getBoolean(7)).map(_.getLong(4))
+    if (rej.nonEmpty) {
+      val k = rej.max
+      assert(rej.toSet === (1L to k).toSet,
+        "rejections must be the contiguous prefix of the p-ranked order")
+      assert(rows.filter(_.getBoolean(6)).map(_.getLong(4)).max === k,
+        "k* must be the LAST rank whose BH inequality holds")
+    } else assert(rows.forall(!_.getBoolean(6)))
+  }
+
+  test("label_propagation: labels are node ids, sizes consistent, plan is flat") {
+    val rows = QueriesWave22.labelPropagationQ(spark, sf).collect()
+    val nodes = rows.map(_.getLong(0)).toSet
+    val labels = rows.map(_.getLong(1)).toSet
+    assert(labels.subsetOf(nodes), "a community label must be a member node id")
+    val bySize = rows.groupBy(_.getLong(1)).map { case (l, rs) => l -> rs.length.toLong }
+    for (r <- rows)
+      assert(r.getLong(2) === bySize(r.getLong(1)), s"size mismatch in $r")
+    assert(bySize.values.sum === rows.length.toLong)
+  }
+
+  test("mg_heavy_hitters: undercount-only and bound gates hold on every row") {
+    val rows = QueriesWave22.mgHeavyHittersQ(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= QueriesWave22.mgK)
+    for (r <- rows) {
+      assert(r.getBoolean(4), s"overcount in $r")
+      assert(r.getBoolean(5), s"error bound violated in $r")
+    }
+  }
+
+  test("diff_in_diff: arms partition the users, estimate consistent with the means") {
+    val row = QueriesWave22.diffInDiffQ(spark, sf).collect().head
+    val users = Tables(spark, sf, "events").select($"user_id").distinct().count()
+    assert(row.getLong(0) + row.getLong(1) === users)
+    val didFromMeans = (row.getDouble(3) - row.getDouble(2)) -
+      (row.getDouble(5) - row.getDouble(4))
+    assert(math.abs(row.getDouble(6) - didFromMeans) < 1e-9,
+      s"did ${row.getDouble(6)} vs means $didFromMeans")
+  }
+
+  test("rendezvous_shard: shares sum to 1, movement near the 1/(S+1) ideal") {
+    val rows = QueriesWave22.rendezvousShardQ(spark, sf).collect()
+    assert(rows.length === QueriesWave22.hrwShards)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    val nTot = rows.map(_.getLong(1)).sum
+    val moved = rows.map(_.getLong(3)).sum
+    val ideal = 1.0 / (QueriesWave22.hrwShards + 1)
+    assert(moved.toDouble / nTot < 2 * ideal,
+      s"moved ${moved.toDouble / nTot} vs ideal $ideal — HRW's minimal-move " +
+        "property should keep movement near 1/(S+1)")
+  }
+
+  test("deletion_vector_plan: per-file action and cost columns are consistent") {
+    val rows = QueriesWave22.deletionVectorPlanQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nDocs, nBytes, nDel) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val action = r.getString(6)
+      assert(nDel <= nDocs)
+      val want =
+        if (nDel == 0) "KEEP"
+        else if (r.getDouble(5) >= QueriesWave22.dvRewriteShare) "REWRITE"
+        else "DV"
+      assert(action === want, s"action in $r")
+      assert(r.getLong(7) === (if (action == "REWRITE") nBytes else 0L))
+      assert(r.getLong(8) === (if (action == "DV") nDel else 0L))
+    }
+  }
+
+  test("group_sequential: OBF boundaries decrease, counts cumulate to the total") {
+    val rows = QueriesWave22.groupSequentialQ(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length === QueriesWave22.gstLooks)
+    val bs = rows.map(_.getDouble(4))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a > b },
+      "OBF boundary must strictly decrease across looks")
+    val cum = rows.map(r => r.getLong(1) + r.getLong(2))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last === Tables(spark, sf, "events").count())
+  }
+}
