@@ -236,9 +236,12 @@ object QueriesWave20 {
     * frame. All moments are exact integers (scores on the 1e-3 grid);
     * one fixed-order double division chain at the end.
     */
-  def mmdDriftQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-source exact integer moments of the 1e-3-grid quality score
+    * (n, S1, S2, S4) — one keyed aggregate memoized for the session;
+    * shared by `mmd_drift` and Wave22's jackknife. */
+  private[graft] def srcScoreMoments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val mom = Memo(spark, dir, "wave20:srcScoreMoments")(
+    Memo(spark, dir, "wave20:srcScoreMoments")(
       graft.operators.TextAnalysis.qualityScore(docs)
         .select(col("doc_id"),
           expr("CAST(round(1e3 * score) AS BIGINT)").as("s3"))
@@ -248,6 +251,23 @@ object QueriesWave20 {
           sum(col("s3")).as("s1"),
           sum(col("s3") * col("s3")).as("s2"),
           sum(dec(col("s3") * col("s3")) * dec(col("s3") * col("s3"))).as("s4")))
+  }
+
+  /** The same moment table as portable CTEs (`w`…, `scored`, `mom`). */
+  private[graft] val srcScoreMomentsCte: String =
+    s"""${QueriesText.wordsCte},
+       |scored AS (
+       |  SELECT w.doc_id, d.source,
+       |    CAST(round(1e3 * (${QueriesText.scoreSqlExpr})) AS BIGINT) AS s3
+       |  FROM w JOIN documents d USING (doc_id)),
+       |mom AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(s3) AS BIGINT) AS s1,
+       |    CAST(SUM(s3 * s3) AS BIGINT) AS s2,
+       |    CAST(SUM(CAST(s3 * s3 AS HUGEINT) * (s3 * s3)) AS HUGEINT) AS s4
+       |  FROM scored GROUP BY 1)""".stripMargin
+
+  def mmdDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val mom = srcScoreMoments(spark, dir)
     def within(n: Column, s1: Column, s2: Column, s4: Column): Column =
       dec(n) * dec(n - 1) * dec(lit(mmdC * mmdC)) +
         dec(lit(2L * mmdC)) * (dec(s1) * dec(s1) - dec(s2)) +
@@ -282,16 +302,7 @@ object QueriesWave20 {
   val mmdDriftSql: String = {
     val c2 = mmdC * mmdC
     val twoC = 2L * mmdC
-    s"""WITH ${QueriesText.wordsCte},
-       |scored AS (
-       |  SELECT w.doc_id, d.source,
-       |    CAST(round(1e3 * (${QueriesText.scoreSqlExpr})) AS BIGINT) AS s3
-       |  FROM w JOIN documents d USING (doc_id)),
-       |mom AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(s3) AS BIGINT) AS s1,
-       |    CAST(SUM(s3 * s3) AS BIGINT) AS s2,
-       |    CAST(SUM(CAST(s3 * s3 AS HUGEINT) * (s3 * s3)) AS HUGEINT) AS s4
-       |  FROM scored GROUP BY 1),
+    s"""WITH $srcScoreMomentsCte,
        |p AS (SELECT a.source AS src_a, b.source AS src_b,
        |    a.n AS na, a.s1 AS s1a, a.s2 AS s2a, a.s4 AS s4a,
        |    b.n AS nb, b.s1 AS s1b, b.s2 AS s2b, b.s4 AS s4b

@@ -547,7 +547,284 @@ object QueriesWave22 {
        |FROM x ORDER BY look""".stripMargin
   }
 
+  // ---- jackknife_variance: delete-one-source jackknife SE ----
+
+  /** Delete-one-GROUP jackknife for the corpus mean quality score —
+    * the resampling family's third member next to `bootstrap_ci`
+    * (with-replacement rows) and `ratio_metric_ci` (delta method):
+    * deleting whole SOURCES prices the between-source clustering that
+    * row-level resampling understates, which is the right SE when
+    * corpora arrive source-at-a-time. Leave-one-out means θ̂₍ᵢ₎ =
+    * (S1−s1ᵢ)/(N−nᵢ) come from the shared per-source moment memo,
+    * pinned to the 1e-6 grid per group; then SE²_jack = (g−1)(gΣt² −
+    * (Σt)²)/g² stays EXACT integer algebra until one final √ — no
+    * cross-group float accumulation, so both engines hash-match. At
+    * 100 TB: one memoized keyed aggregate, then a ≤ #sources frame.
+    */
+  def jackknifeVarianceQ(spark: SparkSession, dir: String): DataFrame = {
+    val mom = QueriesWave20.srcScoreMoments(spark, dir)
+    val tot = mom.agg(sum(col("n")).as("nn"), sum(col("s1")).as("ss"),
+      count(lit(1)).as("g"))
+    val t6 = mom.crossJoin(broadcast(tot))
+      .select(col("g"), col("nn"), col("ss"),
+        expr("CAST(round(1e6 * (CAST(ss - s1 AS DOUBLE) / (nn - n))) AS BIGINT)")
+          .as("t6"))
+    t6.groupBy(col("g"), col("nn"), col("ss"))
+      .agg(sum(col("t6").cast("decimal(38,0)")).as("st"),
+        sum(col("t6").cast("decimal(38,0)") * col("t6")).as("qt"))
+      .withColumn("se6", expr(
+        """CAST(round(sqrt(CAST((g - 1) * (g * qt - st * st) AS DOUBLE)) / g)
+          | AS BIGINT)""".stripMargin))
+      .select(col("g").as("n_sources"), col("nn").as("n_docs"),
+        (col("ss").cast("double") / col("nn") / 1e3).as("theta"),
+        (col("se6").cast("double") / 1e6 / 1e3).as("se_jack"),
+        ((col("ss").cast("double") / col("nn") -
+          lit(QueriesWave9.ztestCrit) * col("se6").cast("double") / 1e6) / 1e3)
+          .as("ci_lo"),
+        ((col("ss").cast("double") / col("nn") +
+          lit(QueriesWave9.ztestCrit) * col("se6").cast("double") / 1e6) / 1e3)
+          .as("ci_hi"))
+  }
+
+  val jackknifeVarianceSql: String =
+    s"""WITH ${QueriesWave20.srcScoreMomentsCte},
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s1) AS BIGINT) AS ss,
+       |    CAST(COUNT(*) AS BIGINT) AS g FROM mom),
+       |t AS (SELECT g, nn, ss,
+       |    CAST(round(1e6 * (CAST(ss - s1 AS DOUBLE) / (nn - n))) AS BIGINT) AS t6
+       |  FROM mom, tot),
+       |m AS (SELECT g, nn, ss, CAST(SUM(CAST(t6 AS HUGEINT)) AS HUGEINT) AS st,
+       |    CAST(SUM(CAST(t6 AS HUGEINT) * t6) AS HUGEINT) AS qt
+       |  FROM t GROUP BY 1, 2, 3),
+       |s AS (SELECT *,
+       |    CAST(round(sqrt(CAST((g - 1) * (g * qt - st * st) AS DOUBLE)) / g)
+       |      AS BIGINT) AS se6
+       |  FROM m)
+       |SELECT g AS n_sources, nn AS n_docs,
+       |  CAST(ss AS DOUBLE) / nn / 1e3 AS theta,
+       |  CAST(se6 AS DOUBLE) / 1e6 / 1e3 AS se_jack,
+       |  (CAST(ss AS DOUBLE) / nn - ${QueriesWave9.ztestCrit}
+       |    * CAST(se6 AS DOUBLE) / 1e6) / 1e3 AS ci_lo,
+       |  (CAST(ss AS DOUBLE) / nn + ${QueriesWave9.ztestCrit}
+       |    * CAST(se6 AS DOUBLE) / 1e6) / 1e3 AS ci_hi
+       |FROM s""".stripMargin
+
+  // ---- capture_recapture: Lincoln–Petersen (Chapman) population estimate ----
+
+  val crRate = 16L
+
+  /** Capture–recapture estimate of the distinct-user population from
+    * two INDEPENDENT deterministic event samples (Chapman's
+    * bias-corrected Lincoln–Petersen): users "marked" by sample A
+    * (1-in-[[crRate]] md5 on event_id, salt crA), "recaptured" when
+    * also seen in sample B (independent salt crB) — N̂ =
+    * (n₁+1)(n₂+1)/(m+1) − 1 in exact integer div. The two-SAMPLE
+    * design rung of the NDV ladder (`hll_ndv`/`kmv_ndv` sketch one
+    * pass, `chao1_est` infers from abundance, this infers from overlap
+    * — the ecology method that needs no per-item sketch state at all,
+    * only two cheap sample scans). Audited with the exact NDV q-error
+    * like every estimator row.
+    */
+  def captureRecaptureQ(spark: SparkSession, dir: String): DataFrame = {
+    def samp(salt: String) = Tables(spark, dir, "events")
+      .filter(conv(substring(md5(concat(lit(salt), col("event_id").cast("string"))),
+        1, 13), 16, 10).cast("long") % crRate === 0L)
+      .select(col("user_id")).distinct()
+    val a = samp("crA:")
+    val b = samp("crB:")
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, "user_id").agg(count(lit(1)).as("m"))
+    val truth = Tables(spark, dir, "events")
+      .agg(count_distinct(col("user_id")).as("true_ndv"))
+    n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+      .withColumn("est",
+        expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1"))
+      .select(col("n1"), col("n2"), col("m"), col("est"), col("true_ndv"),
+        (greatest(col("est"), col("true_ndv")).cast("double") /
+          greatest(least(col("est"), col("true_ndv")), lit(1L)).cast("double"))
+          .as("q_err"))
+  }
+
+  val captureRecaptureSql: String = {
+    def samp(salt: String) =
+      s"""SELECT DISTINCT user_id FROM events
+         |  WHERE CAST(('0x' || substr(md5('$salt' || CAST(event_id AS VARCHAR)),
+         |    1, 13)) AS BIGINT) % $crRate = 0""".stripMargin
+    s"""WITH a AS (${samp("crA:")}),
+       |b AS (${samp("crB:")}),
+       |c AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n2,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id)) AS m,
+       |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_ndv),
+       |e AS (SELECT *, (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS est FROM c)
+       |SELECT n1, n2, m, CAST(est AS BIGINT) AS est, true_ndv,
+       |  CAST(GREATEST(est, true_ndv) AS DOUBLE)
+       |    / CAST(GREATEST(LEAST(est, true_ndv), 1) AS DOUBLE) AS q_err
+       |FROM e""".stripMargin
+  }
+
+  // ---- covariate_balance: standardized mean differences across the arms ----
+
+  /** |SMD| below this = balanced (the epidemiology/experimentation
+    * convention). */
+  val smdThreshold = 0.1
+
+  /** Covariate balance check for the md5 A/B assignment: standardized
+    * mean difference SMD = (x̄_T − x̄_C)/√((s²_T + s²_C)/2) per
+    * per-user covariate (event count, total value in cents, distinct
+    * event types) — the health check that says the ARMS are comparable
+    * BEFORE reading the outcome, where `srm_check` only says the split
+    * RATIO is right. One user-keyed aggregate builds the covariates;
+    * per-arm moments are exact integers; one quantized √ per
+    * covariate row; |SMD| < 0.1 flags balanced.
+    */
+  def covariateBalanceQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = Memo(spark, dir, "wave22:userCovariates")(
+      Tables(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("value_cents"),
+          count_distinct(col("event_type")).as("n_types"))
+        .withColumn("t",
+          conv(substring(md5(concat(lit("did:"), col("user_id").cast("string"))),
+            1, 13), 16, 10).cast("long") % 2 === 0))
+    Seq("n_events", "value_cents", "n_types").map { cov =>
+      val x = col(cov)
+      u.agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t"), x).otherwise(0L)).as("st"),
+        sum(when(!col("t"), x).otherwise(0L)).as("sc"),
+        sum(when(col("t"), x * x).otherwise(0L)).as("qt"),
+        sum(when(!col("t"), x * x).otherwise(0L)).as("qc"))
+        .withColumn("sd6", expr(
+          """CAST(round(1e6 * sqrt((
+            |  CAST(nt * qt - st * st AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1))
+            |  + CAST(nc * qc - sc * sc AS DOUBLE) / (CAST(nc AS DOUBLE) * (nc - 1))
+            |) / 2.0)) AS BIGINT)""".stripMargin))
+        .select(lit(cov).as("covariate"), col("nt").as("n_treat"),
+          col("nc").as("n_ctrl"),
+          (col("st").cast("double") / col("nt")).as("mean_treat"),
+          (col("sc").cast("double") / col("nc")).as("mean_ctrl"),
+          // zero-variance covariate -> SMD undefined -> NULL (both engines)
+          ((col("st").cast("double") / col("nt") -
+            col("sc").cast("double") / col("nc")) * 1e6 /
+            expr("nullif(sd6, 0)")).as("smd"))
+        .withColumn("balanced",
+          coalesce(abs(col("smd")) < smdThreshold,
+            col("mean_treat") === col("mean_ctrl")))
+    }.reduce(_.unionAll(_)).orderBy(col("covariate"))
+  }
+
+  val covariateBalanceSql: String = {
+    val covs = Seq(
+      ("n_events", "CAST(COUNT(*) AS BIGINT)"),
+      ("value_cents", "CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"),
+      ("n_types", "CAST(COUNT(DISTINCT event_type) AS BIGINT)"))
+    val uCte =
+      s"""u AS (SELECT user_id,
+         |    ${covs.map { case (n, e) => s"$e AS $n" }.mkString(", ")},
+         |    CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 13))
+         |      AS BIGINT) % 2 = 0 AS t
+         |  FROM events GROUP BY user_id)""".stripMargin
+    val arms = covs.map { case (cov, _) =>
+      s"""SELECT '$cov' AS covariate, nt AS n_treat, nc AS n_ctrl,
+         |  CAST(st AS DOUBLE) / nt AS mean_treat,
+         |  CAST(sc AS DOUBLE) / nc AS mean_ctrl,
+         |  (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc) * 1e6
+         |    / nullif(sd6, 0) AS smd,
+         |  COALESCE(abs((CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc) * 1e6
+         |    / nullif(sd6, 0)) < $smdThreshold,
+         |    CAST(st AS DOUBLE) / nt = CAST(sc AS DOUBLE) / nc) AS balanced
+         |FROM (SELECT *,
+         |  CAST(round(1e6 * sqrt((
+         |    CAST(nt * qt - st * st AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1))
+         |    + CAST(nc * qc - sc * sc AS DOUBLE) / (CAST(nc AS DOUBLE) * (nc - 1))
+         |  ) / 2.0)) AS BIGINT) AS sd6
+         |  FROM (SELECT
+         |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         |    CAST(SUM(CASE WHEN t THEN $cov ELSE 0 END) AS BIGINT) AS st,
+         |    CAST(SUM(CASE WHEN NOT t THEN $cov ELSE 0 END) AS BIGINT) AS sc,
+         |    CAST(SUM(CASE WHEN t THEN $cov * $cov ELSE 0 END) AS BIGINT) AS qt,
+         |    CAST(SUM(CASE WHEN NOT t THEN $cov * $cov ELSE 0 END) AS BIGINT) AS qc
+         |  FROM u))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $uCte\n$arms\nORDER BY covariate"
+  }
+
+  // ---- dedup_transitivity: wedge-closure audit of the similar-pair set ----
+
+  /** Transitivity audit of the exact τ-similar pair set
+    * (`prefix_sim_join`'s zero-false-negative pairs): count wedges
+    * a~m~c and how many close (a~c also similar). The closure rate is
+    * the number that says whether single-link cluster collapse
+    * (`dup_clusters`) is safe — low closure means connected components
+    * chain together documents that are NOT pairwise similar, i.e.
+    * cluster-collapse over-merges and `dedup_keep_best` deletes
+    * non-duplicates. Wedge enumeration joins the bounded verified-pair
+    * frame with itself through the shared middle doc (cluster-bounded
+    * at scale — pairs are already banded/blocked); the closure check is
+    * one more pair-keyed semi-join.
+    */
+  def dedupTransitivityQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Memo(spark, dir, "wave22:psjPairs")(
+      QueriesWave6.prefixSimJoinQ(spark, dir).select(col("doc_a"), col("doc_b")))
+    val sym = p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = sym.select(col("doc_a").as("x"), col("doc_b").as("m"))
+      .join(sym.select(col("doc_a").as("m"), col("doc_b").as("y")), "m")
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val closed = wedges.join(
+      p.select(col("doc_a").as("x"), col("doc_b").as("y")), Seq("x", "y"),
+      "left_semi")
+    Memo(spark, dir, "wave22:transRow") {
+      import spark.implicits._
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+        .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+          when(col("n_wedges") === 0, lit(1.0))
+            .otherwise(col("n_closed").cast("double") / col("n_wedges"))
+            .as("closure_rate"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+        .toDF("n_pairs", "n_wedges", "n_closed", "closure_rate")
+    }
+  }
+
+  val dedupTransitivitySql: String =
+    s"""WITH ${QueriesText.candCtes},
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |allint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT i.doc_a, i.doc_b FROM allint i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE ${QueriesWave6.psjTauDen + QueriesWave6.psjTauNum} * i.inter
+       |    >= ${QueriesWave6.psjTauNum} * (sa.n + sb.n)),
+       |sym AS (SELECT doc_a, doc_b FROM ex
+       |  UNION ALL SELECT doc_b, doc_a FROM ex),
+       |wdg AS (SELECT DISTINCT s1.doc_a AS x, s2.doc_b AS y
+       |  FROM sym s1 JOIN sym s2 ON s1.doc_b = s2.doc_a
+       |  WHERE s1.doc_a < s2.doc_b),
+       |cl AS (SELECT g.x FROM wdg g
+       |  JOIN ex ON ex.doc_a = g.x AND ex.doc_b = g.y)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_pairs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wdg) AS n_wedges,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_closed,
+       |  CASE WHEN (SELECT COUNT(*) FROM wdg) = 0 THEN 1.0
+       |    ELSE CAST((SELECT COUNT(*) FROM cl) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM wdg) END AS closure_rate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jackknife_variance" -> (jackknifeVarianceQ _),
+    "capture_recapture" -> (captureRecaptureQ _),
+    "covariate_balance" -> (covariateBalanceQ _),
+    "dedup_transitivity" -> (dedupTransitivityQ _),
     "group_sequential" -> (groupSequentialQ _),
     "bh_fdr" -> (bhFdrQ _),
     "label_propagation" -> (labelPropagationQ _),
@@ -558,6 +835,10 @@ object QueriesWave22 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "jackknife_variance" -> jackknifeVarianceSql,
+    "capture_recapture" -> captureRecaptureSql,
+    "covariate_balance" -> covariateBalanceSql,
+    "dedup_transitivity" -> dedupTransitivitySql,
     "group_sequential" -> groupSequentialSql,
     "bh_fdr" -> bhFdrSql,
     "label_propagation" -> labelPropagationSql,

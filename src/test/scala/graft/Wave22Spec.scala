@@ -86,6 +86,43 @@ class Wave22Spec extends SparkSpec {
     }
   }
 
+  test("jackknife_variance: CI brackets the point estimate, score-scale sane") {
+    val r = QueriesWave22.jackknifeVarianceQ(spark, sf).collect().head
+    val (theta, se, lo, hi) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(se >= 0.0)
+    assert(lo <= theta && theta <= hi, s"CI [$lo, $hi] must bracket $theta")
+    assert(theta >= 0.0 && theta <= 1.0, s"mean quality score $theta")
+  }
+
+  test("capture_recapture: estimate at least the overlap, q-error finite") {
+    val r = QueriesWave22.captureRecaptureQ(spark, sf).collect().head
+    val (n1, n2, m, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(m <= n1 && m <= n2)
+    assert(est >= math.max(n1, n2) - 1, s"LP estimate $est below a sample size")
+    assert(r.getDouble(5) >= 1.0)
+  }
+
+  test("covariate_balance: one row per covariate, arms consistent across rows") {
+    val rows = QueriesWave22.covariateBalanceQ(spark, sf).collect()
+    assert(rows.length === 3)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).distinct.length === 1,
+      "arm sizes must be identical for every covariate")
+    val users = Tables(spark, sf, "events").select($"user_id").distinct().count()
+    assert(rows.head.getLong(1) + rows.head.getLong(2) === users)
+  }
+
+  test("dedup_transitivity: closure is a rate over real wedges") {
+    val r = QueriesWave22.dedupTransitivityQ(spark, sf).collect().head
+    val (nPairs, nWedges, nClosed) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nClosed <= nWedges)
+    val rate = r.getDouble(3)
+    assert(rate >= 0.0 && rate <= 1.0)
+    if (nWedges > 0) assert(rate === nClosed.toDouble / nWedges)
+    assert(nPairs >= 0)
+  }
+
   test("group_sequential: OBF boundaries decrease, counts cumulate to the total") {
     val rows = QueriesWave22.groupSequentialQ(spark, sf).collect()
       .sortBy(_.getInt(0))
