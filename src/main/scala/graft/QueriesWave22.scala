@@ -122,7 +122,10 @@ object QueriesWave22 {
       .orderBy(col("nationkey"))
   }
 
-  val labelPropagationSql: String = {
+  /** The graph + unrolled LPA rounds as portable CTEs (`e`, `und`,
+    * `lab0`…`lab{lpaRounds}`) — shared by the community query and the
+    * modularity eval. */
+  private val lpaCtes: String = {
     val rounds = (1 to lpaRounds).map { r =>
       val p = r - 1
       s"""lab$r AS (SELECT node, lbl FROM (
@@ -132,15 +135,83 @@ object QueriesWave22 {
          |        FROM und e JOIN lab$p l ON l.node = e.b GROUP BY 1, 2))
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${QueriesWave9.nationUndCte},
+    s"""${QueriesWave9.nationUndCte},
        |lab0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH $lpaCtes,
        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
        |  FROM lab$lpaRounds GROUP BY 1)
        |SELECT f.node AS nationkey, f.lbl AS community, sz.community_size
        |FROM lab$lpaRounds f JOIN sz ON sz.lbl = f.lbl
        |ORDER BY nationkey""".stripMargin
+
+  // ---- graph_modularity: Newman modularity of the LPA partition ----
+
+  /** Newman modularity of the `label_propagation` partition — the
+    * eval-of-the-detector rung for the community family (what
+    * `ann_recall` is to the ANN stack and `lsh_recall_audit` to the
+    * dedup stack): per community, Q_c = L_c/m − (d_c/2m)², computed as
+    * the exact integer numerator (4·m·L_c − d_c²)/(4m²) with ONE double
+    * division per community row. L_c counts the symmetric edge list's
+    * within-community entries (÷2 exact), d_c sums member degrees; a
+    * partition that beats the degree-preserving null model sums to
+    * Q > 0 — a broken detector (labels scrambled) drives Q to ≤ 0.
+    * Everything runs on the memoized nation edge frame and the
+    * literal-checkpointed final labels.
+    */
+  def graphModularityQ(spark: SparkSession, dir: String): DataFrame = {
+    val und = QueriesWave9.nationUndirected(spark, dir)
+    labelPropagationQ(spark, dir).count() // ensure the round memos exist
+    val lab = Memo(spark, dir, s"wave22:lpa$lpaRounds")(
+      sys.error("final LPA round memo must exist"))
+    val m2 = und.agg(count(lit(1)).as("__m2")) // = 2m (symmetric entries)
+    val within = und
+      .join(broadcast(lab.select(col("node").as("a"), col("lbl"))), "a")
+      .join(broadcast(lab.select(col("node").as("b"), col("lbl").as("__lb"))), "b")
+      .filter(col("lbl") === col("__lb"))
+      .groupBy(col("lbl")).agg(count(lit(1)).as("__w2")) // = 2·L_c
+    val degs = und
+      .join(broadcast(lab.select(col("node").as("a"), col("lbl"))), "a")
+      .groupBy(col("lbl")).agg(count(lit(1)).as("__d")) // = d_c
+    lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+      .join(broadcast(within), Seq("lbl"), "left_outer")
+      .join(broadcast(degs), Seq("lbl"), "left_outer")
+      .crossJoin(broadcast(m2))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        expr("COALESCE(__w2, 0L) div 2").as("internal_edges"),
+        coalesce(col("__d"), lit(0L)).as("degree_sum"),
+        // (4mL_c − d_c²)/(4m²) with 2m = __m2: (__m2·__w2 − __d²)/__m2²
+        ((col("__m2") * coalesce(col("__w2"), lit(0L)) -
+          coalesce(col("__d"), lit(0L)) * coalesce(col("__d"), lit(0L)))
+          .cast("double") /
+          (col("__m2") * col("__m2")).cast("double")).as("q_contrib"))
+      .orderBy(col("community"))
   }
+
+  val graphModularitySql: String =
+    s"""WITH $lpaCtes,
+       |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+       |w2 AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS w2
+       |  FROM und e JOIN lab$lpaRounds la ON la.node = e.a
+       |  JOIN lab$lpaRounds lb ON lb.node = e.b
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |dg AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM und e JOIN lab$lpaRounds la ON la.node = e.a GROUP BY 1),
+       |nn AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM lab$lpaRounds GROUP BY 1)
+       |SELECT nn.lbl AS community, nn.n_nodes,
+       |  CAST(COALESCE(w2.w2, 0) // 2 AS BIGINT) AS internal_edges,
+       |  CAST(COALESCE(dg.d, 0) AS BIGINT) AS degree_sum,
+       |  CAST(m2.m2 * COALESCE(w2.w2, 0)
+       |    - COALESCE(dg.d, 0) * COALESCE(dg.d, 0) AS DOUBLE)
+       |    / CAST(m2.m2 * m2.m2 AS DOUBLE) AS q_contrib
+       |FROM nn
+       |LEFT JOIN w2 ON w2.lbl = nn.lbl
+       |LEFT JOIN dg ON dg.lbl = nn.lbl, m2
+       |ORDER BY community""".stripMargin
 
   // ---- mg_heavy_hitters: mergeable Misra–Gries summary + error audit ----
 
@@ -828,6 +899,7 @@ object QueriesWave22 {
     "group_sequential" -> (groupSequentialQ _),
     "bh_fdr" -> (bhFdrQ _),
     "label_propagation" -> (labelPropagationQ _),
+    "graph_modularity" -> (graphModularityQ _),
     "mg_heavy_hitters" -> (mgHeavyHittersQ _),
     "diff_in_diff" -> (diffInDiffQ _),
     "rendezvous_shard" -> (rendezvousShardQ _),
@@ -842,6 +914,7 @@ object QueriesWave22 {
     "group_sequential" -> groupSequentialSql,
     "bh_fdr" -> bhFdrSql,
     "label_propagation" -> labelPropagationSql,
+    "graph_modularity" -> graphModularitySql,
     "mg_heavy_hitters" -> mgHeavyHittersSql,
     "diff_in_diff" -> diffInDiffSql,
     "rendezvous_shard" -> rendezvousShardSql,

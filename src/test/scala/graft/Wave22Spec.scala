@@ -38,6 +38,18 @@ class Wave22Spec extends SparkSpec {
     assert(bySize.values.sum === rows.length.toLong)
   }
 
+  test("graph_modularity: degree sums cover the edge list, Q in range") {
+    val rows = QueriesWave22.graphModularityQ(spark, sf).collect()
+    val comms = QueriesWave22.labelPropagationQ(spark, sf)
+      .select($"community").distinct().count()
+    assert(rows.length.toLong === comms)
+    val twoM = QueriesWave9.nationUndirected(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum === twoM, "Σ d_c must equal 2m")
+    assert(rows.map(_.getLong(2)).sum <= twoM / 2)
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+  }
+
   test("mg_heavy_hitters: undercount-only and bound gates hold on every row") {
     val rows = QueriesWave22.mgHeavyHittersQ(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= QueriesWave22.mgK)
