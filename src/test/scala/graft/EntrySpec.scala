@@ -115,7 +115,11 @@ class EntrySpec extends SparkSpec {
       "kendall_tau", "segmented_trend", "ess_autocorr",
       "nar_tx_est", "nar_tx_check", "nar_training_curve",
       "lsh_precision_audit", "split_leak_audit", "ivf_pq_adc",
-      "mmd_drift", "gumbel_topk_sample", "wasserstein_drift", "kmeans_coreset")
+      "mmd_drift", "gumbel_topk_sample", "wasserstein_drift", "kmeans_coreset",
+      "nar_hpo", "bh_fdr", "label_propagation", "graph_modularity",
+      "mg_heavy_hitters", "diff_in_diff", "rendezvous_shard",
+      "deletion_vector_plan", "group_sequential", "jackknife_variance",
+      "capture_recapture", "covariate_balance", "dedup_transitivity")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
