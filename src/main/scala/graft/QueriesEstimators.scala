@@ -2478,20 +2478,21 @@ object QueriesEstimators {
   private val narHpoSteps = narTxSteps / 4
 
   /** Per-trial search products — each grid config trained from its own
-    * seed on the same weighted combo table, final weighted NLL recorded,
-    * joint enumerated: (trial, d, h, lr1000, loss, c_code, o_code,
-    * l_code, p, einv). PERSISTED to the warehouse like every training
-    * product (a search is the most expensive thing a train harness
-    * runs; re-running it per session would be absurd at any scale).
-    * Scale: the search input is the bounded combo collapse — the 100 TB
-    * work happened making the join sample; trials are driver-side
-    * catalog-sized fits, embarrassingly parallel in a real deployment. */
-  private def narHpoEvals(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "narHpoEvals") {
+    * seed on the same weighted combo table, final weighted NLL
+    * recorded, and the trial's joint run through the production est
+    * formula, so what PERSISTS is the (trial, config, loss, spec, est)
+    * EVAL table (the `nar_tx_curve` discipline — a search's artifact is
+    * its scoring table; re-deriving it per session from raw joints
+    * would pay 4× decode+aggregate on every load). Scale: the search
+    * input is the bounded combo collapse — the 100 TB work happened
+    * making the join sample; trials are driver-side catalog-sized
+    * fits, embarrassingly parallel in a real deployment. */
+  private def narHpoEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narHpoEstFrame") {
       Checkpoint(spark, dir, "nar_hpo_evals")(narFingerprint(spark, dir)) {
         val (combos, cMax, oMax, lMax, fMax) = narTxInputs(spark, dir)
         import spark.implicits._
-        narHpoGrid.flatMap { case (trial, d, h, lr1000) =>
+        val joints = narHpoGrid.flatMap { case (trial, d, h, lr1000) =>
           val model = new graft.operators.NarTransformer(
             cMax, oMax, lMax, fMax, d, h, narSeed + trial)
             .fit(combos, narHpoSteps, lr1000 / 1000.0)
@@ -2501,27 +2502,21 @@ object QueriesEstimators {
           }
         }.toDF("trial", "d", "h", "lr1000", "loss",
           "c_code", "o_code", "l_code", "p", "einv")
+        val dec = narDictDecode(spark, dir, joints)
+        val w = narW(spark, dir)
+        narSpecs.map { case (id, needO, needL, pred, _) =>
+          val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+            (if (needL) Seq(col("l_code") =!= 1) else Nil)
+          val sat = (pred +: flags).reduce(_ && _)
+          val mass = if (needL) col("p") else col("p") * col("einv")
+          dec.groupBy(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"))
+            .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+            .crossJoin(w)
+            .select(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"),
+              lit(id).as("query_id"),
+              greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+        }.reduce(_.unionAll(_))
       }
-    }
-
-  /** Every trial's estimate per spec (the production est formula over
-    * that trial's enumerated joint), config and loss carried along. */
-  private def narHpoEstFrame(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "narHpoEstFrame") {
-      val dec = narDictDecode(spark, dir, narHpoEvals(spark, dir))
-      val w = narW(spark, dir)
-      narSpecs.map { case (id, needO, needL, pred, _) =>
-        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
-          (if (needL) Seq(col("l_code") =!= 1) else Nil)
-        val sat = (pred +: flags).reduce(_ && _)
-        val mass = if (needL) col("p") else col("p") * col("einv")
-        dec.groupBy(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"))
-          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
-          .crossJoin(w)
-          .select(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"),
-            lit(id).as("query_id"),
-            greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
-      }.reduce(_.unionAll(_))
     }
 
   /** Primary (hash-checked) hyperparameter-search verdict, per (trial,

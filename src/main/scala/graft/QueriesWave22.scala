@@ -891,7 +891,187 @@ object QueriesWave22 {
        |    ELSE CAST((SELECT COUNT(*) FROM cl) AS DOUBLE)
        |      / (SELECT COUNT(*) FROM wdg) END AS closure_rate""".stripMargin
 
+  // ---- median_ci: distribution-free order-statistic CI for the median ----
+
+  /** Exact median of event value (cents grid) with the DISTRIBUTION-FREE
+    * 95% confidence interval from binomial order statistics: ranks
+    * (n ± z√n)/2 bracket the median with ~95% coverage for ANY
+    * distribution — the CI the quantile family (`col_quantiles`,
+    * `sample_quantiles`) reports point values without. All three order
+    * statistics are found by `rankLocate`'s bucket-locate (three
+    * bounded passes each, no global sort at any scale); the half-width
+    * is ONE quantized √; ranks are exact integer div, clamped to
+    * [1, n]. Oracle replays by plain ORDER BY row_number — the sorted
+    * multiset's r-th element is the same value bucket-locate finds.
+    */
+  def medianCiQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir, "events")
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val h = "CAST(round(1.959964 * sqrt(CAST(__p AS DOUBLE))) AS BIGINT)"
+    val med = QueriesWave8.rankLocate(v, "c", expr("(__p + 1) div 2"))
+      .select(col("value").as("med_c"))
+    val lo = QueriesWave8.rankLocate(v, "c", expr(s"greatest((__p - $h) div 2, 1L)"))
+      .select(col("value").as("lo_c"))
+    val hi = QueriesWave8.rankLocate(v, "c",
+      expr(s"least((__p + $h) div 2 + 1, __p)"))
+      .select(col("value").as("hi_c"))
+    v.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n"),
+        (col("med_c").cast("double") / 100.0).as("median"),
+        (col("lo_c").cast("double") / 100.0).as("ci_lo"),
+        (col("hi_c").cast("double") / 100.0).as("ci_hi"))
+  }
+
+  val medianCiSql: String =
+    """WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT n,
+      |    GREATEST((n - CAST(round(1.959964 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+      |      // 2, 1) AS rlo,
+      |    (n + 1) // 2 AS rmed,
+      |    LEAST((n + CAST(round(1.959964 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+      |      // 2 + 1, n) AS rhi
+      |  FROM n),
+      |o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v)
+      |SELECT r.n,
+      |  CAST(m.c AS DOUBLE) / 100.0 AS median,
+      |  CAST(l.c AS DOUBLE) / 100.0 AS ci_lo,
+      |  CAST(h.c AS DOUBLE) / 100.0 AS ci_hi
+      |FROM r
+      |JOIN o m ON m.rn = r.rmed
+      |JOIN o l ON l.rn = r.rlo
+      |JOIN o h ON h.rn = r.rhi""".stripMargin
+
+  // ---- funnel_wilson_ci: Wilson intervals on the funnel conversions ----
+
+  /** Wilson 95% score intervals for the `window_funnel` stage
+    * conversions (view→click, click→purchase) — the uncertainty the
+    * funnel's point rates omit, in the interval form that stays inside
+    * [0, 1] and behaves at small counts where the Wald interval
+    * collapses (the experimentation-platform standard for rate CIs).
+    * Counts come from the same two-pass funnel; per transition ONE
+    * quantized √ in the score-interval halfwidth; everything else is
+    * exact rationals evaluated with identical expression text in both
+    * engines.
+    */
+  def funnelWilsonCiQ(spark: SparkSession, dir: String): DataFrame = {
+    val f = QueriesWave7.windowFunnelQ(spark, dir)
+      .select(col("u_view"), col("u_click"), col("u_purchase"))
+    val steps = f.select(lit("view_to_click").as("step"),
+      col("u_view").as("n"), col("u_click").as("k"))
+      .unionAll(f.select(lit("click_to_purchase").as("step"),
+        col("u_click").as("n"), col("u_purchase").as("k")))
+    val z = QueriesWave9.ztestCrit
+    val z2 = z * z
+    steps
+      .withColumn("s6", expr(
+        s"""CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / n)
+           | * (1.0 - CAST(k AS DOUBLE) / n) + $z2 / (4.0 * n)) / n))
+           | AS BIGINT)""".stripMargin))
+      .select(col("step"), col("n"), col("k"),
+        (col("k").cast("double") / col("n")).as("rate"),
+        // endpoints pinned to the 1e-9 grid (mixed double chains can
+        // associate differently per engine in the last ulp), then
+        // clamped to [0, rate] / [rate, 1]: the exact score interval
+        // always brackets p̂ and stays inside [0,1], but the quantized
+        // √ can break the k=0 cancellation by ~1e-6
+        greatest(lit(0.0), least(col("k").cast("double") / col("n"),
+          round((((col("k").cast("double") / col("n")) +
+            lit(z2) / (lit(2.0) * col("n")) - lit(z) * col("s6") / 1e6) /
+            (lit(1.0) + lit(z2) / col("n"))) * 1e9) / 1e9)).as("ci_lo"),
+        least(lit(1.0), greatest(col("k").cast("double") / col("n"),
+          round((((col("k").cast("double") / col("n")) +
+            lit(z2) / (lit(2.0) * col("n")) + lit(z) * col("s6") / 1e6) /
+            (lit(1.0) + lit(z2) / col("n"))) * 1e9) / 1e9)).as("ci_hi"))
+      .orderBy(col("step"))
+  }
+
+  val funnelWilsonCiSql: String = {
+    val z = QueriesWave9.ztestCrit
+    val z2 = z * z
+    s"""WITH f AS (${QueriesWave7.windowFunnelSql}),
+       |s AS (SELECT 'view_to_click' AS step, u_view AS n, u_click AS k FROM f
+       |  UNION ALL
+       |  SELECT 'click_to_purchase' AS step, u_click AS n, u_purchase AS k FROM f),
+       |w AS (SELECT *,
+       |    CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / n)
+       |      * (1.0 - CAST(k AS DOUBLE) / n) + $z2 / (4.0 * n)) / n))
+       |      AS BIGINT) AS s6
+       |  FROM s)
+       |SELECT step, n, k, CAST(k AS DOUBLE) / n AS rate,
+       |  GREATEST(0.0, LEAST(CAST(k AS DOUBLE) / n,
+       |    round((((CAST(k AS DOUBLE) / n) + $z2 / (2.0 * n) - $z * s6 / 1e6)
+       |      / (1.0 + $z2 / n)) * 1e9) / 1e9)) AS ci_lo,
+       |  LEAST(1.0, GREATEST(CAST(k AS DOUBLE) / n,
+       |    round((((CAST(k AS DOUBLE) / n) + $z2 / (2.0 * n) + $z * s6 / 1e6)
+       |      / (1.0 + $z2 / n)) * 1e9) / 1e9)) AS ci_hi
+       |FROM w ORDER BY step""".stripMargin
+  }
+
+  // ---- dedup_savings_sweep: reclaimable bytes per similarity threshold ----
+
+  val savingsTaus: Seq[Int] = Seq(600, 700, 800, 900) // τ × 1000
+
+  /** Storage-savings sweep over the dedup threshold: for each τ, the
+    * verified near-dup pairs at jaccard ≥ τ (the session's `lshPairs`
+    * frame — already banded, never all-pairs) are resolved by the
+    * deterministic greedy smaller-id-wins policy (a doc is removed iff
+    * some smaller-id doc is τ-similar to it), and the sweep reports
+    * pairs, removed docs, removed chars, and the corpus share — the
+    * capacity-planning table that says what tightening or loosening τ
+    * BUYS, before anyone re-runs the pipeline (`lsh_tuning` predicts
+    * recall per banding; this prices the outcome). One pair frame scan
+    * per τ over the bounded verified pairs + one doc-keyed join.
+    */
+  def dedupSavingsSweepQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = QueriesText.lshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val chars = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val tot = chars.agg(sum(col("n_chars")).as("__tc"))
+    savingsTaus.map { t =>
+      val removed = pairs.filter(col("jaccard") >= t / 1000.0)
+        .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+      val np = pairs.filter(col("jaccard") >= t / 1000.0)
+        .agg(count(lit(1)).as("n_pairs"))
+      removed.join(chars, "doc_id")
+        .agg(count(lit(1)).as("n_removed"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed"))
+        .crossJoin(broadcast(np))
+        .crossJoin(broadcast(tot))
+        .select(lit(t).as("tau1000"), col("n_pairs"), col("n_removed"),
+          col("chars_removed"),
+          (col("chars_removed").cast("double") / col("__tc")).as("corpus_share"))
+    }.reduce(_.unionAll(_)).orderBy(col("tau1000"))
+  }
+
+  val dedupSavingsSweepSql: String = {
+    val arms = savingsTaus.map { t =>
+      s"""SELECT $t AS tau1000,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lp
+         |    WHERE jaccard >= $t / 1000.0) AS n_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |    SELECT DISTINCT GREATEST(doc_a, doc_b) AS doc_id FROM lp
+         |    WHERE jaccard >= $t / 1000.0)) AS n_removed,
+         |  (SELECT CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) FROM (
+         |    SELECT DISTINCT GREATEST(doc_a, doc_b) AS doc_id FROM lp
+         |    WHERE jaccard >= $t / 1000.0) r JOIN documents d USING (doc_id))
+         |    AS chars_removed,
+         |  CAST((SELECT COALESCE(SUM(d.n_chars), 0) FROM (
+         |    SELECT DISTINCT GREATEST(doc_a, doc_b) AS doc_id FROM lp
+         |    WHERE jaccard >= $t / 1000.0) r JOIN documents d USING (doc_id))
+         |    AS DOUBLE) / (SELECT SUM(n_chars) FROM documents) AS corpus_share""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lp AS (${QueriesText.minhashLshDupSql})
+       |$arms
+       |ORDER BY tau1000""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "median_ci" -> (medianCiQ _),
+    "funnel_wilson_ci" -> (funnelWilsonCiQ _),
+    "dedup_savings_sweep" -> (dedupSavingsSweepQ _),
     "jackknife_variance" -> (jackknifeVarianceQ _),
     "capture_recapture" -> (captureRecaptureQ _),
     "covariate_balance" -> (covariateBalanceQ _),
@@ -907,6 +1087,9 @@ object QueriesWave22 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "median_ci" -> medianCiSql,
+    "funnel_wilson_ci" -> funnelWilsonCiSql,
+    "dedup_savings_sweep" -> dedupSavingsSweepSql,
     "jackknife_variance" -> jackknifeVarianceSql,
     "capture_recapture" -> captureRecaptureSql,
     "covariate_balance" -> covariateBalanceSql,

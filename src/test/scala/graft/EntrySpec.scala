@@ -119,7 +119,8 @@ class EntrySpec extends SparkSpec {
       "nar_hpo", "bh_fdr", "label_propagation", "graph_modularity",
       "mg_heavy_hitters", "diff_in_diff", "rendezvous_shard",
       "deletion_vector_plan", "group_sequential", "jackknife_variance",
-      "capture_recapture", "covariate_balance", "dedup_transitivity")
+      "capture_recapture", "covariate_balance", "dedup_transitivity",
+      "median_ci", "funnel_wilson_ci", "dedup_savings_sweep")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

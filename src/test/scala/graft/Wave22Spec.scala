@@ -135,6 +135,44 @@ class Wave22Spec extends SparkSpec {
     assert(nPairs >= 0)
   }
 
+  test("median_ci: CI brackets the median, median is the exact order statistic") {
+    val r = QueriesWave22.medianCiQ(spark, sf).collect().head
+    val (n, med, lo, hi) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= med && med <= hi)
+    val want = Tables(spark, sf, "events")
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+      .orderBy($"c").limit(((n + 1) / 2).toInt).orderBy($"c".desc).limit(1)
+      .as[Long].collect().head
+    assert(med === want.toDouble / 100.0, s"median $med vs sorted $want")
+  }
+
+  test("funnel_wilson_ci: intervals inside [0,1] and bracketing the rates") {
+    val rows = QueriesWave22.funnelWilsonCiQ(spark, sf).collect()
+    assert(rows.length === 2)
+    for (r <- rows) {
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0.0 && hi <= 1.0, s"Wilson interval escaped [0,1] in $r")
+      assert(lo <= rate && rate <= hi, s"interval must bracket the rate in $r")
+    }
+  }
+
+  test("dedup_savings_sweep: monotone non-increasing in tau, shares in [0,1]") {
+    val rows = QueriesWave22.dedupSavingsSweepQ(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === QueriesWave22.savingsTaus)
+    val pairs = rows.map(_.getLong(1))
+    val removed = rows.map(_.getLong(2))
+    val chars = rows.map(_.getLong(3))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(removed.zip(removed.tail).forall { case (a, b) => a >= b })
+    assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    for (r <- rows) {
+      val s = r.getDouble(4)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("group_sequential: OBF boundaries decrease, counts cumulate to the total") {
     val rows = QueriesWave22.groupSequentialQ(spark, sf).collect()
       .sortBy(_.getInt(0))

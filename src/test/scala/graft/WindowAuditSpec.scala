@@ -30,6 +30,7 @@ class WindowAuditSpec extends SparkSpec {
     "dict_encode", "factorize", "rfm_segments", "pareto_skyline",
     "sample_quantiles", "quality_calibration", "kruskal_wallis",
     "spearman_rho", "auc_roc", "quantile_norm", "hist_quantile_check",
+    "median_ci",
     // k-bounded: rank over the k survivors of a TakeOrderedAndProject
     "mcv", "kmeans_coreset",
     // domain/grid-bounded: windows over value-level or bucket-level
@@ -65,7 +66,7 @@ class WindowAuditSpec extends SparkSpec {
     * present — the audited plan is then a parquet scan + bounded joins;
     * on a fresh clone the training path's bounded windows appear and
     * the allowlist entry covers them). */
-  private val pendingRegs: Set[String] = Set("nar_training_curve")
+  private val pendingRegs: Set[String] = Set("nar_training_curve", "nar_hpo")
 
   /** All WindowExec nodes of a plan, including those inside cached
     * relations (InMemoryTableScan does not expand its child in the
