@@ -908,15 +908,18 @@ object QueriesWave22 {
     val v = Tables(spark, dir, "events")
       .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
     val h = "CAST(round(1.959964 * sqrt(CAST(__p AS DOUBLE))) AS BIGINT)"
-    val med = QueriesWave8.rankLocate(v, "c", expr("(__p + 1) div 2"))
-      .select(col("value").as("med_c"))
-    val lo = QueriesWave8.rankLocate(v, "c", expr(s"greatest((__p - $h) div 2, 1L)"))
-      .select(col("value").as("lo_c"))
-    val hi = QueriesWave8.rankLocate(v, "c",
-      expr(s"least((__p + $h) div 2 + 1, __p)"))
-      .select(col("value").as("hi_c"))
+    // one multi-rank bucket-locate serves all three order statistics —
+    // three separate locates would rescan the events 9 times
+    val ord = QueriesWave8.rankLocateMulti(v, "c", Seq(
+      ("med", "(__p + 1) div 2"),
+      ("lo", s"greatest((__p - $h) div 2, 1L)"),
+      ("hi", s"least((__p + $h) div 2 + 1, __p)")))
+    val wide = ord.groupBy().agg(
+      max(when(col("name") === "med", col("value"))).as("med_c"),
+      max(when(col("name") === "lo", col("value"))).as("lo_c"),
+      max(when(col("name") === "hi", col("value"))).as("hi_c"))
     v.agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(med)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(wide))
       .select(col("n"),
         (col("med_c").cast("double") / 100.0).as("median"),
         (col("lo_c").cast("double") / 100.0).as("ci_lo"),
@@ -1029,20 +1032,31 @@ object QueriesWave22 {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val chars = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val tot = chars.agg(sum(col("n_chars")).as("__tc"))
+    // ONE pass over the pair frame and ONE doc-keyed join serve every
+    // τ arm: a loser's fate at threshold τ depends only on its MAX
+    // jaccard against any smaller-id doc, so conditional sums over
+    // (loser, max jaccard) give all four arms' counts at once
+    val wide = Memo(spark, dir, "wave22:savingsWide") {
+      val perLoser = pairs
+        .groupBy(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
+        .agg(max(col("jaccard")).as("__mj"))
+        .join(chars, "doc_id")
+      val pCols = savingsTaus.map(t =>
+        sum(when(col("jaccard") >= t / 1000.0, 1L).otherwise(0L)).as(s"p$t"))
+      val pairArms = pairs.agg(pCols.head, pCols.tail: _*)
+      val lCols = savingsTaus.flatMap(t => Seq(
+        sum(when(col("__mj") >= t / 1000.0, 1L).otherwise(0L)).as(s"r$t"),
+        sum(when(col("__mj") >= t / 1000.0, col("n_chars")).otherwise(0L))
+          .as(s"c$t")))
+      val loserArms = perLoser.agg(lCols.head, lCols.tail: _*)
+      val tot = chars.agg(sum(col("n_chars")).as("__tc"))
+      pairArms.crossJoin(loserArms).crossJoin(tot)
+    }
     savingsTaus.map { t =>
-      val removed = pairs.filter(col("jaccard") >= t / 1000.0)
-        .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
-      val np = pairs.filter(col("jaccard") >= t / 1000.0)
-        .agg(count(lit(1)).as("n_pairs"))
-      removed.join(chars, "doc_id")
-        .agg(count(lit(1)).as("n_removed"),
-          coalesce(sum(col("n_chars")), lit(0L)).as("chars_removed"))
-        .crossJoin(broadcast(np))
-        .crossJoin(broadcast(tot))
-        .select(lit(t).as("tau1000"), col("n_pairs"), col("n_removed"),
-          col("chars_removed"),
-          (col("chars_removed").cast("double") / col("__tc")).as("corpus_share"))
+      wide.select(lit(t).as("tau1000"),
+        col(s"p$t").as("n_pairs"), col(s"r$t").as("n_removed"),
+        col(s"c$t").as("chars_removed"),
+        (col(s"c$t").cast("double") / col("__tc")).as("corpus_share"))
     }.reduce(_.unionAll(_)).orderBy(col("tau1000"))
   }
 

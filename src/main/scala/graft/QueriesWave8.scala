@@ -311,6 +311,50 @@ object QueriesWave8 {
       .select(col(v).as("value"))
   }
 
+  /** [[rankLocate]] generalized to MANY ranks in one bucket pass: the
+    * min/max/count scan, the 1024-bucket histogram, and the located-
+    * bucket rank-in are each paid ONCE for all ranks (a median-with-CI
+    * asks for three order statistics; three separate locates would
+    * rescan the data 9 times). `ranks` are (name, rank SQL expr over
+    * `__p`); output is one (name, value) row per rank. The final
+    * window partitions by rank name over the located buckets' rows —
+    * bucket-bounded like the single-rank form.
+    */
+  private[graft] def rankLocateMulti(df: DataFrame, v: String,
+      ranks: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mm = df.agg(count(lit(1)).as("__p"), min(col(v)).as("__mn"),
+      max(col(v)).as("__mx"))
+    val withRanks = mm.select(
+      (col("__p") +: col("__mn") +: col("__mx") +:
+        ranks.map { case (n, e) => expr(e).as(s"__r_$n") }): _*)
+    val b = expr(s"(($v - __mn) * $tsBuckets) div (__mx - __mn + 1)")
+    val aggCols = count(lit(1)).as("__c") +:
+      ranks.map { case (n, _) => max(col(s"__r_$n")).as(s"__r_$n") }
+    val cum = df.crossJoin(broadcast(withRanks))
+      .groupBy(b.as("__b"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
+    val loc = ranks.map { case (n, _) =>
+      cum.filter(col("__cum") >= col(s"__r_$n") &&
+          col("__cum") - col("__c") < col(s"__r_$n"))
+        .select(lit(n).as("__name"), col("__b").as("__bt"),
+          (col("__cum") - col("__c")).as("__below"),
+          col(s"__r_$n").as("__r"))
+    }.reduce(_.unionAll(_))
+    df.crossJoin(broadcast(mm.select(col("__mn"), col("__mx"))))
+      .withColumn("__b", b)
+      .join(broadcast(loc), col("__b") === col("__bt"))
+      .groupBy(col("__name"), col(v)).agg(count(lit(1)).as("__c"),
+        max(col("__below")).as("__below"), max(col("__r")).as("__r"))
+      .withColumn("__cum", col("__below") + sum(col("__c")).over(
+        Window.partitionBy(col("__name")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
+      .select(col("__name").as("name"), col(v).as("value"))
+  }
+
   /** Theil–Sen robust trend of daily order revenue: slope = median of
     * all pairwise slopes (Δrevenue/Δdays over every day pair i<j),
     * intercept = median of (xᵢ − slope·dᵢ) — the breakdown-point-29%
