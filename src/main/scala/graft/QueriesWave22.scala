@@ -636,7 +636,11 @@ object QueriesWave22 {
     val mom = QueriesWave20.srcScoreMoments(spark, dir)
     val tot = mom.agg(sum(col("n")).as("nn"), sum(col("s1")).as("ss"),
       count(lit(1)).as("g"))
+    // a single-source corpus has no leave-one-out set (nn = n → 0/0);
+    // the jackknife is undefined there, so degenerate rows are dropped
+    // rather than NaN-ing the statistic (the mmd_drift discipline)
     val t6 = mom.crossJoin(broadcast(tot))
+      .filter(col("nn") > col("n"))
       .select(col("g"), col("nn"), col("ss"),
         expr("CAST(round(1e6 * (CAST(ss - s1 AS DOUBLE) / (nn - n))) AS BIGINT)")
           .as("t6"))
@@ -663,7 +667,7 @@ object QueriesWave22 {
        |    CAST(COUNT(*) AS BIGINT) AS g FROM mom),
        |t AS (SELECT g, nn, ss,
        |    CAST(round(1e6 * (CAST(ss - s1 AS DOUBLE) / (nn - n))) AS BIGINT) AS t6
-       |  FROM mom, tot),
+       |  FROM mom, tot WHERE nn > n),
        |m AS (SELECT g, nn, ss, CAST(SUM(CAST(t6 AS HUGEINT)) AS HUGEINT) AS st,
        |    CAST(SUM(CAST(t6 AS HUGEINT) * t6) AS HUGEINT) AS qt
        |  FROM t GROUP BY 1, 2, 3),
