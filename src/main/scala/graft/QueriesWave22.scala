@@ -1086,7 +1086,65 @@ object QueriesWave22 {
        |ORDER BY tau1000""".stripMargin
   }
 
+  // ---- negbin_fit: negative-binomial fit of the daily count process ----
+
+  /** Method-of-moments negative-binomial fit of each event type's daily
+    * count series — the MODEL the overdispersion `burstiness_fano`
+    * detects calls for (Poisson when σ²≈μ, NB(r, p) with r = μ²/(σ²−μ),
+    * p = μ/σ² when σ²>μ): the distribution capacity planners actually
+    * sample arrival days from. Daily aggregate first (calendar-bounded);
+    * mean/variance stay exact integer moments; the overdispersion
+    * verdict is the EXACT integer comparison n·Σx²−T² > T(n−1) (no
+    * float in the gate); r and p are emitted only for overdispersed
+    * types (NULL otherwise, identically in both engines — the NB
+    * moment fit is undefined at σ²≤μ).
+    */
+  def negbinFitQ(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('DAY', ts))").as("__day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("t"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean_daily", col("t").cast("double") / col("n_days"))
+      .withColumn("var_daily",
+        (col("n_days") * col("sxx") - col("t") * col("t")).cast("double") /
+          (col("n_days").cast("double") * (col("n_days") - 1)))
+      .withColumn("overdispersed",
+        col("n_days") * col("sxx") - col("t") * col("t") >
+          col("t") * (col("n_days") - 1))
+      .select(col("event_type"), col("n_days"), col("mean_daily"),
+        col("var_daily"), col("overdispersed"),
+        when(col("overdispersed"),
+          col("mean_daily") * col("mean_daily") /
+            (col("var_daily") - col("mean_daily"))).as("nb_r"),
+        when(col("overdispersed"),
+          col("mean_daily") / col("var_daily")).as("nb_p"))
+      .orderBy(col("event_type"))
+
+  val negbinFitSql: String =
+    """WITH d AS (SELECT event_type,
+      |    epoch_us(date_trunc('DAY', ts)) AS day_us,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS t, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM d GROUP BY 1),
+      |s AS (SELECT *,
+      |    CAST(t AS DOUBLE) / n_days AS mean_daily,
+      |    CAST(n_days * sxx - t * t AS DOUBLE)
+      |      / (CAST(n_days AS DOUBLE) * (n_days - 1)) AS var_daily,
+      |    n_days * sxx - t * t > t * (n_days - 1) AS overdispersed
+      |  FROM m)
+      |SELECT event_type, n_days, mean_daily, var_daily, overdispersed,
+      |  CASE WHEN overdispersed
+      |    THEN mean_daily * mean_daily / (var_daily - mean_daily) END AS nb_r,
+      |  CASE WHEN overdispersed THEN mean_daily / var_daily END AS nb_p
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "negbin_fit" -> (negbinFitQ _),
     "median_ci" -> (medianCiQ _),
     "funnel_wilson_ci" -> (funnelWilsonCiQ _),
     "dedup_savings_sweep" -> (dedupSavingsSweepQ _),
@@ -1105,6 +1163,7 @@ object QueriesWave22 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "negbin_fit" -> negbinFitSql,
     "median_ci" -> medianCiSql,
     "funnel_wilson_ci" -> funnelWilsonCiSql,
     "dedup_savings_sweep" -> dedupSavingsSweepSql,

@@ -173,6 +173,21 @@ class Wave22Spec extends SparkSpec {
     }
   }
 
+  test("negbin_fit: moments exact, NB params only where overdispersed") {
+    val rows = QueriesWave22.negbinFitQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (mean, v, od) = (r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      assert(od === (v > mean), s"overdispersion gate vs moments in $r")
+      if (od) {
+        val (nr, np) = (r.getDouble(5), r.getDouble(6))
+        assert(nr > 0.0 && np > 0.0 && np < 1.0, s"NB params out of range in $r")
+        // moment identity: mean = r(1-p)/p under the fitted params
+        assert(math.abs(nr * (1 - np) / np - mean) < 1e-6 * math.max(1.0, mean))
+      } else assert(r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
   test("group_sequential: OBF boundaries decrease, counts cumulate to the total") {
     val rows = QueriesWave22.groupSequentialQ(spark, sf).collect()
       .sortBy(_.getInt(0))
