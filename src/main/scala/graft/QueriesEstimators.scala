@@ -183,6 +183,64 @@ object QueriesEstimators {
     }
   }
 
+  /** Every distinct (table, rendered predicate) in the workload → a
+    * stable index into the oracle's `est_pf` CTE. Keyed by the rendered
+    * SQL so the naive/ebo/stats-LIKE factors of DIFFERENT queries that
+    * test the same predicate share one count.
+    */
+  private lazy val predIdx: Map[(String, String), Int] =
+    parsedSpecs
+      .flatMap(_._2.predicates)
+      .map(p => (CardBenchmark.tableOf(p.col),
+        PredicateSql.render(p.copy(col = p.col.split('.').last))))
+      .distinct.zipWithIndex.toMap
+
+  /** Oracle refs into the shared prelude ([[estCtesPrelude]]): per-spec
+    * join-only count / true card, per-table row count, per-predicate
+    * match count. Each is an exact integer cast to DOUBLE — the same
+    * value the previous inline subqueries produced, so every downstream
+    * IEEE expression is bit-identical; only the evaluation COUNT drops
+    * (round 10: the six-model oracles re-ran the same scans hundreds of
+    * times — q_error_models alone cost 33 s at sf0.01).
+    */
+  private def joRef(id: String): String =
+    s"(SELECT j FROM est_jo WHERE query_id = '$id')"
+  private def tcRef(id: String): String =
+    s"(SELECT t FROM est_tc WHERE query_id = '$id')"
+  private def nRef(t: String): String = s"(SELECT n FROM est_n_$t)"
+  private def pfRef(t: String, rendered: String): String =
+    s"(SELECT m FROM est_pf WHERE i = ${predIdx((t, rendered))})"
+
+  /** The shared materialized-CTE prelude every estimator-family oracle
+    * prepends (`WITH $estCtesPrelude ...`): per-table counts, the
+    * per-predicate match counts, per-spec join-only counts and true
+    * cards, and the stats-model nn/ndv/min-max/histogram/MCV tables.
+    * MATERIALIZED is load-bearing — DuckDB inlines plain CTEs per
+    * reference, and round 10's six-model oracles re-derived these scans
+    * hundreds of times (q_error_models 33 s, calib_est_bias 27 s,
+    * hist_est 13 s at sf0.01; all sub-second with the prelude).
+    */
+  private lazy val estCtesPrelude: String = {
+    val tables = parsedSpecs
+      .flatMap(_._2.predicates).map(p => CardBenchmark.tableOf(p.col))
+      .distinct.sorted
+    val nCtes = tables.map(t =>
+      s"est_n_$t AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM $t)")
+    val pfArms = predIdx.toSeq.sortBy(_._2).map { case ((t, r), i) =>
+      s"SELECT $i AS i, CAST((SELECT COUNT(*) FROM $t WHERE $r) AS DOUBLE) AS m"
+    }
+    val pfCte = s"est_pf AS MATERIALIZED (\n${pfArms.mkString("\nUNION ALL\n")})"
+    val joArms = parsedSpecs.map { case (id, _, _) =>
+      s"SELECT '$id' AS query_id, CAST((${joinOnlySql(id)}) AS DOUBLE) AS j"
+    }
+    val joCte = s"est_jo AS MATERIALIZED (\n${joArms.mkString("\nUNION ALL\n")})"
+    val tcArms = CardBenchmark.specs.map { case (id, sql) =>
+      s"SELECT '$id' AS query_id, CAST(($sql) AS DOUBLE) AS t"
+    }
+    val tcCte = s"est_tc AS MATERIALIZED (\n${tcArms.mkString("\nUNION ALL\n")})"
+    (nCtes ++ Seq(pfCte, joCte, tcCte) ++ StatsSql.statCtes).mkString(",\n")
+  }
+
   /** One conditional-aggregation scan per table covering every predicate
     * match count (+ the table count), cross-joined into one stats row:
     * all per-predicate match counts for one table come from a SINGLE
@@ -226,22 +284,24 @@ object QueriesEstimators {
       .select(col("query_id"), col("est"))
       .orderBy(col("query_id"))
 
-  /** Exact-count selectivity factors (the naive model's SQL side). */
+  /** Exact-count selectivity factors (the naive model's SQL side) —
+    * references into the shared prelude; same exact-integer doubles,
+    * same division pairing as the previous inline subqueries.
+    */
   private def naiveFactorsSql(q: graft.query.ParsedQuery): Seq[String] =
     q.predicates.map { p =>
       val t = CardBenchmark.tableOf(p.col)
-      s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE)" +
-        s" / CAST((SELECT COUNT(*) FROM $t) AS DOUBLE))"
+      val r = PredicateSql.render(p.copy(col = p.col.split('.').last))
+      s"(${pfRef(t, r)} / ${nRef(t)})"
     }
 
   val naiveEstSql: String =
     parsedSpecs
       .map { case (id, q, _) =>
-        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
-        val est = (j +: naiveFactorsSql(q)).mkString(" * ")
+        val est = (joRef(id) +: naiveFactorsSql(q)).mkString(" * ")
         s"SELECT '$id' AS query_id, $est AS est"
       }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+      .mkString(s"WITH $estCtesPrelude\n", "\nUNION ALL\n", "\nORDER BY query_id")
 
   /** Exponential-backoff estimator (the SQL Server 2014+ correction to
     * the independence assumption): selectivities sorted most-selective
@@ -277,7 +337,7 @@ object QueriesEstimators {
   val eboEstSql: String =
     parsedSpecs
       .map { case (id, q, _) =>
-        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
+        val j = joRef(id)
         val sels = naiveFactorsSql(q).zipWithIndex.map { case (s, i) => s"$s AS s${i + 1}" }
         val damped = q.predicates.length match {
           case 1 => "s1"
@@ -288,7 +348,7 @@ object QueriesEstimators {
         s"SELECT '$id' AS query_id, __j * ($damped) AS est FROM " +
           s"(SELECT $j AS __j, ${sels.mkString(", ")})"
       }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+      .mkString(s"WITH $estCtesPrelude\n", "\nUNION ALL\n", "\nORDER BY query_id")
 
   /** calc_q_err's exact semantics (reference: scardina/run.py:60-67):
     * true=0 ∧ est≠0 → est; est=0 ∧ true≠0 → true; both 0 → 1.0;
@@ -895,26 +955,68 @@ object QueriesEstimators {
       }
       .distinct
 
-    /** mcv_<col> CTE list (the MCV model's WITH prefix). */
+    /** mcv_<col> CTE list (the MCV model's WITH prefix). MATERIALIZED:
+      * each mcv_<col> is referenced once per equality literal per spec
+      * per model arm — inlined, DuckDB re-ran the scan+sort per
+      * reference.
+      */
     val mcvCtes: String = eqCols
       .map { case (t, c) =>
-        s"mcv_$c AS (SELECT $c AS v, COUNT(*) AS f FROM $t WHERE $c IS NOT NULL" +
+        s"mcv_$c AS MATERIALIZED (SELECT $c AS v, COUNT(*) AS f FROM $t WHERE $c IS NOT NULL" +
           s" GROUP BY $c ORDER BY f DESC, v ASC LIMIT ${McvModel.k})"
       }
       .mkString(",\n")
 
-    def mmSql(t: String, c: String, agg: String): String =
-      s"(SELECT $agg(${sqlNum(c)}) FROM $t)"
-    def nSql(t: String): String = s"CAST((SELECT COUNT(*) FROM $t) AS DOUBLE)"
+    /** All (table, bare col) pairs under an equality-family stats
+      * predicate (need nn/ndv) and under a range predicate (need
+      * mn/mx + the bin histogram) — drives the shared-prelude CTEs.
+      */
+    private lazy val predsFlat: Seq[(String, Predicate)] =
+      parsedSpecs.flatMap(_._2.predicates).map(p0 =>
+        (CardBenchmark.tableOf(p0.col), p0.copy(col = p0.col.split('.').last)))
+    private val eqOps = Set("=", "!=", "<>", "IN")
+    private val likeOps = Set("LIKE", "NOT LIKE")
+    lazy val eqStatCols: Seq[(String, String)] = predsFlat
+      .collect { case (t, p) if eqOps(p.op.toUpperCase) => (t, p.col) }.distinct
+    lazy val rangeStatCols: Seq[(String, String)] = predsFlat
+      .collect { case (t, p)
+        if !eqOps(p.op.toUpperCase) && !likeOps(p.op.toUpperCase) => (t, p.col) }
+      .distinct
+
+    /** Stats CTE fragments for [[estCtesPrelude]]: one scan per needed
+      * (table, col) stat instead of one per REFERENCE. Values are exact
+      * integer counts / exact MIN-MAX cast to DOUBLE — identical to the
+      * inline subqueries they replace.
+      */
+    lazy val statCtes: Seq[String] = {
+      val st = eqStatCols.map { case (t, c) =>
+        s"est_st_${t}_$c AS MATERIALIZED (SELECT CAST(COUNT($c) AS DOUBLE) AS nn," +
+          s" CAST(COUNT(DISTINCT $c) AS DOUBLE) AS ndv FROM $t)"
+      }
+      val mm = rangeStatCols.map { case (t, c) =>
+        s"est_mm_${t}_$c AS MATERIALIZED (SELECT MIN(${sqlNum(c)}) AS mn," +
+          s" MAX(${sqlNum(c)}) AS mx FROM $t)"
+      }
+      val hb = rangeStatCols.map { case (t, c) =>
+        s"est_hb_${t}_$c AS MATERIALIZED (SELECT" +
+          s" LEAST(CAST(FLOOR((${sqlNum(c)} - s.mn) * $bins.0 / (s.mx - s.mn)) AS BIGINT), ${bins - 1}) AS b," +
+          s" CAST(COUNT(*) AS DOUBLE) AS f, s.mn AS mn, ((s.mx - s.mn) / $bins.0) AS w" +
+          s" FROM $t, est_mm_${t}_$c s" +
+          s" WHERE ${sqlNum(c)} IS NOT NULL GROUP BY 1, s.mn, s.mx)"
+      }
+      val mcvs = eqCols.map { case (_, c) =>
+        s"est_mcvs_$c AS MATERIALIZED (SELECT CAST(SUM(f) AS DOUBLE) AS sumf FROM mcv_$c)"
+      }
+      st ++ mm ++ hb ++ Seq(mcvCtes) ++ mcvs
+    }
+
+    def nSql(t: String): String = nRef(t)
     def ndvSql(t: String, c: String): String =
-      s"CAST((SELECT COUNT(DISTINCT $c) FROM $t) AS DOUBLE)"
-    def histSql(t: String, c: String, b: Int): String =
-      s"""CAST((SELECT SUM(CASE WHEN LEAST(CAST(FLOOR((${sqlNum(c)} - mn) * $bins.0 / (mx - mn)) AS BIGINT), ${bins - 1}) = $b THEN 1 ELSE 0 END)
-         | FROM $t, (SELECT ${mmSql(t, c, "MIN")} AS mn, ${mmSql(t, c, "MAX")} AS mx)) AS DOUBLE)""".stripMargin.replace("\n", "")
+      s"(SELECT ndv FROM est_st_${t}_$c)"
     def mcvSelSql(v: Any, c: String, t: String): String = {
       val f = s"CAST((SELECT MAX(CASE WHEN v = ${PredicateSql.renderValue(v)} THEN f END) FROM mcv_$c) AS DOUBLE)"
-      val nn = s"CAST((SELECT COUNT($c) FROM $t) AS DOUBLE)"
-      val sumF = s"CAST((SELECT SUM(f) FROM mcv_$c) AS DOUBLE)"
+      val nn = s"(SELECT nn FROM est_st_${t}_$c)"
+      val sumF = s"(SELECT sumf FROM est_mcvs_$c)"
       val ndv = ndvSql(t, c)
       s"(COALESCE($f, CASE WHEN $ndv > ${McvModel.k}.0" +
         s" THEN (($nn - $sumF) / ($ndv - ${McvModel.k}.0)) ELSE 0.0 END) / ${nSql(t)})"
@@ -934,20 +1036,22 @@ object QueriesEstimators {
             s"(${sels.mkString(" + ")})"
           } else s"(${p.value.asInstanceOf[Seq[Any]].size}.0 / ${ndvSql(t, p.col)})"
         case "LIKE" | "NOT LIKE" =>
-          s"(CAST((SELECT COUNT(*) FROM $t WHERE ${PredicateSql.render(p)}) AS DOUBLE) / ${nSql(t)})"
+          s"(${pfRef(t, PredicateSql.render(p))} / ${nSql(t)})"
         case _ =>
+          // ONE ordered-aggregate reference instead of 10 per-bin CTE
+          // refs × 3 min/max refs: DuckDB's binder clones a CTE's
+          // definition per REFERENCE, and the per-bin fanout made the
+          // six-model oracles superlinear in planning (measured: 60
+          // UNION arms → 7 s at sf0.01, all planning). ORDER BY b
+          // reproduces Spark's fixed bin-0..9 summation order; bins
+          // absent from the CTE contribute an exact 0.0 term, which
+          // leaves every non-negative partial sum bit-identical.
           val (lo, hi) = interval(p)
           val c = p.col
-          val mn = mmSql(t, c, "MIN")
-          val mx = mmSql(t, c, "MAX")
-          val w = s"(($mx - $mn) / $bins.0)"
-          val terms = (0 until bins).map { b =>
-            val lb = s"($mn + $b.0 * $w)"
-            val ub = s"($mn + ${b + 1}.0 * $w)"
-            val frac = s"GREATEST(0.0, LEAST(1.0, (LEAST($ub, $hi) - GREATEST($lb, $lo)) / $w))"
-            s"${histSql(t, c, b)} * $frac"
-          }
-          s"((${terms.mkString(" + ")}) / ${nSql(t)})"
+          val lb = s"(mn + CAST(b AS DOUBLE) * w)"
+          val ub = s"(mn + (CAST(b AS DOUBLE) + 1.0) * w)"
+          val frac = s"GREATEST(0.0, LEAST(1.0, (LEAST($ub, $hi) - GREATEST($lb, $lo)) / w))"
+          s"((SELECT SUM(f * $frac ORDER BY b) FROM est_hb_${t}_$c) / ${nSql(t)})"
       }
 
     /** Factor list (selectivities) for one query under a model. */
@@ -961,12 +1065,10 @@ object QueriesEstimators {
   private def statsEstSql(eqViaMcv: Boolean): String = {
     val body = parsedSpecs
       .map { case (id, q, _) =>
-        val j = s"CAST((${joinOnlySql(id)}) AS DOUBLE)"
-        s"SELECT '$id' AS query_id, ${(j +: StatsSql.factors(eqViaMcv)(q)).mkString(" * ")} AS est"
+        s"SELECT '$id' AS query_id, ${(joRef(id) +: StatsSql.factors(eqViaMcv)(q)).mkString(" * ")} AS est"
       }
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
-    if (!eqViaMcv) body
-    else s"WITH ${StatsSql.mcvCtes}\n$body"
+    s"WITH $estCtesPrelude\n$body"
   }
 
   val histEstSql: String = statsEstSql(eqViaMcv = false)
@@ -1042,13 +1144,11 @@ object QueriesEstimators {
   private lazy val modelSqlEst: Seq[(String, (String, graft.query.ParsedQuery) => String)] = Seq(
       "cin" -> ((id: String, _: graft.query.ParsedQuery) => cinEstExprSql(id)),
       "hist" -> ((id: String, q: graft.query.ParsedQuery) =>
-        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
-          StatsSql.factors(eqViaMcv = false)(q)).mkString(" * ")),
+        (joRef(id) +: StatsSql.factors(eqViaMcv = false)(q)).mkString(" * ")),
       "mcv" -> ((id: String, q: graft.query.ParsedQuery) =>
-        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +:
-          StatsSql.factors(eqViaMcv = true)(q)).mkString(" * ")),
+        (joRef(id) +: StatsSql.factors(eqViaMcv = true)(q)).mkString(" * ")),
       "naive" -> ((id: String, q: graft.query.ParsedQuery) =>
-        (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")),
+        (joRef(id) +: naiveFactorsSql(q)).mkString(" * ")),
       "ebo" -> ((id: String, q: graft.query.ParsedQuery) => {
         // Same closed sorted form as eboEstSql; the selectivity
         // subqueries are repeated inline (DuckDB CSEs them) — the VALUE
@@ -1061,7 +1161,7 @@ object QueriesEstimators {
             s"least($a, $b, $c) * sqrt($a + $b + $c - least($a, $b, $c) - greatest($a, $b, $c)) * sqrt(sqrt(greatest($a, $b, $c)))"
           case other => throw new IllegalArgumentException(s"${other.size} preds")
         }
-        s"CAST((${joinOnlySql(id)}) AS DOUBLE) * ($damped)"
+        s"${joRef(id)} * ($damped)"
       }),
       "ols" -> ((id: String, _: graft.query.ParsedQuery) =>
         s"(SELECT $olsEstExprSql FROM olsfeat, olsm WHERE olsfeat.query_id = '$id')"))
@@ -1072,13 +1172,12 @@ object QueriesEstimators {
       (id, q, _) <- parsedSpecs
     } yield {
       val est = estOf(id, q)
-      val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
       // est is a large generated expression: bind it (and tru) once in a
       // derived table so the CASE references are cheap.
       s"SELECT model, query_id, ${qErrSqlOf("e", "t")} AS q_err FROM" +
-        s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, $tru AS t) AS s"
+        s" (SELECT '$model' AS model, '$id' AS query_id, ($est) AS e, ${tcRef(id)} AS t) AS s"
     }
-    s"WITH ${StatsSql.mcvCtes},\n$olsCtes\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
+    s"WITH $estCtesPrelude,\n$olsCtes\n${arms.mkString("\nUNION ALL\n")}\nORDER BY model, query_id"
   }
 
   // ---- row 13e: per-model signed calibration bias ----
@@ -1106,15 +1205,14 @@ object QueriesEstimators {
   val calibEstBiasSql: String = {
     val arms = modelSqlEst.map { case (model, estOf) =>
       val rows = parsedSpecs.map { case (id, q, _) =>
-        val tru = s"CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE)"
-        s"SELECT (${estOf(id, q)}) AS e, $tru AS t"
+        s"SELECT (${estOf(id, q)}) AS e, ${tcRef(id)} AS t"
       }.mkString("\nUNION ALL\n")
       s"""SELECT '$model' AS model, CAST(COUNT(*) AS BIGINT) AS n_used,
          |  CAST(CAST(SUM(CAST(ln(e / t) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
          |    / COUNT(*) AS bias_nats
          |FROM ($rows) WHERE e > 0 AND t > 0""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH ${StatsSql.mcvCtes},\n$olsCtes\n$arms\nORDER BY model"
+    s"WITH $estCtesPrelude,\n$olsCtes\n$arms\nORDER BY model"
   }
 
   // ---- row 13d: per-model q-error quantiles (run.py:967-973 per estimator) ----
@@ -1222,7 +1320,7 @@ object QueriesEstimators {
       .orderBy(col("query_id"))
 
   private def naiveEstExprSql(id: String, q: graft.query.ParsedQuery): String =
-    (s"CAST((${joinOnlySql(id)}) AS DOUBLE)" +: naiveFactorsSql(q)).mkString(" * ")
+    (joRef(id) +: naiveFactorsSql(q)).mkString(" * ")
 
   /** olsfeat/olsm CTE pair shared by ols_est and the q_error_models ols
     * arm.
@@ -1231,8 +1329,7 @@ object QueriesEstimators {
     val feats = parsedSpecs
       .map { case (id, q, _) =>
         s"SELECT '$id' AS query_id, (${naiveEstExprSql(id, q)}) AS x1," +
-          s" CAST((${joinOnlySql(id)}) AS DOUBLE) AS x2," +
-          s" CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE) AS y"
+          s" ${joRef(id)} AS x2, ${tcRef(id)} AS y"
       }
       .mkString("\nUNION ALL\n")
     s"""olsfeat AS MATERIALIZED (
@@ -1251,7 +1348,8 @@ object QueriesEstimators {
   }
 
   val olsEstSql: String =
-    s"""WITH $olsCtes
+    s"""WITH $estCtesPrelude,
+       |$olsCtes
        |SELECT query_id, ($olsEstExprSql) AS est
        |FROM olsfeat, olsm
        |ORDER BY query_id""".stripMargin
@@ -1754,10 +1852,10 @@ object QueriesEstimators {
     } yield s"SELECT '$model' AS model, '$id' AS query_id, (${estOf(id, q)}) AS e"
     val tru = parsedSpecs
       .map { case (id, _, _) =>
-        s"SELECT '$id' AS query_id, CAST((${CardBenchmark.specs.toMap.apply(id)}) AS DOUBLE) AS t"
+        s"SELECT '$id' AS query_id, ${tcRef(id)} AS t"
       }
       .mkString("\nUNION ALL\n")
-    s"""WITH ${StatsSql.mcvCtes},
+    s"""WITH $estCtesPrelude,
        |$olsCtes,
        |arms AS (
        |${arms.mkString("\nUNION ALL\n")}

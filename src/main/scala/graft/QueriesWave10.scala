@@ -1069,7 +1069,7 @@ object QueriesWave10 {
     val lam = mmrLambda
     val rounds = (2 to mmrK).map { r =>
       val selU = (1 until r).map(i => s"SELECT cand_id FROM sel$i").mkString(" UNION ALL ")
-      s"""sel$r AS (
+      s"""sel$r AS MATERIALIZED (
          |  SELECT $r AS rnk, p.cand_id, p.cos AS rel_cos, m.ms AS max_sim_to_sel,
          |    $lam * p.cos - ${1.0 - lam} * m.ms AS mmr_score
          |  FROM pool p
@@ -1079,12 +1079,12 @@ object QueriesWave10 {
          |  WHERE p.cand_id NOT IN ($selU)
          |  ORDER BY mmr_score DESC, p.cand_id LIMIT 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id,
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
        |  FROM embeddings),
        |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
-       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
-       |pool AS (
+       |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |pool AS MATERIALIZED (
        |  SELECT c.vec_id AS cand_id,
        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos
        |  FROM q c
@@ -1105,12 +1105,12 @@ object QueriesWave10 {
        |  JOIN norms nx ON nx.vec_id = x.cand_id
        |  JOIN norms ny ON ny.vec_id = y.cand_id),
        |sex AS (SELECT a, b, av, bv, na, nb, unnest(range(1, len(av) + 1)) AS i FROM spairs),
-       |sims AS (
+       |sims AS MATERIALIZED (
        |  SELECT a, b,
        |    CAST(SUM(av[i] * bv[i]) AS DOUBLE)
        |      / sqrt(CAST(MIN(na) AS DOUBLE)) / sqrt(CAST(MIN(nb) AS DOUBLE)) AS sim
        |  FROM sex GROUP BY a, b),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT 1 AS rnk, cand_id, cos AS rel_cos, 0.0 AS max_sim_to_sel,
        |    $lam * cos AS mmr_score
        |  FROM pool ORDER BY cos DESC, cand_id LIMIT 1),

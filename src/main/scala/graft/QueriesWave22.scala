@@ -98,7 +98,12 @@ object QueriesWave22 {
     * graph build is the one heavy aggregate; the rounds touch a
     * ≤|V|²-edge nation frame.
     */
-  def labelPropagationQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Final-round LPA label frame (node, lbl) — each round is a
+    * literal-checkpointed ≤25-row memo. Shared by the community query
+    * and the modularity eval so neither depends on the other having
+    * populated the session memo as a side effect.
+    */
+  private def lpaFinal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val und = QueriesWave9.nationUndirected(spark, dir)
     val l0 = Memo(spark, dir, "wave22:lpa0")(
@@ -114,7 +119,11 @@ object QueriesWave22 {
           .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
           .as[(Long, Long)].collect().toSeq.toDF("node", "lbl")
       }
-    val fin = (1 to lpaRounds).foldLeft(l0)(round)
+    (1 to lpaRounds).foldLeft(l0)(round)
+  }
+
+  def labelPropagationQ(spark: SparkSession, dir: String): DataFrame = {
+    val fin = lpaFinal(spark, dir)
     val sizes = fin.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     fin.join(broadcast(sizes), "lbl")
       .select(col("node").as("nationkey"), col("lbl").as("community"),
@@ -164,9 +173,7 @@ object QueriesWave22 {
     */
   def graphModularityQ(spark: SparkSession, dir: String): DataFrame = {
     val und = QueriesWave9.nationUndirected(spark, dir)
-    labelPropagationQ(spark, dir).count() // ensure the round memos exist
-    val lab = Memo(spark, dir, s"wave22:lpa$lpaRounds")(
-      sys.error("final LPA round memo must exist"))
+    val lab = lpaFinal(spark, dir)
     val m2 = und.agg(count(lit(1)).as("__m2")) // = 2m (symmetric entries)
     val within = und
       .join(broadcast(lab.select(col("node").as("a"), col("lbl"))), "a")
@@ -326,7 +333,9 @@ object QueriesWave22 {
         (col("syt").cast("double") / col("nt")).as("post_mean_treat"),
         (col("sxc").cast("double") / col("nc")).as("pre_mean_ctrl"),
         (col("syc").cast("double") / col("nc")).as("post_mean_ctrl"),
-        col("did"), (col("did") * 1e6 / col("se6")).as("t_stat"))
+        // nullif: on degenerate data (se6 = 0) Spark's Divide returns
+        // NULL while DuckDB yields Inf/NaN — pin both engines to NULL
+        col("did"), (col("did") * 1e6 / expr("nullif(se6, 0)")).as("t_stat"))
       .withColumn("significant", abs(col("t_stat")) >= QueriesWave9.ztestCrit)
   }
 
@@ -362,8 +371,8 @@ object QueriesWave22 {
        |  CAST(syt AS DOUBLE) / nt AS post_mean_treat,
        |  CAST(sxc AS DOUBLE) / nc AS pre_mean_ctrl,
        |  CAST(syc AS DOUBLE) / nc AS post_mean_ctrl,
-       |  did, did * 1e6 / se6 AS t_stat,
-       |  abs(did * 1e6 / se6) >= ${QueriesWave9.ztestCrit} AS significant
+       |  did, did * 1e6 / nullif(se6, 0) AS t_stat,
+       |  abs(did * 1e6 / nullif(se6, 0)) >= ${QueriesWave9.ztestCrit} AS significant
        |FROM e""".stripMargin
 
   // ---- rendezvous_shard: HRW routing + balance/minimal-move audit ----
@@ -574,7 +583,8 @@ object QueriesWave22 {
       .withColumn("se6", expr(
         "CAST(round(1e6 * sqrt(CAST(n_treat + n_ctrl AS DOUBLE))) AS BIGINT)"))
       .withColumn("z",
-        (col("n_treat") - col("n_ctrl")).cast("double") * 1e6 / col("se6"))
+        (col("n_treat") - col("n_ctrl")).cast("double") * 1e6 /
+          expr("nullif(se6, 0)"))
       .withColumn("boundary", bounds)
       .withColumn("crossed", abs(col("z")) >= col("boundary"))
       .withColumn("rejected_by_now",
@@ -607,7 +617,8 @@ object QueriesWave22 {
        |  FROM g),
        |z AS (SELECT *,
        |    CAST(n_treat - n_ctrl AS DOUBLE) * 1e6
-       |      / CAST(round(1e6 * sqrt(CAST(n_treat + n_ctrl AS DOUBLE))) AS BIGINT)
+       |      / nullif(CAST(round(1e6 * sqrt(CAST(n_treat + n_ctrl AS DOUBLE)))
+       |          AS BIGINT), 0)
        |      AS z,
        |    $boundsCase AS boundary
        |  FROM c),
@@ -972,25 +983,28 @@ object QueriesWave22 {
     val z = QueriesWave9.ztestCrit
     val z2 = z * z
     steps
+      // nz: a zero-count stage (empty events) pins rate/CI to NULL on
+      // BOTH engines — raw /0 is NULL in Spark but Inf/NaN in DuckDB
+      .withColumn("nz", expr("nullif(n, 0)"))
       .withColumn("s6", expr(
-        s"""CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / n)
-           | * (1.0 - CAST(k AS DOUBLE) / n) + $z2 / (4.0 * n)) / n))
+        s"""CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / nz)
+           | * (1.0 - CAST(k AS DOUBLE) / nz) + $z2 / (4.0 * nz)) / nz))
            | AS BIGINT)""".stripMargin))
       .select(col("step"), col("n"), col("k"),
-        (col("k").cast("double") / col("n")).as("rate"),
+        (col("k").cast("double") / col("nz")).as("rate"),
         // endpoints pinned to the 1e-9 grid (mixed double chains can
         // associate differently per engine in the last ulp), then
         // clamped to [0, rate] / [rate, 1]: the exact score interval
         // always brackets p̂ and stays inside [0,1], but the quantized
         // √ can break the k=0 cancellation by ~1e-6
-        greatest(lit(0.0), least(col("k").cast("double") / col("n"),
-          round((((col("k").cast("double") / col("n")) +
-            lit(z2) / (lit(2.0) * col("n")) - lit(z) * col("s6") / 1e6) /
-            (lit(1.0) + lit(z2) / col("n"))) * 1e9) / 1e9)).as("ci_lo"),
-        least(lit(1.0), greatest(col("k").cast("double") / col("n"),
-          round((((col("k").cast("double") / col("n")) +
-            lit(z2) / (lit(2.0) * col("n")) + lit(z) * col("s6") / 1e6) /
-            (lit(1.0) + lit(z2) / col("n"))) * 1e9) / 1e9)).as("ci_hi"))
+        greatest(lit(0.0), least(col("k").cast("double") / col("nz"),
+          round((((col("k").cast("double") / col("nz")) +
+            lit(z2) / (lit(2.0) * col("nz")) - lit(z) * col("s6") / 1e6) /
+            (lit(1.0) + lit(z2) / col("nz"))) * 1e9) / 1e9)).as("ci_lo"),
+        least(lit(1.0), greatest(col("k").cast("double") / col("nz"),
+          round((((col("k").cast("double") / col("nz")) +
+            lit(z2) / (lit(2.0) * col("nz")) + lit(z) * col("s6") / 1e6) /
+            (lit(1.0) + lit(z2) / col("nz"))) * 1e9) / 1e9)).as("ci_hi"))
       .orderBy(col("step"))
   }
 
@@ -1001,18 +1015,19 @@ object QueriesWave22 {
        |s AS (SELECT 'view_to_click' AS step, u_view AS n, u_click AS k FROM f
        |  UNION ALL
        |  SELECT 'click_to_purchase' AS step, u_click AS n, u_purchase AS k FROM f),
-       |w AS (SELECT *,
-       |    CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / n)
-       |      * (1.0 - CAST(k AS DOUBLE) / n) + $z2 / (4.0 * n)) / n))
+       |w AS (SELECT *, nullif(n, 0) AS nz,
+       |    CAST(round(1e6 * sqrt(((CAST(k AS DOUBLE) / nullif(n, 0))
+       |      * (1.0 - CAST(k AS DOUBLE) / nullif(n, 0))
+       |      + $z2 / (4.0 * nullif(n, 0))) / nullif(n, 0)))
        |      AS BIGINT) AS s6
        |  FROM s)
-       |SELECT step, n, k, CAST(k AS DOUBLE) / n AS rate,
-       |  GREATEST(0.0, LEAST(CAST(k AS DOUBLE) / n,
-       |    round((((CAST(k AS DOUBLE) / n) + $z2 / (2.0 * n) - $z * s6 / 1e6)
-       |      / (1.0 + $z2 / n)) * 1e9) / 1e9)) AS ci_lo,
-       |  LEAST(1.0, GREATEST(CAST(k AS DOUBLE) / n,
-       |    round((((CAST(k AS DOUBLE) / n) + $z2 / (2.0 * n) + $z * s6 / 1e6)
-       |      / (1.0 + $z2 / n)) * 1e9) / 1e9)) AS ci_hi
+       |SELECT step, n, k, CAST(k AS DOUBLE) / nz AS rate,
+       |  GREATEST(0.0, LEAST(CAST(k AS DOUBLE) / nz,
+       |    round((((CAST(k AS DOUBLE) / nz) + $z2 / (2.0 * nz) - $z * s6 / 1e6)
+       |      / (1.0 + $z2 / nz)) * 1e9) / 1e9)) AS ci_lo,
+       |  LEAST(1.0, GREATEST(CAST(k AS DOUBLE) / nz,
+       |    round((((CAST(k AS DOUBLE) / nz) + $z2 / (2.0 * nz) + $z * s6 / 1e6)
+       |      / (1.0 + $z2 / nz)) * 1e9) / 1e9)) AS ci_hi
        |FROM w ORDER BY step""".stripMargin
   }
 
@@ -1045,13 +1060,18 @@ object QueriesWave22 {
         .groupBy(greatest(col("doc_a"), col("doc_b")).as("doc_id"))
         .agg(max(col("jaccard")).as("__mj"))
         .join(chars, "doc_id")
+      // coalesce to 0: on an empty pair frame (no duplicates in the
+      // corpus) the global sums return NULL while the oracle's scalar
+      // COUNT/COALESCE subqueries return 0 — pin both engines to zeros
       val pCols = savingsTaus.map(t =>
-        sum(when(col("jaccard") >= t / 1000.0, 1L).otherwise(0L)).as(s"p$t"))
+        coalesce(sum(when(col("jaccard") >= t / 1000.0, 1L).otherwise(0L)),
+          lit(0L)).as(s"p$t"))
       val pairArms = pairs.agg(pCols.head, pCols.tail: _*)
       val lCols = savingsTaus.flatMap(t => Seq(
-        sum(when(col("__mj") >= t / 1000.0, 1L).otherwise(0L)).as(s"r$t"),
-        sum(when(col("__mj") >= t / 1000.0, col("n_chars")).otherwise(0L))
-          .as(s"c$t")))
+        coalesce(sum(when(col("__mj") >= t / 1000.0, 1L).otherwise(0L)),
+          lit(0L)).as(s"r$t"),
+        coalesce(sum(when(col("__mj") >= t / 1000.0, col("n_chars"))
+          .otherwise(0L)), lit(0L)).as(s"c$t")))
       val loserArms = perLoser.agg(lCols.head, lCols.tail: _*)
       val tot = chars.agg(sum(col("n_chars")).as("__tc"))
       pairArms.crossJoin(loserArms).crossJoin(tot)
@@ -1081,7 +1101,9 @@ object QueriesWave22 {
          |    WHERE jaccard >= $t / 1000.0) r JOIN documents d USING (doc_id))
          |    AS DOUBLE) / (SELECT SUM(n_chars) FROM documents) AS corpus_share""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH lp AS (${QueriesText.minhashLshDupSql})
+    // MATERIALIZED: lp is referenced 16× across the τ arms — inlined,
+    // DuckDB re-ran the whole banded-LSH pipeline per reference
+    s"""WITH lp AS MATERIALIZED (${QueriesText.minhashLshDupSql})
        |$arms
        |ORDER BY tau1000""".stripMargin
   }

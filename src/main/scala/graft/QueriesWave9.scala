@@ -431,9 +431,13 @@ object QueriesWave9 {
   }
 
   val kcoreMembershipSql: String = {
+    // AS MATERIALIZED is load-bearing: each a$r references a$p TWICE, and
+    // DuckDB inlines plain CTEs, so 6 peel rounds expand to 2^6 copies of
+    // the 4-table `und` lineage (320 s at sf0.01 → 0.05 s materialized).
+    // The oracle-side twin of the Spark-side literal-checkpoint fix.
     val peels = (1 to kcoreRounds).map { r =>
       val p = r - 1
-      s"""a$r AS (SELECT e.a AS node FROM und e
+      s"""a$r AS MATERIALIZED (SELECT e.a AS node FROM und e
          |  JOIN a$p x ON x.node = e.a
          |  JOIN a$p y ON y.node = e.b
          |  GROUP BY 1 HAVING COUNT(*) >= $kcoreK)""".stripMargin

@@ -76,7 +76,9 @@ class PlanSizeAuditSpec extends SparkSpec {
           "iterate operator is probably referencing its previous round " +
           "more than once per round; literal-checkpoint each round")
       // drain the (async) execution-listener bus before reading the max
-      Thread.sleep(3000)
+      // — a fixed sleep can under-read maxSeen on a loaded machine and
+      // silently pass an exponential-lineage regression
+      org.apache.spark.GraftListenerBusDrain.drain(spark.sparkContext, 60000)
       info(s"largest construction-time action plan: ${maxSeen.get()} " +
         s"nodes (${worst.get()})")
       assert(maxSeen.get() < bound,
