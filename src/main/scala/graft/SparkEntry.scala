@@ -15,7 +15,8 @@ object SparkEntry {
       QueriesWave11.queries ++ QueriesWave12.queries ++ QueriesWave13.queries ++
       QueriesWave14.queries ++ QueriesWave15.queries ++ QueriesWave16.queries ++
       QueriesWave17.queries ++ QueriesWave18.queries ++ QueriesWave19.queries ++
-      QueriesWave20.queries ++ QueriesWave21.queries ++ QueriesWave22.queries
+      QueriesWave20.queries ++ QueriesWave21.queries ++ QueriesWave22.queries ++
+      QueriesWave23.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       QueriesWave11.oracleSql ++ QueriesWave12.oracleSql ++ QueriesWave13.oracleSql ++
       QueriesWave14.oracleSql ++ QueriesWave15.oracleSql ++ QueriesWave16.oracleSql ++
       QueriesWave17.oracleSql ++ QueriesWave18.oracleSql ++ QueriesWave19.oracleSql ++
-      QueriesWave20.oracleSql ++ QueriesWave21.oracleSql ++ QueriesWave22.oracleSql
+      QueriesWave20.oracleSql ++ QueriesWave21.oracleSql ++ QueriesWave22.oracleSql ++
+      QueriesWave23.oracleSql
 }

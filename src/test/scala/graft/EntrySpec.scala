@@ -120,7 +120,8 @@ class EntrySpec extends SparkSpec {
       "mg_heavy_hitters", "diff_in_diff", "rendezvous_shard",
       "deletion_vector_plan", "group_sequential", "jackknife_variance",
       "capture_recapture", "covariate_balance", "dedup_transitivity",
-      "median_ci", "funnel_wilson_ci", "dedup_savings_sweep", "negbin_fit")
+      "median_ci", "funnel_wilson_ci", "dedup_savings_sweep", "negbin_fit",
+      "fact_est", "fact_progressive", "nar_mlm_est", "nar_mlm_check")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -169,4 +169,58 @@ class EstimatorModelSpec extends SparkSpec {
       .agg(sum($"p")).as[Double].collect().head
     assert(leak == 0.0, s"structural-zero mass $leak")
   }
+
+  test("masked-denoising NAR: hand-rolled backprop matches numeric gradients") {
+    val m = new graft.operators.NarMlm(2, 2, 2, 2, d = 4, h = 3, seed = 7L)
+    val data = Array((0, 1, 0, 1, 2.0), (1, 0, 1, 0, 1.0), (1, 1, 1, 1, 3.0))
+    val g = new Array[Double](m.nParams)
+    m.lossAndGrad(data, g)
+    val eps = 1e-6
+    for (i <- 0 until m.nParams) {
+      val p0 = m.params(i)
+      m.params(i) = p0 + eps
+      val lp = m.lossAndGrad(data, null)
+      m.params(i) = p0 - eps
+      val lm = m.lossAndGrad(data, null)
+      m.params(i) = p0
+      val num = (lp - lm) / (2 * eps)
+      val rel = math.abs(num - g(i)) / math.max(1e-4, math.abs(num) + math.abs(g(i)))
+      assert(rel < 1e-4, s"param $i: analytic ${g(i)} vs numeric $num (rel $rel)")
+    }
+  }
+
+  test("masked-denoising NAR training is deterministic given the seed") {
+    val data = Array((0, 1, 0, 1, 5.0), (1, 0, 1, 0, 2.0), (0, 0, 0, 0, 3.0))
+    val a = graft.operators.NarMlm.train(data, 2, 2, 2, 2, 11L, steps = 50)
+    val b = graft.operators.NarMlm.train(data, 2, 2, 2, 2, 11L, steps = 50)
+    assert(a.params.sameElements(b.params))
+    assert(a.enumerateJoint() == b.enumerateJoint())
+  }
+
+  test("masked-denoising NAR recovers conditionals via the masking trick") {
+    // hard dependency o == c: the masked head must read the observed c
+    val data = Array((0, 0, 0, 0, 10.0), (1, 1, 1, 1, 30.0))
+    val m = graft.operators.NarMlm.train(data, 2, 2, 2, 2, 3L, steps = 400)
+    val pc = m.conditional(0, Array(0, 0, 0, 0), 15)
+    assert(math.abs(pc(0) - 0.25) < 0.05, s"P(c=0) ${pc(0)}")
+    val po0 = m.conditional(1, Array(0, 0, 0, 0), 14)
+    val po1 = m.conditional(1, Array(1, 0, 0, 0), 14)
+    assert(po0(0) > 0.9, s"P(o=0|c=0) ${po0(0)}")
+    assert(po1(1) > 0.9, s"P(o=1|c=1) ${po1(1)}")
+    val pf = m.conditional(3, Array(1, 1, 1, 0), 8)
+    assert(pf(1) > 0.9, s"P(f=1|c,o,l=1) ${pf(1)}")
+  }
+
+  test("masked-denoising NAR: joint mass 1, structural zero, registered gates hold") {
+    val rows = QueriesEstimators.queries("nar_mlm_check")(spark, sf).collect()
+    assert(rows.length == 4, rows.mkString(" | "))
+    for (r <- rows; i <- 2 until 7)
+      assert(r.getBoolean(i), s"gate $i false in $r")
+    val joint = QueriesEstimators.narMlmArtifact(spark, sf)
+    val mass = joint.agg(sum($"p")).as[Double].collect().head
+    assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
+    val leak = joint.filter($"o_code" === 1 && $"l_code" =!= 1)
+      .agg(sum($"p")).as[Double].collect().head
+    assert(leak == 0.0, s"structural-zero mass $leak")
+  }
 }

@@ -30,13 +30,13 @@ class WindowAuditSpec extends SparkSpec {
     "dict_encode", "factorize", "rfm_segments", "pareto_skyline",
     "sample_quantiles", "quality_calibration", "kruskal_wallis",
     "spearman_rho", "auc_roc", "quantile_norm", "hist_quantile_check",
-    "median_ci",
+    "median_ci", "fact_est", "fact_progressive", "ks_test",
     // k-bounded: rank over the k survivors of a TakeOrderedAndProject
     "mcv", "kmeans_coreset",
     // domain/grid-bounded: windows over value-level or bucket-level
     // frames whose size is the attribute domain, not the row count
     "mutual_info", "lorenz_curve", "gains_curve", "zipf_fit",
-    "survival_km", "hazard_curve", "ks_test", "extreme_value_pot",
+    "survival_km", "hazard_curve", "extreme_value_pot",
     "hurst_exponent", "neyman_alloc", "dp_topk", "source_temp_mix",
     // calendar-bounded: one row per day/week/month after aggregation
     "user_growth", "revenue_mom", "cusum_changepoint", "page_hinkley",
@@ -47,7 +47,7 @@ class WindowAuditSpec extends SparkSpec {
     "q_error_quantiles", "progressive_est", "training_batch",
     "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
     "nar_inc_check", "nar_tx_est", "nar_tx_check", "nar_training_curve",
-    "nar_hpo",
+    "nar_hpo", "nar_mlm_est", "nar_mlm_check",
     "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
     "sprt_audit", "max_drawdown",
@@ -113,6 +113,51 @@ class WindowAuditSpec extends SparkSpec {
       val stale = allowlist -- hits.map(_._1).toSet -- pendingRegs
       assert(stale.isEmpty,
         s"allowlist entries with no unpartitioned window left — prune: $stale")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** The allowlist's CLAIM is that every unpartitioned window runs over
+    * a frame bounded by config or catalog, not data volume. This test
+    * measures it: the rows actually flowing into each unpartitioned
+    * WindowExec at sf0.001 and at 10× the data (sf0.01) must grow
+    * sublinearly — a bounded frame (shuffle-partition rollups, value
+    * grids, calendars, the fixed-slot join sample, spec lists) stays
+    * put or saturates, while a data-scaled frame grows ~10× and fails
+    * here BEFORE it becomes a single-task sort at 100×.
+    */
+  test("unpartitioned-window input frames grow sublinearly with the data") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def childRows(dir: String): Map[String, Long] =
+        SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+          val ws =
+            try windows(fn(spark, dir).queryExecution.executedPlan)
+            catch { case _: Throwable => Seq.empty }
+          val counts = ws.filter(_.partitionSpec.isEmpty).flatMap { w =>
+            // a detached fragment can carry unprepared subqueries —
+            // skip those sites rather than fail the measurement
+            try Some(w.child.execute().count())
+            catch { case _: Throwable => None }
+          }
+          if (counts.isEmpty) None else Some(name -> counts.max)
+        }.toMap
+      val small = childRows(sf)
+      val big = childRows("/root/testdata/sf0.01")
+      info("max unpartitioned-window input rows (sf0.001 -> sf0.01): " +
+        big.toSeq.sorted.map { case (n, b) =>
+          s"$n:${small.getOrElse(n, 0L)}->$b"
+        }.mkString(" "))
+      val offenders = big.toSeq.sortBy(_._1).filter { case (name, b) =>
+        val s = small.getOrElse(name, 0L)
+        // sublinear: saturating grids may still add rows; 3× headroom
+        // plus an absolute floor for tiny frames is far below the 10×
+        // a data-bounded frame shows
+        b > math.max(3L * s, s + 64L)
+      }
+      assert(offenders.isEmpty,
+        s"unpartitioned windows over data-scaled frames: $offenders — " +
+          "the input grew superlinearly from sf0.001 to sf0.01; " +
+          "repartition the window or bound its input frame")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
