@@ -477,11 +477,11 @@ object QueriesText {
        |bnd AS (SELECT doc_id, CAST(i // 16 AS INT) AS band,
        |               CAST(SUM(sb * CAST(pow(2.0, 15 - CAST(i % 16 AS INT)) AS BIGINT)) AS BIGINT) AS bv
        |        FROM sig GROUP BY 1, 2),
-       |wide AS (SELECT doc_id, $wide FROM bnd GROUP BY doc_id),
+       |wide AS MATERIALIZED (SELECT doc_id, $wide FROM bnd GROUP BY doc_id),
        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
        |$candArms
        |)),
-       |sdup AS (SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |sdup AS MATERIALIZED (SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
        |  FROM cand c
        |  JOIN wide la ON la.doc_id = c.doc_a
        |  JOIN wide lb ON lb.doc_id = c.doc_b
@@ -507,7 +507,7 @@ object QueriesText {
 
   val simhashClustersSql: String =
     s"""WITH RECURSIVE $simhashPairCtes,
-       |sedges AS (SELECT doc_a AS a, doc_b AS b FROM sdup
+       |sedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM sdup
        |           UNION ALL SELECT doc_b, doc_a FROM sdup),
        |sreach(node, r) AS (
        |  SELECT a, a FROM sedges
