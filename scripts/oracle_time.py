@@ -31,6 +31,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
+    errors = {}
     total = 0.0
     for name in sorted(oracle):
         t0 = time.time()
@@ -39,6 +40,7 @@ def main():
             con.execute(oracle[name]).fetchall()
         except Exception as e:
             err = str(e).splitlines()[0]
+            errors[name] = err
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
@@ -49,14 +51,18 @@ def main():
             print(f"time {name} {dt:7.2f}s{flag}")
     over = {k: v for k, v in times.items() if v > budget}
     print(f"== total {total:.1f}s over {len(times)} oracles; "
-          f"{len(over)} over {budget:.1f}s budget ==")
+          f"{len(over)} over {budget:.1f}s budget; {len(errors)} errored ==")
     for k in sorted(over, key=over.get, reverse=True):
         print(f"  OVER {k} {over[k]:.2f}s")
+    for k in sorted(errors):
+        print(f"  ERR  {k}: {errors[k]}")
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"total_s": round(total, 1), "budget_s": budget,
-                       "times": times}, f, indent=1, sort_keys=True)
-    sys.exit(1 if over else 0)
+                       "times": times, "errors": errors},
+                      f, indent=1, sort_keys=True)
+    # a broken oracle fails FAST — it must fail the audit, not pass it
+    sys.exit(1 if (over or errors) else 0)
 
 if __name__ == "__main__":
     main()

@@ -711,29 +711,11 @@ object QueriesAnalytics {
     val g = e.groupBy(col("v")).agg(
       sum(when(col("s") === "a", 1).otherwise(0)).as("ca"),
       sum(when(col("s") === "b", 1).otherwise(0)).as("cb"))
-    val stamped = g
-      .repartitionByRange(col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .transform(graft.Memo.persisted(_))
-    val offsets = stamped
-      .groupBy(col("__pid"))
-      .agg(sum(col("ca")).as("__na"), sum(col("cb")).as("__nb"))
-      .withColumn("__offa", coalesce(
-        sum(col("__na")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__offb", coalesce(
-        sum(col("__nb")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col("__offa"), col("__offb"))
-    val wp = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val u = stamped
-      .join(broadcast(offsets), "__pid")
+    val u = graft.operators.Distributed
+      .exclusivePrefixSums(g, col("v"), Seq("ca", "cb"))
       .select(
-        (col("__offa") + sum(col("ca")).over(wp)).as("fa"),
-        (col("__offb") + sum(col("cb")).over(wp)).as("fb"))
+        (col("__pre_ca") + col("ca")).as("fa"),
+        (col("__pre_cb") + col("cb")).as("fb"))
     val na = e.filter(col("s") === "a").agg(count(lit(1)).as("n_a"))
     val nb = e.filter(col("s") === "b").agg(count(lit(1)).as("n_b"))
     u.crossJoin(broadcast(na)).crossJoin(broadcast(nb))

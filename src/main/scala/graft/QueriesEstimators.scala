@@ -998,11 +998,16 @@ object QueriesEstimators {
           s" MAX(${sqlNum(c)}) AS mx FROM $t)"
       }
       val hb = rangeStatCols.map { case (t, c) =>
+        // no NULL filter: FLOOR(NULL)=NULL and LEAST ignores NULLs in
+        // BOTH engines, so NULL rows land in bin 9 here exactly as they
+        // do in Spark's stats row (and as the previous inline SUM(CASE)
+        // counted them) — filtering them out would diverge on any
+        // future nullable range column
         s"est_hb_${t}_$c AS MATERIALIZED (SELECT" +
           s" LEAST(CAST(FLOOR((${sqlNum(c)} - s.mn) * $bins.0 / (s.mx - s.mn)) AS BIGINT), ${bins - 1}) AS b," +
           s" CAST(COUNT(*) AS DOUBLE) AS f, s.mn AS mn, ((s.mx - s.mn) / $bins.0) AS w" +
           s" FROM $t, est_mm_${t}_$c s" +
-          s" WHERE ${sqlNum(c)} IS NOT NULL GROUP BY 1, s.mn, s.mx)"
+          s" GROUP BY 1, s.mn, s.mx)"
       }
       val mcvs = eqCols.map { case (_, c) =>
         s"est_mcvs_$c AS MATERIALIZED (SELECT CAST(SUM(f) AS DOUBLE) AS sumf FROM mcv_$c)"
@@ -2474,7 +2479,7 @@ object QueriesEstimators {
   // ---- rows 11r/11s: faithful non-AR masked-denoising transformer ----
 
   /** Full-batch Adam steps for the masked-denoising fit — each step
-    * already averages the 14-mask enumeration, so 400 converges the
+    * already averages the 15-mask enumeration, so 400 converges the
     * expected masked CE at these domain sizes (spec-checked). */
   private val narMlmSteps = 400
 

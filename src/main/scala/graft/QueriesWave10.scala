@@ -29,31 +29,12 @@ object QueriesWave10 {
     * the frame.
     */
   def valueMidranks2(df: DataFrame, value: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vt = df.select(value.as("__v")).na.drop()
       .groupBy(col("__v")).agg(count(lit(1)).as("__t"))
-    val stamped = vt
-      .repartitionByRange(col("__v"))
-      .withColumn("__pid", spark_partition_id())
-      .transform(graft.Memo.persisted(_))
-    val offsets = stamped
-      .groupBy(col("__pid")).agg(sum(col("__t")).as("__n"))
-      .withColumn("__off",
-        coalesce(
-          sum(col("__n")).over(
-            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__off"))
-    stamped
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__pre",
-        col("__off") + coalesce(
-          sum(col("__t")).over(
-            Window.partitionBy(col("__pid")).orderBy(col("__v"))
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+    graft.operators.Distributed
+      .exclusivePrefixSums(vt, col("__v"), Seq("__t"))
       .select(col("__v"), col("__t"),
-        (lit(2L) * col("__pre") + col("__t") + lit(1L)).as("__mr2"))
+        (lit(2L) * col("__pre___t") + col("__t") + lit(1L)).as("__mr2"))
   }
 
   /** The same midrank table as a DuckDB subquery (single-node oracle —

@@ -148,10 +148,14 @@ object QueriesWave23 {
         "code")
       .join(broadcast(marg), Seq("fact_idx", "scol_code"))
       .groupBy(col("query_id"), col("code"))
-      // exact integer Π over ≤5 slice marginals (each ≤ n < 2^53/n^k-safe);
-      // multiplication is order-free, so collect_list's order is moot
-      .agg(aggregate(collect_list(col("mcnt")), lit(1L),
-        (acc, x) => acc * x).as("prod"))
+      // exact integer Π over ≤5 slice marginals in DECIMAL(38,0) — n^5
+      // at ndv ≈ 10^9 is ~10^31, far past BIGINT/2^53 but inside 38
+      // digits; multiplication is order-free, so collect_list's order
+      // is moot. The oracle computes the same product in HUGEINT; both
+      // engines then round the identical exact integer to double once.
+      .agg(aggregate(collect_list(col("mcnt").cast("decimal(38,0)")),
+        lit(1L).cast("decimal(38,0)"),
+        (acc, x) => (acc * x).cast("decimal(38,0)")).as("prod"))
     val est = prods
       .crossJoin(broadcast(geom))
       // 2^-20 fixed-point quantization of each code's contribution
@@ -258,10 +262,17 @@ object QueriesWave23 {
       |     WHEN cardd = 0 THEN est
       |     ELSE GREATEST(est / cardd, cardd / est) END""".stripMargin
 
-  val factEstSql: String =
+  val factEstSql: String = {
+    // exact HUGEINT product over the ≤5 slice marginals (product() would
+    // accumulate in DOUBLE and round past 2^53 — n^3 at sf1 already
+    // exceeds it); slice 0 always exists, higher slices default to 1
+    val prodExpr = (0 until 5).map {
+      case 0 => "CAST(MAX(CASE WHEN s.fact_idx = 0 THEN m.mcnt END) AS HUGEINT)"
+      case i => s"COALESCE(MAX(CASE WHEN s.fact_idx = $i THEN m.mcnt END), 1)"
+    }.mkString(" * ")
     s"""WITH $factCtes,
        |prods AS (SELECT q.query_id, q.code,
-       |    CAST(product(m.mcnt) AS BIGINT) AS prod
+       |    $prodExpr AS prod
        |  FROM qual q
        |  JOIN slices s ON s.code = q.code
        |  JOIN marg m ON m.fact_idx = s.fact_idx AND m.scol_code = s.scol_code
@@ -282,6 +293,7 @@ object QueriesWave23 {
        |  (SELECT $qErrSql FROM (SELECT e.est AS est, CAST(c.card AS DOUBLE) AS cardd)) AS q_err
        |FROM e JOIN c ON c.query_id = e.query_id, geom
        |ORDER BY e.query_id""".stripMargin
+  }
 
   val factProgressiveSql: String =
     s"""WITH $factCtes,

@@ -16,12 +16,13 @@ package graft.operators
   *
   * Determinism: the reference samples one random mask per step
   * (random.choice + random.sample). Here training is FULL-BATCH over
-  * the weighted combo table × the ENUMERATED mask space — all 14
-  * non-trivial masks over 4 positions, each weighted exactly as the
-  * sampler draws it in expectation (size n uniform on {1,2,3}, then a
-  * uniform size-n subset: weight (1/3)/C(4,n)), with the reference's
-  * 1/|mask| per-column averaging (models.py:337). Every step is the
-  * exact expected gradient of the reference's stochastic step, so the
+  * the weighted combo table × the ENUMERATED mask space — all 15
+  * non-empty masks over 4 positions, size n uniform on {1..4} then a
+  * uniform size-n subset (weight (1/4)/C(4,n)), with the reference's
+  * 1/|mask| per-column averaging (models.py:337). This is the exact
+  * expectation of the reference's stochastic step EXTENDED by the full
+  * mask (the reference stops at n_cols−1 masked; see [[maskPatterns]]
+  * for why the all-masked input must be in-distribution here), so the
   * fit is deterministic and the downstream rows hash-gate.
   *
   * Architecture per position i ∈ {0..3} (c, o, l, fanout):
@@ -407,11 +408,12 @@ final class NarMlm(
     val po = Array.tabulate(cMax) { c =>
       t(0) = c; conditional(1, t, 14) // observed c: mask {o,l,f}
     }
-    val raw = for { c <- 0 until cMax; o <- 0 until oMax; l <- 0 until lMax }
-      yield {
-        t(0) = c; t(1) = o; t(2) = l
-        val pl = conditional(2, t, 12)  // observed c,o: mask {l,f}
-        val pf = conditional(3, t, 8)   // observed c,o,l: mask {f}
+    val raw = for { c <- 0 until cMax; o <- 0 until oMax } yield {
+      t(0) = c; t(1) = o
+      val pl = conditional(2, t, 12) // observed c,o: mask {l,f} — l-free
+      (0 until lMax).map { l =>
+        t(2) = l
+        val pf = conditional(3, t, 8) // observed c,o,l: mask {f}
         val praw =
           if (o == 0 && l != 0) 0.0
           else pc(c) * po(c)(o) * pl(l)
@@ -420,8 +422,10 @@ final class NarMlm(
         while (f < fMax) { einv += pf(f) / (f + 1.0); f += 1 }
         (c + 1, o + 1, l + 1, praw, einv)
       }
-    val z = raw.map(_._4).sum
-    raw.map { case (c, o, l, praw, einv) => (c, o, l, praw / z, einv) }
+    }
+    val flat = raw.flatten
+    val z = flat.map(_._4).sum
+    flat.map { case (c, o, l, praw, einv) => (c, o, l, praw / z, einv) }
   }
 }
 
@@ -429,7 +433,7 @@ object NarMlm {
   /** Train with the AR transformer leg's hyperparameters (d=16, h=32);
     * 400 full-batch steps over the enumerated mask space converge the
     * expected masked CE at these domain sizes (each step already
-    * averages all 14 masks, so it needs fewer steps than the
+    * averages all 15 masks, so it needs fewer steps than the
     * single-objective AR fit). */
   def train(data: Array[(Int, Int, Int, Int, Double)],
       cMax: Int, oMax: Int, lMax: Int, fMax: Int, seed: Long,

@@ -143,6 +143,12 @@ class WindowAuditSpec extends SparkSpec {
         }.toMap
       val small = childRows(sf)
       val big = childRows("/root/testdata/sf0.01")
+      // the swallow-and-skip fallbacks above must not let the audit
+      // pass vacuously (missing test data / mass planning failure)
+      assert(big.size >= 20 && small.size >= 20,
+        s"sublinear audit measured too few window sites " +
+          s"(${small.size} @ sf0.001, ${big.size} @ sf0.01) — " +
+          "expected dozens; the measurement itself is broken")
       info("max unpartitioned-window input rows (sf0.001 -> sf0.01): " +
         big.toSeq.sorted.map { case (n, b) =>
           s"$n:${small.getOrElse(n, 0L)}->$b"
