@@ -535,7 +535,10 @@ object QueriesAnalytics {
     * can't perturb them. Postings (term, doc, tf) and doc lengths come
     * out of one tokens scan.
     */
-  def bm25RankQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Full BM25 (doc_id, score) frame for the standing query terms —
+    * shared by the top-k ranker here and Wave 24's RRF fusion.
+    */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -562,13 +565,19 @@ object QueriesAnalytics {
     contrib
       .groupBy(col("doc_id"))
       .agg((sum(col("__c")).cast("double") / lit(1048576.0)).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(bm25TopK)
   }
 
-  val bm25RankSql: String = {
+  def bm25RankQ(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(bm25TopK)
+
+  /** Oracle twin of [[bm25Scores]]: CTE chain ending in
+    * `bscore(doc_id, score)`.
+    */
+  private[graft] val bm25ScoreCte: String = {
     val terms = searchTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS word
        |  FROM documents),
        |lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
@@ -583,10 +592,15 @@ object QueriesAnalytics {
        |        (CAST(tf.tf AS DOUBLE) + $bm25K1 *
        |          (${1.0 - bm25B} + $bm25B * (CAST(lens.dl AS DOUBLE) / (stats.sl / stats.nd)))))
        |      * 1048576.0) AS BIGINT) AS c
-       |  FROM tf JOIN df USING (word) JOIN lens ON tf.doc_id = lens.doc_id, stats)
-       |SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1048576.0 AS score
-       |FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
+       |  FROM tf JOIN df USING (word) JOIN lens ON tf.doc_id = lens.doc_id, stats),
+       |bscore AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) / 1048576.0 AS score
+       |  FROM contrib GROUP BY 1)""".stripMargin
   }
+
+  val bm25RankSql: String =
+    s"""WITH $bm25ScoreCte
+       |SELECT doc_id, score FROM bscore
+       |ORDER BY score DESC, doc_id LIMIT $bm25TopK""".stripMargin
 
   // ---- cube_counts: CUBE / grouping-sets surface ----
 

@@ -1110,13 +1110,20 @@ object QueriesWave10 {
     * arithmetic until one final division (ties get the standard
     * half-credit via midranks). Gini = 2·AUC − 1 rides along.
     */
-  def aucRocQ(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Memo(spark, dir, "wave10:aucScored")(
+  /** (doc_id, s6, kept): the 1e-6-grid quality score next to the
+    * doc-filter gate — the shared classifier-eval frame (auc_roc here;
+    * pr_auc / brier_decomp / mcnemar_gates in Wave 24).
+    */
+  private[graft] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave10:aucScored")(
       operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
         .select(col("doc_id"),
           expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
         .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
           .select(col("doc_id"), col("kept")), "doc_id"))
+
+  def aucRocQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(spark, dir)
     val mr = valueMidranks2(scored, col("s6"))
     val pos = scored.filter(col("kept"))
       .groupBy(col("s6").as("__v")).agg(count(lit(1)).as("cpos"))
@@ -1133,15 +1140,10 @@ object QueriesWave10 {
       .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
   }
 
-  val aucRocSql: String = {
+  /** Oracle twin of [[scoredDocs]] — `w` + `scored` CTE bodies. */
+  private[graft] val scoredCteSql: String = {
     import operators.TextAnalysis.{emailPat, phonePat}
-    val mrSub =
-      """(SELECT __v, __t, 2 * COALESCE(SUM(__t) OVER (ORDER BY __v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    + __t + 1 AS __mr2
-        |  FROM (SELECT s6 AS __v, CAST(COUNT(*) AS BIGINT) AS __t
-        |        FROM scored GROUP BY 1))""".stripMargin
-    s"""WITH ${QueriesText.wordsCte},
+    s"""${QueriesText.wordsCte},
        |scored AS (
        |  SELECT w.doc_id,
        |    CAST(round(1e6 * (${QueriesText.scoreSqlExpr})) AS BIGINT) AS s6,
@@ -1149,7 +1151,17 @@ object QueriesWave10 {
        |     AND (${QueriesText.avgWordLenSqlExpr}) BETWEEN 3.0 AND 10.0
        |     AND (len(regexp_extract_all(d.text, '$emailPat'))
        |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
-       |  FROM w JOIN documents d USING (doc_id)),
+       |  FROM w JOIN documents d USING (doc_id))""".stripMargin
+  }
+
+  val aucRocSql: String = {
+    val mrSub =
+      """(SELECT __v, __t, 2 * COALESCE(SUM(__t) OVER (ORDER BY __v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + __t + 1 AS __mr2
+        |  FROM (SELECT s6 AS __v, CAST(COUNT(*) AS BIGINT) AS __t
+        |        FROM scored GROUP BY 1))""".stripMargin
+    s"""WITH $scoredCteSql,
        |mr AS $mrSub,
        |r2 AS (
        |  SELECT COALESCE(SUM(CAST(p.cpos AS HUGEINT) * mr.__mr2), CAST(0 AS HUGEINT)) AS r2pos

@@ -1,0 +1,870 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 wave: the classifier-evaluation closure over the curation
+  * gates (PR-AUC, Brier decomposition, McNemar, Naive-Bayes filter),
+  * the wavelet-synopsis AQP leg, CvM drift, empirical-Bayes rate
+  * shrinkage, CCNet perplexity bucketing, Gopher quality rules,
+  * reciprocal-rank retrieval fusion, and local-intrinsic-dimensionality
+  * of the embedding cloud. House discipline throughout: exact integer /
+  * dyadic-rational arithmetic wherever possible, one quantized libm
+  * call where not, order-sensitive double sums pushed through fixed-
+  * point BIGINT grids, and data-scale cumulative counts via the
+  * range-partitioned prefix plan (never a single global window).
+  */
+object QueriesWave24 {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  // ---- wavelet_est: Haar-synopsis range-count estimation ----
+
+  val wvBins = 32
+  val wvLevels = 5
+  /** 2^14 — bin width divides the double mantissa exactly (scaling by a
+    * power of two is exponent arithmetic), so the bin id is portable.
+    */
+  val wvWidth = 16384.0
+  val wvKeep = 6
+
+  /** (query_id, lo bin, hi bin) range-count workload. */
+  val wvRanges: Seq[(String, Long, Long)] = Seq(
+    ("w01", 0L, 3L), ("w02", 4L, 15L), ("w03", 20L, 31L), ("w04", 0L, 31L))
+
+  /** 32-bin equi-width o_totalprice histogram with empty bins
+    * materialized (reconstruction needs the full spine). One data
+    * scan; everything downstream is 32 rows.
+    */
+  private def wvHist(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave24:wvHist") {
+      val raw = Tables(spark, dir, "orders")
+        .select(least(floor(col("o_totalprice") / lit(wvWidth)),
+          lit((wvBins - 1).toLong)).cast("bigint").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      spark.range(wvBins).select(col("id").as("b"))
+        .join(raw, Seq("b"), "left_outer")
+        .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    }
+
+  /** Haar wavelet synopsis of the histogram (Matias/Vitter/Wang,
+    * SIGMOD'98 — the classic AQP wavelet estimator): unnormalized
+    * detail coefficients d_{l,j} = (left-half sum − right-half sum) of
+    * block j at level l are exact BIGINTs; the top [[wvKeep]] by
+    * normalized energy d²/B (ranked on the EXACT integer d²·2^(l−1),
+    * ties to (level, j)) plus the grand total form the synopsis.
+    * Reconstruction ĉ_b = A/32 + Σ_path ±d/B is a sum of dyadic
+    * rationals — exact in doubles on both engines, order-free — so the
+    * range estimates Σ ĉ_b are fully deterministic. At 100 TB the one
+    * data-scale stage is the histogram groupBy; the transform,
+    * thresholding, and estimation all run on 32-row frames.
+    */
+  def waveletEstQ(spark: SparkSession, dir: String): DataFrame = {
+    val hist = wvHist(spark, dir)
+    val tot = hist.agg(sum(col("c")).as("a"))
+    val lv = spark.range(1, wvLevels + 1).select(col("id").cast("int").as("l"))
+    val coef = hist.crossJoin(broadcast(lv))
+      .groupBy(col("l"), expr("shiftright(b, 6 - l)").as("j"))
+      .agg(sum((lit(1) - lit(2) * expr("(shiftright(b, 5 - l) & 1)")) * col("c")).as("d"))
+      .withColumn("bsz", expr("shiftleft(1, 6 - l)"))
+      .withColumn("score", dec(col("d")) * dec(col("d")) *
+        expr("CAST(shiftleft(1, l - 1) AS DECIMAL(38,0))"))
+    // constant 31-row coefficient frame: the one unpartitioned window
+    val kept = coef
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("l"), col("j"))))
+      .filter(col("rnk") <= wvKeep)
+      .select(col("l"), col("j"), col("d"), col("bsz"))
+    val recon = hist
+      .join(broadcast(kept), col("j") === expr("shiftright(b, 6 - l)"), "left_outer")
+      .select(col("b"), col("c"),
+        when(col("l").isNull, lit(0.0)).otherwise(
+          (lit(1) - lit(2) * expr("(shiftright(b, 5 - l) & 1)")).cast("double") *
+            col("d").cast("double") / col("bsz").cast("double")).as("w"))
+      .groupBy(col("b"))
+      .agg(max(col("c")).as("c"), sum(col("w")).as("wsum"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), col("c"),
+        (col("a").cast("double") / lit(wvBins.toDouble) + col("wsum")).as("chat"))
+    val rdf = wvRanges.map { case (id, lo, hi) =>
+      spark.range(1).select(lit(id).as("query_id"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }.reduce(_.unionAll(_))
+    broadcast(rdf)
+      .join(recon, col("b") >= col("lo") && col("b") <= col("hi"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("chat")).as("est"), sum(col("c")).as("tru"))
+      .select(col("query_id"), col("est"), col("tru"),
+        abs(col("est") - col("tru").cast("double")).as("abs_err"))
+      .orderBy(col("query_id"))
+  }
+
+  val waveletEstSql: String = {
+    val rangeRows = wvRanges
+      .map { case (id, lo, hi) => s"('$id', $lo, $hi)" }.mkString(", ")
+    s"""WITH hist AS MATERIALIZED (
+       |  SELECT s.b, COALESCE(r.c, 0) AS c
+       |  FROM (SELECT unnest(range(0, $wvBins)) AS b) s
+       |  LEFT JOIN (SELECT LEAST(CAST(FLOOR(o_totalprice / $wvWidth) AS BIGINT), ${wvBins - 1}) AS b,
+       |      CAST(COUNT(*) AS BIGINT) AS c
+       |    FROM orders GROUP BY 1) r USING (b)),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS a FROM hist),
+       |coef AS (SELECT l, j, d, (1 << (6 - l)) AS bsz,
+       |    CAST(d AS HUGEINT) * d * (1 << (l - 1)) AS score
+       |  FROM (SELECT l, b >> (6 - l) AS j,
+       |      CAST(SUM((1 - 2 * ((b >> (5 - l)) & 1)) * c) AS BIGINT) AS d
+       |    FROM hist, (SELECT unnest(range(1, ${wvLevels + 1})) AS l) lv
+       |    GROUP BY 1, 2)),
+       |kept AS MATERIALIZED (SELECT l, j, d, bsz FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, l, j) AS rnk FROM coef)
+       |  WHERE rnk <= $wvKeep),
+       |recon AS (SELECT h.b, MAX(h.c) AS c,
+       |    CAST(tot.a AS DOUBLE) / $wvBins.0 + COALESCE(SUM(
+       |      CASE WHEN k.l IS NOT NULL THEN
+       |        CAST(1 - 2 * ((h.b >> (5 - k.l)) & 1) AS DOUBLE)
+       |          * CAST(k.d AS DOUBLE) / CAST(k.bsz AS DOUBLE) END), 0.0) AS chat
+       |  FROM hist h
+       |  LEFT JOIN kept k ON k.j = (h.b >> (6 - k.l)), tot
+       |  GROUP BY h.b, tot.a)
+       |SELECT r.query_id, SUM(chat) AS est, CAST(SUM(c) AS BIGINT) AS tru,
+       |  ABS(SUM(chat) - CAST(SUM(c) AS DOUBLE)) AS abs_err
+       |FROM (VALUES $rangeRows) AS r(query_id, lo, hi)
+       |JOIN recon ON b >= lo AND b <= hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- cvm_test: two-sample Cramér–von Mises drift statistic ----
+
+  /** Two-sample Cramér–von Mises over customer account balances of
+    * two market segments — the integrated-squared-distance complement
+    * of `ks_test`'s sup-norm (CvM weights the WHOLE ECDF gap, so it
+    * sees broad mid-distribution drift a single extreme point doesn't
+    * dominate). Ties generalized through the pooled-ECDF form
+    * T = Σ_v t_v·(F_a−F_b)²·(n_a·n_b/N²); the ECDF gap per distinct
+    * value is the exact integer f_a·n_b − f_b·n_a (the ks_test
+    * discipline, 2^53 envelope ≈ a hundred million rows per segment),
+    * each value's term is pinned to the 1e-9 grid before the keyed
+    * sum, and the cumulative counts come from the range-partitioned
+    * prefix plan. drift_05 applies the asymptotic 5% critical value
+    * 0.461 (Anderson 1962).
+    */
+  def cvmTestQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(col("c_acctbal").as("v"),
+        when(col("c_mktsegment") === "AUTOMOBILE", "a").otherwise("b").as("s"))
+    val g = c.groupBy(col("v")).agg(
+      sum(when(col("s") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("s") === "b", 1L).otherwise(0L)).as("cb"))
+    val u = graft.operators.Distributed
+      .exclusivePrefixSums(g, col("v"), Seq("ca", "cb"))
+      .select(col("ca"), col("cb"),
+        (col("__pre_ca") + col("ca")).as("fa"),
+        (col("__pre_cb") + col("cb")).as("fb"))
+    val n = g.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    u.crossJoin(broadcast(n))
+      .withColumn("r",
+        (col("fa") * col("n_b") - col("fb") * col("n_a")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select(col("n_a"), col("n_b"),
+        floor(lit(1e9) * (col("ca") + col("cb")).cast("double") * col("r") * col("r"))
+          .as("t9"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("t9")).as("t_num9"))
+      .select(col("n_a"), col("n_b"), col("t_num9"),
+        ((col("t_num9").cast("double") / lit(1e9)) *
+          (col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("cvm_t"))
+      .withColumn("drift_05", col("cvm_t") > lit(0.461))
+  }
+
+  val cvmTestSql: String =
+    """WITH c AS (SELECT c_acctbal AS v,
+      |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'a' ELSE 'b' END AS s
+      |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+      |g AS MATERIALIZED (SELECT v,
+      |    CAST(SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM c GROUP BY 1),
+      |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM g),
+      |u AS (SELECT ca, cb, SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb FROM g
+      |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(SUM(t9) AS BIGINT) AS t_num9 FROM (
+      |  SELECT CAST(FLOOR(1e9 * CAST(ca + cb AS DOUBLE) * r * r) AS BIGINT) AS t9
+      |  FROM (SELECT ca, cb,
+      |      CAST(fa * n.n_b - fb * n.n_a AS DOUBLE) / CAST(n.n_a * n.n_b AS DOUBLE) AS r
+      |    FROM u, n)))
+      |SELECT n_a, n_b, t_num9,
+      |  (CAST(t_num9 AS DOUBLE) / 1e9) * CAST(n_a * n_b AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS cvm_t,
+      |  (CAST(t_num9 AS DOUBLE) / 1e9) * CAST(n_a * n_b AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0.461 AS drift_05
+      |FROM t, n""".stripMargin
+
+  // ---- eb_shrinkage: empirical-Bayes per-source rate shrinkage ----
+
+  /** Beta-binomial method-of-moments shrinkage of the per-source
+    * doc-filter pass rates (the Efron–Morris / "stabilize small-sample
+    * dashboard rates" estimator): the prior Beta(α, β) is fitted from
+    * the cross-source moments — each source's raw rate is first pinned
+    * to the exact integer grid (1e6·k) div n, so the moments Σr, Σr²
+    * are exact BIGINTs — and each source then shrinks to
+    * (k + α)/(n + α + β). Degenerate priors (zero variance or
+    * non-positive α+β, i.e. raw spread already at/under binomial
+    * noise) fall back to the raw rate identically on both engines.
+    * The per-source frame is source-bounded; one doc scan feeds it.
+    */
+  def ebShrinkageQ(spark: SparkSession, dir: String): DataFrame = {
+    val per = Memo(spark, dir, "wave24:ebPerSource") {
+      Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+        .join(QueriesWave10.scoredDocs(spark, dir).select(col("doc_id"), col("kept")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("rate6", expr("(1000000 * n_kept) div n_docs"))
+    }
+    val mom = per.agg(count(lit(1)).as("s"),
+      sum(col("rate6")).as("sx"), sum(col("rate6") * col("rate6")).as("sxx"))
+    per.crossJoin(broadcast(mom))
+      .withColumn("m", col("sx").cast("double") / (col("s").cast("double") * lit(1e6)))
+      .withColumn("v", (col("s") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("s").cast("double") * (col("s") - 1).cast("double") * lit(1e12)))
+      .withColumn("ab",
+        when(col("v") > 0, col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0)))
+      .withColumn("alpha", when(col("ab") > 0, col("m") * col("ab")))
+      .withColumn("beta", when(col("ab") > 0, col("ab") - col("m") * col("ab")))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double")).as("raw_rate"),
+        when(col("alpha").isNotNull,
+          (col("n_kept").cast("double") + col("alpha")) /
+            (col("n_docs").cast("double") + col("ab")))
+          .otherwise(col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("shrunk_rate"),
+        col("alpha"), col("beta"))
+      .orderBy(col("source"))
+  }
+
+  val ebShrinkageSql: String =
+    s"""WITH ${QueriesWave10.scoredCteSql},
+       |per AS MATERIALIZED (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN s.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    (1000000 * CAST(SUM(CASE WHEN s.kept THEN 1 ELSE 0 END) AS BIGINT))
+       |      // CAST(COUNT(*) AS BIGINT) AS rate6
+       |  FROM documents d JOIN scored s USING (doc_id) GROUP BY 1),
+       |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS s, CAST(SUM(rate6) AS BIGINT) AS sx,
+       |    CAST(SUM(rate6 * rate6) AS BIGINT) AS sxx FROM per),
+       |pri AS (SELECT m, v, CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0 END AS ab FROM (
+       |  SELECT CAST(sx AS DOUBLE) / (CAST(s AS DOUBLE) * 1e6) AS m,
+       |    CAST(s * sxx - sx * sx AS DOUBLE)
+       |      / (CAST(s AS DOUBLE) * CAST(s - 1 AS DOUBLE) * 1e12) AS v
+       |  FROM mom))
+       |SELECT source, n_docs, n_kept,
+       |  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_rate,
+       |  CASE WHEN ab > 0 THEN (CAST(n_kept AS DOUBLE) + m * ab) / (CAST(n_docs AS DOUBLE) + ab)
+       |       ELSE CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) END AS shrunk_rate,
+       |  CASE WHEN ab > 0 THEN m * ab END AS alpha,
+       |  CASE WHEN ab > 0 THEN ab - m * ab END AS beta
+       |FROM per, pri ORDER BY source""".stripMargin
+
+  // ---- brier_decomp: Brier score reliability / resolution / uncertainty ----
+
+  val brierBins = 10
+
+  /** Murphy (1973) decomposition of the Brier score of the quality
+    * score (as a [0,1] probability on its 1e-6 grid) predicting the
+    * doc-filter gate: brier = REL − RES + UNC over 10 probability
+    * bins. Every per-bin mean comes from exact integer sums; each
+    * bin's REL/RES term is quantized to the 1e-9 grid before the
+    * 10-row sum, so the decomposition is engine-portable. Two
+    * bounded aggregates over the shared scored frame.
+    */
+  def brierDecompQ(spark: SparkSession, dir: String): DataFrame = {
+    val sc = QueriesWave10.scoredDocs(spark, dir)
+      .select(least(expr("s6 div 100000"), lit(9L)).as("bin"), col("s6"),
+        when(col("kept"), 1L).otherwise(0L).as("y"))
+    val per = sc.groupBy(col("bin")).agg(
+      count(lit(1)).as("nk"), sum(col("s6")).as("ssum"), sum(col("y")).as("ysum"))
+    val tot = per.agg(sum(col("nk")).as("n"), sum(col("ysum")).as("n_pos"))
+    val terms = per.crossJoin(broadcast(tot))
+      .withColumn("pbar", col("ssum").cast("double") / (col("nk").cast("double") * lit(1e6)))
+      .withColumn("ybark", col("ysum").cast("double") / col("nk").cast("double"))
+      .withColumn("ybar", col("n_pos").cast("double") / col("n").cast("double"))
+      .select(col("n"), col("n_pos"),
+        floor(lit(1e9) * col("nk").cast("double") *
+          (col("pbar") - col("ybark")) * (col("pbar") - col("ybark"))).as("rel9"),
+        floor(lit(1e9) * col("nk").cast("double") *
+          (col("ybark") - col("ybar")) * (col("ybark") - col("ybar"))).as("res9"))
+      .groupBy(col("n"), col("n_pos"))
+      .agg(sum(col("rel9")).as("sr9"), sum(col("res9")).as("ss9"))
+    terms
+      .withColumn("ybar", col("n_pos").cast("double") / col("n").cast("double"))
+      .select(col("n"), col("n_pos"),
+        (col("sr9").cast("double") / lit(1e9) / col("n").cast("double")).as("reliability"),
+        (col("ss9").cast("double") / lit(1e9) / col("n").cast("double")).as("resolution"),
+        (col("ybar") * (lit(1.0) - col("ybar"))).as("uncertainty"))
+      .withColumn("brier",
+        col("reliability") - col("resolution") + col("uncertainty"))
+  }
+
+  val brierDecompSql: String =
+    s"""WITH ${QueriesWave10.scoredCteSql},
+       |b AS (SELECT LEAST(s6 // 100000, 9) AS bin, s6,
+       |    CASE WHEN kept THEN 1 ELSE 0 END AS y FROM scored),
+       |per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+       |    CAST(SUM(s6) AS BIGINT) AS ssum, CAST(SUM(y) AS BIGINT) AS ysum
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(ysum) AS BIGINT) AS n_pos FROM per),
+       |t AS (SELECT n, n_pos, CAST(SUM(rel9) AS BIGINT) AS sr9, CAST(SUM(res9) AS BIGINT) AS ss9
+       |  FROM (SELECT n, n_pos,
+       |      CAST(FLOOR(1e9 * CAST(nk AS DOUBLE)
+       |        * (pbar - ybark) * (pbar - ybark)) AS BIGINT) AS rel9,
+       |      CAST(FLOOR(1e9 * CAST(nk AS DOUBLE)
+       |        * (ybark - ybar) * (ybark - ybar)) AS BIGINT) AS res9
+       |    FROM (SELECT per.*, tot.n, tot.n_pos,
+       |        CAST(ssum AS DOUBLE) / (CAST(nk AS DOUBLE) * 1e6) AS pbar,
+       |        CAST(ysum AS DOUBLE) / CAST(nk AS DOUBLE) AS ybark,
+       |        CAST(tot.n_pos AS DOUBLE) / CAST(tot.n AS DOUBLE) AS ybar
+       |      FROM per, tot) x)
+       |  GROUP BY 1, 2)
+       |SELECT n, n_pos,
+       |  CAST(sr9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS reliability,
+       |  CAST(ss9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS resolution,
+       |  (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS uncertainty,
+       |  CAST(sr9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+       |    - CAST(ss9 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+       |    + (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS brier
+       |FROM t""".stripMargin
+
+  // ---- pr_auc: average precision of the quality score ----
+
+  /** Average precision (the step-integral PR-AUC, sklearn semantics
+    * with threshold = each distinct score, ties grouped): AP =
+    * Σ_v (tp_v / P) · (cumTP_v / cumN_v) over distinct 1e-6-grid
+    * scores descending. Complements `auc_roc`: under the gate's heavy
+    * class imbalance, PR-AUC moves when ROC-AUC barely does. Each
+    * term is a deterministic double from four exact integers, pinned
+    * to the 1e-9 grid before the sum; cumulative counts come from the
+    * range-partitioned prefix plan over the score-distinct frame.
+    */
+  def prAucQ(spark: SparkSession, dir: String): DataFrame = {
+    val sc = QueriesWave10.scoredDocs(spark, dir)
+    val g = sc.groupBy(col("s6")).agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("tp"), count(lit(1)).as("t"))
+    val u = graft.operators.Distributed
+      .exclusivePrefixSums(g, negate(col("s6")), Seq("tp", "t"))
+      .select(col("tp"),
+        (col("__pre_tp") + col("tp")).as("cumtp"),
+        (col("__pre_t") + col("t")).as("cumn"))
+    val tot = sc.agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("n_neg"))
+    val ap = u.crossJoin(broadcast(tot)).filter(col("tp") > 0)
+      .select(floor(lit(1e9) *
+        (col("tp").cast("double") / col("n_pos").cast("double")) *
+        (col("cumtp").cast("double") / col("cumn").cast("double"))).as("t9"))
+      .agg(sum(col("t9")).as("s9"))
+    tot.crossJoin(ap)
+      .select(col("n_pos"), col("n_neg"),
+        (col("s9").cast("double") / lit(1e9)).as("pr_auc"),
+        (col("n_pos").cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")).as("baseline"))
+  }
+
+  val prAucSql: String =
+    s"""WITH ${QueriesWave10.scoredCteSql},
+       |g AS (SELECT s6, CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM scored GROUP BY 1),
+       |u AS (SELECT tp, SUM(tp) OVER w AS cumtp, SUM(t) OVER w AS cumn FROM g
+       |  WINDOW w AS (ORDER BY s6 DESC ROWS UNBOUNDED PRECEDING)),
+       |tot AS (SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+       |  FROM scored),
+       |ap AS (SELECT CAST(SUM(CAST(FLOOR(1e9
+       |      * (CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+       |      * (CAST(cumtp AS DOUBLE) / CAST(cumn AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s9
+       |  FROM u, tot WHERE tp > 0)
+       |SELECT n_pos, n_neg, CAST(s9 AS DOUBLE) / 1e9 AS pr_auc,
+       |  CAST(n_pos AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE) AS baseline
+       |FROM tot, ap""".stripMargin
+
+  // ---- mcnemar_gates: paired disagreement test between two gates ----
+
+  /** McNemar test between the doc-filter gate and the score>=0.5 gate
+    * on the SAME documents — the paired test that `mcc_gate_agreement`
+    * and `cohen_kappa` (symmetric agreement measures) don't give: is
+    * one gate systematically stricter than the other? chi² with the
+    * standard continuity correction (max(|b−c|−1,0))²/(b+c) is an
+    * exact rational; the two-sided p rides the repo's one-quantized-
+    * libm-call Abramowitz–Stegun 7.1.26 path at z = √chi², pinned to
+    * the 1e-9 grid. The all-concordant edge (b+c=0) pins chi2 and p9
+    * to NULL on both engines. One aggregate over the scored frame.
+    */
+  def mcnemarGatesQ(spark: SparkSession, dir: String): DataFrame =
+    QueriesWave10.scoredDocs(spark, dir)
+      .agg(
+        sum(when(!col("kept") && col("s6") < 500000, 1L).otherwise(0L)).as("n00"),
+        sum(when(!col("kept") && col("s6") >= 500000, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("kept") && col("s6") < 500000, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("kept") && col("s6") >= 500000, 1L).otherwise(0L)).as("n11"))
+      .withColumn("chi2", when(col("n01") + col("n10") > 0,
+        (greatest(abs(col("n01") - col("n10")) - 1, lit(0L)) *
+          greatest(abs(col("n01") - col("n10")) - 1, lit(0L))).cast("double") /
+          (col("n01") + col("n10")).cast("double")))
+      .withColumn("z", sqrt(col("chi2")))
+      .withColumn("p9", expr(
+        """CAST(round(1e9 * (
+          |  0.254829592 / (1 + 0.3275911 * (z / sqrt(2.0)))
+          |  - 0.284496736 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 2)
+          |  + 1.421413741 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 3)
+          |  - 1.453152027 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 4)
+          |  + 1.061405429 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 5)
+          |) * exp(-(z * z) / 2.0)) AS BIGINT)""".stripMargin))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"), col("chi2"), col("p9"))
+
+  val mcnemarGatesSql: String =
+    s"""WITH ${QueriesWave10.scoredCteSql},
+       |c AS (SELECT
+       |    CAST(SUM(CASE WHEN NOT kept AND s6 < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+       |    CAST(SUM(CASE WHEN NOT kept AND s6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN kept AND s6 < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN kept AND s6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+       |  FROM scored),
+       |x AS (SELECT *, SQRT(chi2) AS z FROM (
+       |  SELECT *, CAST(GREATEST(ABS(n01 - n10) - 1, 0)
+       |      * GREATEST(ABS(n01 - n10) - 1, 0) AS DOUBLE)
+       |      / NULLIF(CAST(n01 + n10 AS DOUBLE), 0.0) AS chi2
+       |  FROM c))
+       |SELECT n00, n01, n10, n11, chi2,
+       |  CAST(round(1e9 * (
+       |    0.254829592 / (1 + 0.3275911 * (z / sqrt(2.0)))
+       |    - 0.284496736 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 2)
+       |    + 1.421413741 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 3)
+       |    - 1.453152027 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 4)
+       |    + 1.061405429 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 5)
+       |  ) * exp(-(z * z) / 2.0)) AS BIGINT) AS p9
+       |FROM x""".stripMargin
+
+  // ---- gopher_rules: per-rule quality audit (Rae et al. 2021) ----
+
+  /** The Gopher quality-rule battery as a per-rule AUDIT (not just a
+    * combined gate like `doc_filter`): word count in [50, 1e5], mean
+    * word length in [3, 10], ≥80% alphabetic words, ≥2 distinct
+    * English stopwords, and no word above 20% of the tokens — each
+    * rule's fail count reported per source, so a curation team sees
+    * WHICH rule fires where before composing a filter. Every rule is
+    * an exact integer inequality (5·n_alpha ≥ 4·n_words etc.), so the
+    * audit is grid-free portable. One tokens scan, two keyed
+    * aggregates, a source-bounded report.
+    */
+  /** Per-doc Gopher rule flags (doc_id, r1..r5) — the audit's row
+    * frame, also the third "rater" in Wave 25's gate-agreement tests.
+    */
+  private[graft] def gopherPerDoc(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave24:gopherDoc") {
+      val wc = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      wc.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("sum_len"),
+        sum(when(col("w").rlike("[a-z]"), col("cnt")).otherwise(0L)).as("n_alpha"),
+        sum(when(col("w").isin(graft.operators.TextAnalysis.enStopwords: _*), 1L)
+          .otherwise(0L)).as("n_stop"),
+        max(col("cnt")).as("max_tf"))
+        .withColumn("r1", col("n_words").between(50L, 100000L))
+        .withColumn("r2",
+          col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10)
+        .withColumn("r3", col("n_alpha") * 5 >= col("n_words") * 4)
+        .withColumn("r4", col("n_stop") >= 2)
+        .withColumn("r5", col("max_tf") * 5 <= col("n_words"))
+        .select(col("doc_id"), col("r1"), col("r2"), col("r3"), col("r4"), col("r5"))
+    }
+
+  def gopherRulesQ(spark: SparkSession, dir: String): DataFrame =
+    gopherPerDoc(spark, dir)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("f_len"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("f_wordlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("f_alpha"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("f_stop"),
+        sum(when(!col("r5"), 1L).otherwise(0L)).as("f_dominance"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+
+  /** Oracle twin of [[gopherPerDoc]] — CTE chain ending in
+    * `gd(doc_id, r1..r5)`; prepend after the `w` words CTE.
+    */
+  private[graft] val gopherDocCte: String = {
+    val stops = graft.operators.TextAnalysis.enStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * strlen(word)) AS BIGINT) AS sum_len,
+       |    CAST(SUM(CASE WHEN regexp_matches(word, '[a-z]') THEN cnt ELSE 0 END) AS BIGINT) AS n_alpha,
+       |    CAST(SUM(CASE WHEN word IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |    CAST(MAX(cnt) AS BIGINT) AS max_tf
+       |  FROM wc GROUP BY 1),
+       |gd AS (SELECT doc_id,
+       |    n_words BETWEEN 50 AND 100000 AS r1,
+       |    (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS r2,
+       |    5 * n_alpha >= 4 * n_words AS r3,
+       |    n_stop >= 2 AS r4,
+       |    5 * max_tf <= n_words AS r5
+       |  FROM per)""".stripMargin
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH ${QueriesText.wordsCte},
+       |$gopherDocCte,
+       |r AS (SELECT d.source, gd.r1, gd.r2, gd.r3, gd.r4, gd.r5
+       |  FROM gd JOIN documents d USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+       |  CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f_wordlen,
+       |  CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+       |  CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+       |  CAST(SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS f_dominance,
+       |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- nb_quality_filter: Naive-Bayes quality classifier audit ----
+
+  /** The fastText-style linear quality filter, trained closed-form:
+    * multinomial Naive Bayes with Laplace smoothing over word counts,
+    * labels from the doc-filter gate, then scored back over the
+    * training corpus (a resubstitution audit — the standard first
+    * sanity check before deploying a learned filter). Per-word
+    * log-odds and the class prior are each the difference of two
+    * DECIMAL(38,6)-quantized lns scaled to exact 1e-6-grid BIGINTs, so
+    * per-doc scores are exact integer sums (Σ tf·lo6 + prior6) —
+    * no order sensitivity. Reports the confusion matrix of
+    * sign(score) against the gate. Two keyed aggregates over one
+    * tokens scan; the model (vocab-bounded) broadcasts back.
+    */
+  def nbQualityFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    val sc = QueriesWave10.scoredDocs(spark, dir).select(col("doc_id"), col("kept"))
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val wcls = tf.join(sc, "doc_id").groupBy(col("w")).agg(
+      sum(when(col("kept"), col("tf")).otherwise(0L)).as("c1"),
+      sum(when(col("kept"), 0L).otherwise(col("tf"))).as("c0"))
+    val tot = wcls.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+      count(lit(1)).as("vocab"))
+    val dc = sc.agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("d0"))
+    val lo = wcls.crossJoin(broadcast(tot))
+      .select(col("w"),
+        ((log((col("c1") + 1).cast("double") / (col("t1") + col("vocab")).cast("double"))
+          .cast("decimal(38,6)") -
+          log((col("c0") + 1).cast("double") / (col("t0") + col("vocab")).cast("double"))
+            .cast("decimal(38,6)")) * lit(1000000)).cast("long").as("lo6"))
+    val prior = dc.select(
+      ((log((col("d1") + 1).cast("double")).cast("decimal(38,6)") -
+        log((col("d0") + 1).cast("double")).cast("decimal(38,6)")) * lit(1000000))
+        .cast("long").as("prior6"))
+    val score = tf.join(broadcast(lo), "w")
+      .groupBy(col("doc_id")).agg(sum(col("tf") * col("lo6")).as("wsum"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), (col("wsum") + col("prior6")).as("score6"))
+    score.join(sc, "doc_id")
+      .agg(
+        sum(when(col("kept") && col("score6") > 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("kept") && col("score6") > 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("kept") && col("score6") <= 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("kept") && col("score6") <= 0, 1L).otherwise(0L)).as("tn"))
+      .crossJoin(broadcast(tot.select(col("vocab"))))
+      .select(col("vocab"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"))
+  }
+
+  val nbQualityFilterSql: String =
+    s"""WITH ${QueriesWave10.scoredCteSql},
+       |tf AS MATERIALIZED (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1, 2),
+       |wcls AS MATERIALIZED (SELECT t.word,
+       |    CAST(SUM(CASE WHEN s.kept THEN t.tf ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN s.kept THEN 0 ELSE t.tf END) AS BIGINT) AS c0
+       |  FROM tf t JOIN scored s USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab FROM wcls),
+       |dc AS (SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS d0 FROM scored),
+       |lo AS (SELECT word,
+       |    CAST((CAST(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + vocab AS DOUBLE)) AS DECIMAL(38,6))
+       |      - CAST(ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + vocab AS DOUBLE)) AS DECIMAL(38,6)))
+       |      * 1000000 AS BIGINT) AS lo6
+       |  FROM wcls, tot),
+       |pr AS (SELECT CAST((CAST(ln(CAST(d1 + 1 AS DOUBLE)) AS DECIMAL(38,6))
+       |      - CAST(ln(CAST(d0 + 1 AS DOUBLE)) AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS prior6
+       |  FROM dc),
+       |sc AS (SELECT t.doc_id, pr.prior6 + CAST(SUM(t.tf * lo.lo6) AS BIGINT) AS score6
+       |  FROM tf t JOIN lo USING (word), pr GROUP BY 1, pr.prior6),
+       |ev AS (SELECT
+       |    CAST(SUM(CASE WHEN s.kept AND c.score6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN NOT s.kept AND c.score6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN s.kept AND c.score6 <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT s.kept AND c.score6 <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc c JOIN scored s USING (doc_id))
+       |SELECT vocab, tp, fp, fn, tn,
+       |  CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+       |  CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS precision,
+       |  CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS recall
+       |FROM ev, tot""".stripMargin
+
+  // ---- lid_estimate: local intrinsic dimensionality of the embeddings ----
+
+  val lidK = 5
+
+  /** Maximum-likelihood local intrinsic dimensionality (Levina–Bickel
+    * 2004 / Amsaleg 2015) per embedding-cloud region: for each vector,
+    * LID = −k / Σᵢ ln(dᵢ/d_k) over its k nearest cosine distances —
+    * the diagnostic that predicts how hard a region is for ANN indexes
+    * (high LID ⇒ hubness, poor recall). Neighbor search stays WITHIN
+    * a label partition (the knn_graph/IVF-list discipline, so the
+    * quadratic term is list-bounded, never corpus-bounded); distances
+    * are 1e-6-grid integers (zero-distance duplicates excluded — they
+    * carry no dimension information and would blow up the MLE); each
+    * ln is DECIMAL(38,6)-quantized so the per-point sum is exact.
+    * Points with all k neighbors at d_k (sum 0) are dropped on both
+    * engines. Reported per label: n_pts and the grid-exact
+    * mean/min/max LID.
+    */
+  def lidEstimateQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = QueriesWave6.knnQuantized(spark, dir)
+    val pairs = q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"),
+        col("nn").as("na"))
+      .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"),
+        col("nn").as("nb")), Seq("label"))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos",
+        expr("quantized_dot(qa, qb)").cast("double") /
+          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")))
+      .withColumn("d6", expr("CAST(round(1e6 * (1.0 - cos)) AS BIGINT)"))
+      .filter(col("d6") > 0)
+    val top = pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("va")).orderBy(col("d6"), col("vb"))))
+      .filter(col("rnk") <= lidK)
+      .withColumn("dk6", max(col("d6")).over(Window.partitionBy(col("va"))))
+    val per = top
+      .select(col("label"), col("va"),
+        log(col("d6").cast("double") / col("dk6").cast("double"))
+          .cast("decimal(38,6)").as("lr"))
+      .groupBy(col("label"), col("va"))
+      .agg(count(lit(1)).as("kc"), sum(col("lr")).cast("decimal(38,6)").as("s"))
+      .filter(col("kc") === lidK && col("s") < 0)
+      .select(col("label"),
+        expr(s"CAST(round(1e6 * (-$lidK.0 / CAST(s AS DOUBLE))) AS BIGINT)").as("lid6"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pts"),
+        (sum(col("lid6")).cast("double") / lit(1e6) / count(lit(1))).as("mean_lid"),
+        (min(col("lid6")).cast("double") / lit(1e6)).as("min_lid"),
+        (max(col("lid6")).cast("double") / lit(1e6)).as("max_lid"))
+      .orderBy(col("label"))
+  }
+
+  val lidEstimateSql: String =
+    s"""WITH q AS (SELECT vec_id, label,
+       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+       |pex AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, a.qv AS qa, b.qv AS qb,
+       |    unnest(range(1, len(a.qv) + 1)) AS i
+       |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id),
+       |dots AS MATERIALIZED (SELECT label, va, vb, CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
+       |  FROM pex GROUP BY 1, 2, 3),
+       |ds AS (SELECT d.label, d.va, d.vb,
+       |    CAST(round(1e6 * (1.0 - CAST(d.dot AS DOUBLE)
+       |      / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE)))) AS BIGINT) AS d6
+       |  FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb),
+       |top AS (SELECT label, va, d6,
+       |    MAX(d6) OVER (PARTITION BY va) AS dk6
+       |  FROM (SELECT label, va, vb, d6,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY d6, vb) AS rnk
+       |    FROM ds WHERE d6 > 0) WHERE rnk <= $lidK),
+       |per AS (SELECT label,
+       |    CAST(round(1e6 * (-$lidK.0 / CAST(s AS DOUBLE))) AS BIGINT) AS lid6
+       |  FROM (SELECT label, va, COUNT(*) AS kc,
+       |      CAST(SUM(CAST(ln(CAST(d6 AS DOUBLE) / CAST(dk6 AS DOUBLE)) AS DECIMAL(38,6)))
+       |        AS DECIMAL(38,6)) AS s
+       |    FROM top GROUP BY 1, 2)
+       |  WHERE kc = $lidK AND s < 0)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       |  CAST(SUM(lid6) AS DOUBLE) / 1e6 / COUNT(*) AS mean_lid,
+       |  CAST(MIN(lid6) AS DOUBLE) / 1e6 AS min_lid,
+       |  CAST(MAX(lid6) AS DOUBLE) / 1e6 AS max_lid
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- rrf_fusion: reciprocal-rank fusion of two retrieval legs ----
+
+  val rrfK = 60
+  val rrfDepth = 20
+  val rrfTopK = 10
+
+  /** Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009 —
+    * the standard fusion every hybrid lexical+X search stack runs):
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) over the BM25 leg and a
+    * log-free tf·(N/df) leg for the standing query terms, each cut to
+    * its top-20 by (score, doc_id). Ranks are assigned AFTER the
+    * TakeOrdered top-20 cut, so the only ranking windows run on
+    * constant ≤20-row frames (no global sort at any scale); the two
+    * 1/(60+r) terms are exact-rational doubles added in fixed order.
+    */
+  def rrfFusionQ(spark: SparkSession, dir: String): DataFrame = {
+    val a = QueriesAnalytics.bm25Scores(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(rrfDepth)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("ra"))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+      .filter(col("word").isin(QueriesAnalytics.searchTerms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = Tables(spark, dir, "documents").agg(count(lit(1)).as("nd"))
+    val b = tf.join(broadcast(df), "word").crossJoin(broadcast(nd))
+      .select(col("doc_id"), expr("(1048576 * tf * nd) div df").as("c20"))
+      .groupBy(col("doc_id")).agg(sum(col("c20")).as("s20"))
+      .orderBy(col("s20").desc, col("doc_id")).limit(rrfDepth)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("s20").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("ra").as("bm25_rank"), col("rb").as("tfidf_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("ra")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rb")).cast("double"), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(rrfTopK)
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH ${QueriesAnalytics.bm25ScoreCte},
+       |a AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS ra
+       |  FROM (SELECT doc_id, score FROM bscore ORDER BY score DESC, doc_id LIMIT $rrfDepth)),
+       |ndq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+       |ts AS (SELECT tf.doc_id, CAST(SUM((1048576 * tf.tf * nd) // df.df) AS BIGINT) AS s20
+       |  FROM tf JOIN df USING (word), ndq GROUP BY 1),
+       |b AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s20 DESC, doc_id) AS INT) AS rb
+       |  FROM (SELECT doc_id, s20 FROM ts ORDER BY s20 DESC, doc_id LIMIT $rrfDepth))
+       |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.ra AS bm25_rank, b.rb AS tfidf_rank,
+       |  COALESCE(1.0 / CAST($rrfK + a.ra AS DOUBLE), 0.0)
+       |    + COALESCE(1.0 / CAST($rrfK + b.rb AS DOUBLE), 0.0) AS rrf_score
+       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT $rrfTopK""".stripMargin
+
+  // ---- ccnet_bucket: per-language perplexity head/middle/tail split ----
+
+  /** The CCNet corpus split (Wenzek et al. 2020): within each
+    * language, documents are bucketed into head/middle/tail by the
+    * terciles of their LM perplexity (here the char-bigram NLL the
+    * corpus already scores) — the standard "keep head+middle, drop
+    * tail" curation lever. Tercile thresholds are EXACT nearest-rank
+    * order statistics per language via the bucket-locate plan (no
+    * per-language global sort); bucket assignment is a broadcast of
+    * the ≤|langs|·2 threshold rows; per-bucket means ride the 1e-6
+    * grid. At 100 TB: one nll scan + dictionary-sized threshold work.
+    */
+  def ccnetBucketQ(spark: SparkSession, dir: String): DataFrame = {
+    val dn = Memo(spark, dir, "wave24:ccnetNll")(
+      QueriesCorpus.lmPerplexityQ(spark, dir).select(col("doc_id"), col("nll"))
+        .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id"))
+    val th = graft.operators.Metrics
+      .quantilesNearestBucketed(dn, "lang", "nll", Seq(1.0 / 3, 2.0 / 3))
+      .groupBy(col("lang")).agg(
+        max(when(col("quantile") < 0.5, col("value"))).as("t33"),
+        max(when(col("quantile") > 0.5, col("value"))).as("t66"))
+    val tot = dn.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    dn.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("nll") <= col("t33"), "head")
+          .when(col("nll") <= col("t66"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(expr("CAST(round(1e6 * nll) AS BIGINT)")).cast("double") / lit(1e6) /
+          count(lit(1))).as("mean_nll"))
+      .join(broadcast(tot), "lang")
+      .withColumn("share", col("n_docs").cast("double") / col("n_lang").cast("double"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("share"), col("mean_nll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val ccnetBucketSql: String =
+    s"""WITH nl AS MATERIALIZED (
+       |  SELECT p.doc_id, p.nll, d.lang
+       |  FROM (${QueriesCorpus.lmPerplexitySql}) p JOIN documents d USING (doc_id)),
+       |ranked AS MATERIALIZED (SELECT lang, nll,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nll) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM nl),
+       |th AS (SELECT lang, MAX(CASE WHEN q < 0.5 THEN v END) AS t33,
+       |    MAX(CASE WHEN q > 0.5 THEN v END) AS t66
+       |  FROM (
+       |    SELECT lang, (1.0/3) AS q, nll AS v FROM ranked
+       |    WHERE rn = CAST(roundbankers((1.0/3) * (n - 1), 0) AS BIGINT) + 1
+       |    UNION ALL
+       |    SELECT lang, (2.0/3) AS q, nll AS v FROM ranked
+       |    WHERE rn = CAST(roundbankers((2.0/3) * (n - 1), 0) AS BIGINT) + 1
+       |  ) GROUP BY 1),
+       |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM nl GROUP BY 1),
+       |b AS (SELECT nl.lang,
+       |    CASE WHEN nll <= t33 THEN 'head' WHEN nll <= t66 THEN 'middle'
+       |         ELSE 'tail' END AS bucket, nll
+       |  FROM nl JOIN th USING (lang))
+       |SELECT b.lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(MIN(tot.n_lang) AS DOUBLE) AS share,
+       |  CAST(SUM(CAST(round(1e6 * nll) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS mean_nll
+       |FROM b JOIN tot USING (lang) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wavelet_est" -> (waveletEstQ _),
+    "cvm_test" -> (cvmTestQ _),
+    "eb_shrinkage" -> (ebShrinkageQ _),
+    "brier_decomp" -> (brierDecompQ _),
+    "pr_auc" -> (prAucQ _),
+    "mcnemar_gates" -> (mcnemarGatesQ _),
+    "gopher_rules" -> (gopherRulesQ _),
+    "nb_quality_filter" -> (nbQualityFilterQ _),
+    "lid_estimate" -> (lidEstimateQ _),
+    "rrf_fusion" -> (rrfFusionQ _),
+    "ccnet_bucket" -> (ccnetBucketQ _))
+
+  val oracleSql: Map[String, String] = Map(
+    "wavelet_est" -> waveletEstSql,
+    "cvm_test" -> cvmTestSql,
+    "eb_shrinkage" -> ebShrinkageSql,
+    "brier_decomp" -> brierDecompSql,
+    "pr_auc" -> prAucSql,
+    "mcnemar_gates" -> mcnemarGatesSql,
+    "gopher_rules" -> gopherRulesSql,
+    "nb_quality_filter" -> nbQualityFilterSql,
+    "lid_estimate" -> lidEstimateSql,
+    "rrf_fusion" -> rrfFusionSql,
+    "ccnet_bucket" -> ccnetBucketSql)
+}

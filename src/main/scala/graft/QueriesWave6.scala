@@ -401,12 +401,20 @@ object QueriesWave6 {
     * filter that kills hub artifacts). Emitted once per unordered pair
     * with the a→b orientation's cosine.
     */
-  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, qv, nn): 1e-6-quantized embedding vectors with
+    * their integer self-dots — the shared within-label neighbor frame
+    * (knn_graph here, lid_estimate in Wave 24).
+    */
+  private[graft] def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val q = Memo(spark, dir, "wave6:knnQ")(
+    Memo(spark, dir, "wave6:knnQ")(
       Tables(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"), graft.operators.Similarity.quantExpr.as("qv"))
         .withColumn("nn", expr("quantized_dot(qv, qv)")))
+  }
+
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = knnQuantized(spark, dir)
     val topk = q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
       .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"), col("nn").as("nb")),
         Seq("label"))

@@ -121,7 +121,12 @@ class EntrySpec extends SparkSpec {
       "deletion_vector_plan", "group_sequential", "jackknife_variance",
       "capture_recapture", "covariate_balance", "dedup_transitivity",
       "median_ci", "funnel_wilson_ci", "dedup_savings_sweep", "negbin_fit",
-      "fact_est", "fact_progressive", "nar_mlm_est", "nar_mlm_check")
+      "fact_est", "fact_progressive", "nar_mlm_est", "nar_mlm_check",
+      "wavelet_est", "cvm_test", "eb_shrinkage", "brier_decomp", "pr_auc",
+      "mcnemar_gates", "gopher_rules", "nb_quality_filter", "lid_estimate",
+      "rrf_fusion", "ccnet_bucket",
+      "ppr_scores", "permutation_test", "theil_u", "cochran_q", "fleiss_kappa",
+      "stratified_est", "token_budget_plan", "hoeffding_plan")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

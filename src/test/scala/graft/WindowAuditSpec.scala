@@ -57,7 +57,15 @@ class WindowAuditSpec extends SparkSpec {
     // K-row look frame: the interim monitor's cumulative window runs
     // over gstLooks rows (config-bounded), after the calendar-sliced
     // keyed aggregate
-    "group_sequential")
+    "group_sequential",
+    // ≤ #shuffle-partitions rows: cvm_test / pr_auc ride the shared
+    // exclusivePrefixSums offsets rollup (the ks_test plan)
+    "cvm_test", "pr_auc",
+    // constant frames: wavelet_est ranks the 31-coefficient synopsis;
+    // rrf_fusion ranks the two ≤20-row TakeOrdered leg cuts;
+    // token_budget_plan ranks remainders over the source-bounded
+    // apportionment frame
+    "wavelet_est", "rrf_fusion", "token_budget_plan")
 
   /** Entries allowed to show no unpartitioned window in the audited
     * plan: a registration staged before its query lands, or a
