@@ -16,7 +16,8 @@ object SparkEntry {
       QueriesWave14.queries ++ QueriesWave15.queries ++ QueriesWave16.queries ++
       QueriesWave17.queries ++ QueriesWave18.queries ++ QueriesWave19.queries ++
       QueriesWave20.queries ++ QueriesWave21.queries ++ QueriesWave22.queries ++
-      QueriesWave23.queries ++ QueriesWave24.queries ++ QueriesWave25.queries
+      QueriesWave23.queries ++ QueriesWave24.queries ++ QueriesWave25.queries ++
+      QueriesWave26.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       QueriesWave14.oracleSql ++ QueriesWave15.oracleSql ++ QueriesWave16.oracleSql ++
       QueriesWave17.oracleSql ++ QueriesWave18.oracleSql ++ QueriesWave19.oracleSql ++
       QueriesWave20.oracleSql ++ QueriesWave21.oracleSql ++ QueriesWave22.oracleSql ++
-      QueriesWave23.oracleSql ++ QueriesWave24.oracleSql ++ QueriesWave25.oracleSql
+      QueriesWave23.oracleSql ++ QueriesWave24.oracleSql ++ QueriesWave25.oracleSql ++
+      QueriesWave26.oracleSql
 }

@@ -126,7 +126,9 @@ class EntrySpec extends SparkSpec {
       "mcnemar_gates", "gopher_rules", "nb_quality_filter", "lid_estimate",
       "rrf_fusion", "ccnet_bucket",
       "ppr_scores", "permutation_test", "theil_u", "cochran_q", "fleiss_kappa",
-      "stratified_est", "token_budget_plan", "hoeffding_plan")
+      "stratified_est", "token_budget_plan", "hoeffding_plan",
+      "dp_join_enum", "em_mixture", "hard_negatives", "linear_attribution",
+      "dedup_saturation")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class Wave26Spec extends SparkSpec {
+
+  test("dp_join_enum: DP optimum never loses to the naive chain") {
+    val r = QueriesWave26.dpJoinEnumQ(spark, sf).collect().head
+    val (ord, best, naive) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+    // the naive schema order IS one of the enumerated left-deep plans
+    assert(best <= naive + 1e-9, s"DP best $best above naive $naive")
+    assert(r.getDouble(3) >= 1.0 - 1e-12)
+    val tables = ord.split('>')
+    assert(tables.length === 6 && tables.distinct.length === 6,
+      s"order must visit every table once: $ord")
+    assert(tables.toSet === Set("region", "nation", "customer",
+      "supplier", "orders", "lineitem"))
+    assert(best > 0.0)
+  }
+
+  test("em_mixture: a proper clamped two-component fit of event values") {
+    val r = QueriesWave26.emMixtureQ(spark, sf).collect().head
+    val (pi1, mu1, s1, mu2, s2) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(pi1 >= 0.001 && pi1 <= 0.999)
+    assert(s1 > 0.0 && s2 > 0.0, "variance floor keeps sigmas positive")
+    val mm = Tables(spark, sf, "events")
+      .agg(min(col("value")).cast("double"), max(col("value")).cast("double"))
+      .collect().head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    for (mu <- Seq(mu1, mu2))
+      assert(mu >= mn - 1e-6 && mu <= mx + 1e-6, s"mean $mu outside [$mn,$mx]")
+    // init splits at the 1/4 and 3/4 points; on this right-skewed data
+    // the components keep their order
+    assert(mu1 < mu2)
+  }
+
+  test("hard_negatives: per-label mining stats are internally consistent") {
+    val rows = QueriesWave26.hardNegativesQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, hn, marg, viol) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(n > 0)
+      assert(hn >= -1.0 - 1e-6 && hn <= 1.0 + 1e-6)
+      assert(viol >= 0 && viol <= n)
+      // margin <= (hardest-positive=1) - mean hard-neg, loose sanity
+      assert(marg <= 1.0 - hn + 1e-6)
+    }
+  }
+
+  test("linear_attribution: credits never exceed the attributed value") {
+    val rows = QueriesWave26.linearAttributionQ(spark, sf).collect()
+    for (r <- rows) {
+      val h = r.getInt(0)
+      assert(h >= 0 && h <= 23)
+      assert(r.getLong(1) > 0)
+    }
+    val credited = rows.map(_.getDouble(2)).sum
+    val totalPurchase = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).collect().head.getDouble(0)
+    // integer-div split drops sub-cent remainders: credits can only
+    // fall short of the purchase mass, never exceed it
+    assert(credited <= totalPurchase + 1e-6,
+      s"credited $credited above purchase total $totalPurchase")
+  }
+
+  test("dedup_saturation: deciles tile the corpus, novelty is cumulative") {
+    val rows = QueriesWave26.dedupSaturationQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === nDocs)
+    for ((_, n, nNew, _) <- rows) assert(nNew >= 0 && nNew <= n)
+    for (Seq(a, b) <- rows.toSeq.sliding(2))
+      assert(b._4 === a._4 + b._3, "cum_unique must accumulate n_new")
+    assert(rows.last._4 <= nDocs)
+  }
+}

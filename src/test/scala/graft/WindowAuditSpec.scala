@@ -64,8 +64,9 @@ class WindowAuditSpec extends SparkSpec {
     // constant frames: wavelet_est ranks the 31-coefficient synopsis;
     // rrf_fusion ranks the two ≤20-row TakeOrdered leg cuts;
     // token_budget_plan ranks remainders over the source-bounded
-    // apportionment frame
-    "wavelet_est", "rrf_fusion", "token_budget_plan")
+    // apportionment frame; dedup_saturation cumulates over its 10-row
+    // decile rollup (plus the rankedNtile offsets rollup)
+    "wavelet_est", "rrf_fusion", "token_budget_plan", "dedup_saturation")
 
   /** Entries allowed to show no unpartitioned window in the audited
     * plan: a registration staged before its query lands, or a
