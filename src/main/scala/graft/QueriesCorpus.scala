@@ -749,13 +749,20 @@ object QueriesCorpus {
     * log-prob is quantized to DECIMAL(38,6), so per-doc sums are exact
     * and engine-portable; the only double division is the final mean.
     */
-  def lmPerplexityQ(spark: SparkSession, dir: String): DataFrame = {
-    val big = Memo(spark, dir, "corpus:lmBigrams")(
+  /** (doc_id, bg) char-bigram stream of the corpus — the shared LM
+    * training/eval frame (lm_perplexity here, Wave 27's held-out
+    * generalization audit).
+    */
+  private[graft] def lmBigrams(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "corpus:lmBigrams")(
       Tables(spark, dir, "documents")
         .select(col("doc_id"), lower(col("text")).as("t"))
         .filter(length(col("t")) >= 2)
         .select(col("doc_id"), explode(
           expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg")))
+
+  def lmPerplexityQ(spark: SparkSession, dir: String): DataFrame = {
+    val big = lmBigrams(spark, dir)
     val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val cc = bc.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum(col("c2")).as("c1n"))
     val lp = bc.join(cc, substring(col("bg"), 1, 1) === col("c1"))

@@ -128,7 +128,8 @@ class EntrySpec extends SparkSpec {
       "ppr_scores", "permutation_test", "theil_u", "cochran_q", "fleiss_kappa",
       "stratified_est", "token_budget_plan", "hoeffding_plan",
       "dp_join_enum", "em_mixture", "hard_negatives", "linear_attribution",
-      "dedup_saturation")
+      "dedup_saturation",
+      "heldout_perplexity", "topk_rbo", "welch_anova")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -66,7 +66,9 @@ class WindowAuditSpec extends SparkSpec {
     // token_budget_plan ranks remainders over the source-bounded
     // apportionment frame; dedup_saturation cumulates over its 10-row
     // decile rollup (plus the rankedNtile offsets rollup)
-    "wavelet_est", "rrf_fusion", "token_budget_plan", "dedup_saturation")
+    "wavelet_est", "rrf_fusion", "token_budget_plan", "dedup_saturation",
+    // topk_rbo ranks the two ≤10-row TakeOrdered half cuts
+    "topk_rbo")
 
   /** Entries allowed to show no unpartitioned window in the audited
     * plan: a registration staged before its query lands, or a
