@@ -535,18 +535,30 @@ object QueriesAnalytics {
     * can't perturb them. Postings (term, doc, tf) and doc lengths come
     * out of one tokens scan.
     */
-  /** Full BM25 (doc_id, score) frame for the standing query terms —
-    * shared by the top-k ranker here and Wave 24's RRF fusion.
+  /** Per-(doc, term) postings of the standing query terms — the
+    * shared retrieval frame (BM25 here, the tf·(N/df) leg of Wave
+    * 24's RRF fusion), memoized so one session tokenizes once.
     */
-  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def termTf(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "analytics:termTf")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+        .filter(col("word").isin(searchTerms: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+
+  /** Full BM25 (doc_id, score) frame for the standing query terms —
+    * shared by the top-k ranker here and Wave 24's RRF fusion;
+    * memoized like every other cross-query frame.
+    */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "analytics:bm25Scores") {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = lens.agg(
       count(lit(1)).cast("double").as("__nd"),
       sum(col("dl")).cast("double").as("__sl"))
-    val tf = toks.filter(col("word").isin(searchTerms: _*))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = termTf(spark, dir)
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(df), "word")

@@ -461,21 +461,39 @@ object QueriesWave24 {
     * audit is grid-free portable. One tokens scan, two keyed
     * aggregates, a source-bounded report.
     */
+  /** (doc_id, w, cnt) word counts of the corpus — the shared
+    * token-frequency frame (Gopher rules and the NB filter both
+    * consume it; one token explosion per session).
+    */
+  private[graft] def docWordCounts(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave24:wc")(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
+
   /** Per-doc Gopher rule flags (doc_id, r1..r5) — the audit's row
     * frame, also the third "rater" in Wave 25's gate-agreement tests.
     */
   private[graft] def gopherPerDoc(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave24:gopherDoc") {
-      val wc = Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      wc.groupBy(col("doc_id")).agg(
+      val per = docWordCounts(spark, dir).groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_words"),
         sum(col("cnt") * length(col("w"))).as("sum_len"),
         sum(when(col("w").rlike("[a-z]"), col("cnt")).otherwise(0L)).as("n_alpha"),
         sum(when(col("w").isin(graft.operators.TextAnalysis.enStopwords: _*), 1L)
           .otherwise(0L)).as("n_stop"),
         max(col("cnt")).as("max_tf"))
+      // LEFT from documents: a doc that tokenizes to zero words still
+      // gets audited (it fails the length and stopword rules) instead
+      // of silently vanishing from every downstream gate frame
+      Tables(spark, dir, "documents").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+          coalesce(col("n_alpha"), lit(0L)).as("n_alpha"),
+          coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+          coalesce(col("max_tf"), lit(0L)).as("max_tf"))
         .withColumn("r1", col("n_words").between(50L, 100000L))
         .withColumn("r2",
           col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10)
@@ -522,7 +540,13 @@ object QueriesWave24 {
        |    5 * n_alpha >= 4 * n_words AS r3,
        |    n_stop >= 2 AS r4,
        |    5 * max_tf <= n_words AS r5
-       |  FROM per)""".stripMargin
+       |  FROM (SELECT d.doc_id,
+       |      COALESCE(per.n_words, 0) AS n_words,
+       |      COALESCE(per.sum_len, 0) AS sum_len,
+       |      COALESCE(per.n_alpha, 0) AS n_alpha,
+       |      COALESCE(per.n_stop, 0) AS n_stop,
+       |      COALESCE(per.max_tf, 0) AS max_tf
+       |    FROM documents d LEFT JOIN per USING (doc_id)))""".stripMargin
   }
 
   val gopherRulesSql: String =
@@ -557,9 +581,7 @@ object QueriesWave24 {
     */
   def nbQualityFilterQ(spark: SparkSession, dir: String): DataFrame = {
     val sc = QueriesWave10.scoredDocs(spark, dir).select(col("doc_id"), col("kept"))
-    val tf = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tf = docWordCounts(spark, dir).withColumnRenamed("cnt", "tf")
     val wcls = tf.join(sc, "doc_id").groupBy(col("w")).agg(
       sum(when(col("kept"), col("tf")).otherwise(0L)).as("c1"),
       sum(when(col("kept"), 0L).otherwise(col("tf"))).as("c0"))
@@ -687,11 +709,7 @@ object QueriesWave24 {
   }
 
   val lidEstimateSql: String =
-    s"""WITH q AS (SELECT vec_id, label,
-       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
-       |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+    s"""WITH ${QueriesWave6.knnQuantCte},
        |pex AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, a.qv AS qa, b.qv AS qb,
        |    unnest(range(1, len(a.qv) + 1)) AS i
        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id),
@@ -740,10 +758,7 @@ object QueriesWave24 {
       .withColumn("ra", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("ra"))
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
-      .filter(col("word").isin(QueriesAnalytics.searchTerms: _*))
-    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = QueriesAnalytics.termTf(spark, dir)
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = Tables(spark, dir, "documents").agg(count(lit(1)).as("nd"))
     val b = tf.join(broadcast(df), "word").crossJoin(broadcast(nd))

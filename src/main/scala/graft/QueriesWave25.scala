@@ -385,16 +385,17 @@ object QueriesWave25 {
       .withColumn("s2h",
         (dec(col("mh")) * col("svv") - col("sv") * col("sv")).cast("double") /
           (col("mh").cast("double") * (col("mh") - 1).cast("double") * lit(1e12)))
-      .select(col("n_full"), col("mh"), col("nh"),
+      .select(col("n_full"), col("mh"),
         floor(lit(1e9) * col("wh") * col("mean_h")).as("m9"),
         floor(lit(1e12) * col("wh") * col("wh") * col("s2h") /
           col("mh").cast("double")).as("v12"))
     val est = terms.groupBy(col("n_full"))
-      .agg(sum(col("nh")).as("n_strat"), sum(col("mh")).as("n_sample"),
+      .agg(sum(col("mh")).as("n_sample"),
         sum(col("m9")).as("sm9"), sum(col("v12")).as("sv12"))
-    val truth = e.agg(
-      (sum(dec(col("v6"))).cast("double") / (count(lit(1)).cast("double") * lit(1e6)))
-        .as("true_mean"))
+    // truth from the stratum frame's exact sums — no third data scan
+    val truth = full.agg(
+      (sum(col("svf")).cast("double") /
+        (sum(col("nh")).cast("double") * lit(1e6))).as("true_mean"))
     est.crossJoin(truth)
       .select(col("n_full"), col("n_sample"),
         (col("sm9").cast("double") / lit(1e9)).as("est_mean"),
@@ -417,10 +418,10 @@ object QueriesWave25 {
        |    AS BIGINT) % $stratRate = 0
        |  GROUP BY 1),
        |nf AS (SELECT CAST(SUM(nh) AS BIGINT) AS n_full FROM full_h),
-       |terms AS (SELECT n_full, mh, nh,
+       |terms AS (SELECT n_full, mh,
        |    CAST(FLOOR(1e9 * wh * mean_h) AS BIGINT) AS m9,
        |    CAST(FLOOR(1e12 * wh * wh * s2h / CAST(mh AS DOUBLE)) AS BIGINT) AS v12
-       |  FROM (SELECT nf.n_full, f.nh, s.mh,
+       |  FROM (SELECT nf.n_full, s.mh,
        |      CAST(f.nh AS DOUBLE) / CAST(nf.n_full AS DOUBLE) AS wh,
        |      CAST(s.sv AS DOUBLE) / (CAST(s.mh AS DOUBLE) * 1e6) AS mean_h,
        |      CAST(CAST(s.mh AS HUGEINT) * s.svv - s.sv * s.sv AS DOUBLE)
@@ -430,8 +431,8 @@ object QueriesWave25 {
        |est AS (SELECT n_full, CAST(SUM(mh) AS BIGINT) AS n_sample,
        |    CAST(SUM(m9) AS BIGINT) AS sm9, CAST(SUM(v12) AS BIGINT) AS sv12
        |  FROM terms GROUP BY 1),
-       |tm AS (SELECT CAST(SUM(CAST(v6 AS HUGEINT)) AS DOUBLE)
-       |    / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS true_mean FROM e)
+       |tm AS (SELECT CAST(SUM(svf) AS DOUBLE)
+       |    / (CAST(SUM(nh) AS DOUBLE) * 1e6) AS true_mean FROM full_h)
        |SELECT n_full, n_sample,
        |  CAST(sm9 AS DOUBLE) / 1e9 AS est_mean, true_mean,
        |  sqrt(CAST(sv12 AS DOUBLE) / 1e12) AS se,

@@ -358,11 +358,7 @@ object QueriesWave26 {
   }
 
   val hardNegativesSql: String =
-    s"""WITH q AS (SELECT vec_id, label,
-       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
-       |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+    s"""WITH ${QueriesWave6.knnQuantCte},
        |anch AS (SELECT * FROM q
        |  WHERE CAST(('0x' || substr(md5('hn:' || CAST(vec_id AS VARCHAR)), 1, 13))
        |    AS BIGINT) % $hnRate = 0),
@@ -395,8 +391,9 @@ object QueriesWave26 {
     * everything): each purchase's value splits equally across ALL of the
     * user's clicks in the prior hour, credits aggregated by
     * click hour-of-day. The per-(purchase, click) credit is the exact
-    * integer (1e6·value) div n_clicks — deterministic rounding, sums
-    * exact, the sub-cent remainder documented as dropped. One
+    * integer floor((1e6·value)/n_clicks) — floor on BOTH engines (not
+    * `div`/`//`, whose truncate-vs-floor semantics diverge on negative
+    * refund rows), sums exact, the sub-cent remainder dropped. One
     * user-keyed interval self-join (the `interval_join` shape), two
     * keyed aggregates; the report frame is 24 rows.
     */
@@ -413,7 +410,11 @@ object QueriesWave26 {
       .filter(col("cus") <= col("pus") && col("cus") > col("pus") - laWindowUs)
     val counted = touched
       .withColumn("n_clicks", count(lit(1)).over(Window.partitionBy(col("p_id"))))
-      .select(col("click_hour"), expr("v6 div n_clicks").as("credit6"))
+      // FLOOR division on both engines (Spark `div` truncates toward
+      // zero, DuckDB `//` floors — they diverge on negative refunds;
+      // |v6| << 2^53 so the double path is the exact floor)
+      .select(col("click_hour"),
+        expr("CAST(FLOOR(CAST(v6 AS DOUBLE) / n_clicks) AS BIGINT)").as("credit6"))
     counted.groupBy(col("click_hour"))
       .agg(count(lit(1)).as("n_credits"),
         (sum(col("credit6")).cast("double") / lit(1e6)).as("credited_value"))
@@ -431,7 +432,7 @@ object QueriesWave26 {
        |  FROM purch p JOIN clicks c ON p.user_id = c.user_id
        |  WHERE c.cus <= p.pus AND c.cus > p.pus - $laWindowUs),
        |counted AS (SELECT click_hour,
-       |    v6 // (COUNT(*) OVER (PARTITION BY p_id)) AS credit6
+       |    CAST(FLOOR(CAST(v6 AS DOUBLE) / (COUNT(*) OVER (PARTITION BY p_id))) AS BIGINT) AS credit6
        |  FROM touched)
        |SELECT CAST(click_hour AS INT) AS click_hour,
        |  CAST(COUNT(*) AS BIGINT) AS n_credits,

@@ -434,12 +434,20 @@ object QueriesWave6 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Oracle twin of [[knnQuantized]]: `q` (1e-6-quantized vectors) +
+    * `ex`/`norms` (integer self-dots) — the one place the
+    * quantization grid is written on the SQL side (lid_estimate and
+    * hard_negatives reuse it verbatim).
+    */
+  private[graft] val knnQuantCte: String =
+    """q AS (SELECT vec_id, label,
+      |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+      |norms AS MATERIALIZED (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1)""".stripMargin
+
   val knnGraphSql: String =
-    s"""WITH q AS (SELECT vec_id, label,
-       |    list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |ex AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
-       |norms AS (SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nn FROM ex GROUP BY 1),
+    s"""WITH $knnQuantCte,
        |pex AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, a.qv AS qa, b.qv AS qb,
        |    unnest(range(1, len(a.qv) + 1)) AS i
        |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id != b.vec_id),

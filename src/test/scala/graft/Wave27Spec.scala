@@ -28,8 +28,9 @@ class Wave27Spec extends SparkSpec {
     val (ov, rbo) = (r.getLong(1), r.getDouble(2))
     assert(ov >= 0 && ov <= QueriesWave27.rboK)
     assert(rbo >= 0.0 && rbo <= 1.0 + 1e-12)
-    // zero overlap at every depth forces rbo to exactly zero
-    if (ov === 0L) assert(rbo <= QueriesWave27.rboK.toDouble) // rbo from shallower depths only
+    // no common member in the two top-k lists => X_d = 0 at every
+    // depth => rbo is exactly zero
+    if (ov == 0L) assert(rbo === 0.0)
   }
 
   test("welch_anova: F and the Welch-Satterthwaite dfs are coherent") {
