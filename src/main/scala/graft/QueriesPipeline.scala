@@ -68,16 +68,28 @@ object QueriesPipeline {
     * aggregate is tiny; the global centroid derives from the per-label
     * sums, never a second data pass.
     */
-  def centroidDriftQ(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables(spark, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .select(col("label"), col("pos").as("i"),
-        expr("CAST(floor(CAST(col AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
-    // Memoized: the (label, dim) sums feed both the per-label leg and the
-    // derived global centroid — one embeddings scan, not two.
-    val per = Memo(spark, dir, "pipeline:centroidSums")(
-      q.groupBy(col("label"), col("i"))
+  /** (label, i, s, n) per-dimension quantized sums — one embeddings
+    * scan feeding the drift leg, the derived global centroid, and
+    * Wave 28's per-vector outlier distances.
+    */
+  private[graft] def centroidSums(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "pipeline:centroidSums")(
+      Tables(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("i"),
+          expr("CAST(floor(CAST(col AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("qv"))
+        .groupBy(col("label"), col("i"))
         .agg(sum(col("qv")).as("s"), count(lit(1)).as("n")))
+
+  /** Sign-split integer division c = sign(a)·(|a| div b) — shared by
+    * the centroid legs (identical truncation on both engines).
+    */
+  private[graft] def signDivCol(a: Column, b: Column): Column =
+    (when(a < 0, lit(-1L)).otherwise(lit(1L))) *
+      expr(s"CAST(abs(${a.toString}) DIV ${b.toString} AS BIGINT)")
+
+  def centroidDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val per = centroidSums(spark, dir)
     val glob = per.groupBy(col("i"))
       .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
     per.join(broadcast(glob), Seq("i"))

@@ -129,7 +129,8 @@ class EntrySpec extends SparkSpec {
       "stratified_est", "token_budget_plan", "hoeffding_plan",
       "dp_join_enum", "em_mixture", "hard_negatives", "linear_attribution",
       "dedup_saturation",
-      "heldout_perplexity", "topk_rbo", "welch_anova")
+      "heldout_perplexity", "topk_rbo", "welch_anova",
+      "bloom_fpp_plan", "cluster_purity", "embed_outliers")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
