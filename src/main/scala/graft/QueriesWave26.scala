@@ -275,7 +275,10 @@ object QueriesWave26 {
           emSums("DECIMAL(38,0)").tail.map { case (n, e) => expr(e).as(n) }: _*)
         .selectExpr(emParamExprs: _*)
     }
-    p.crossJoin(broadcast(st.select(col("n"))))
+    // the fitted parameters are a deterministic trained artifact —
+    // memoized like every model frame, so a session fits once
+    Memo(spark, dir, "wave26:emFit")(p)
+      .crossJoin(broadcast(st.select(col("n"))))
       .selectExpr("n", "pi1", "mu1", "sqrt(v1) AS sigma1", "mu2",
         "sqrt(v2) AS sigma2")
   }
