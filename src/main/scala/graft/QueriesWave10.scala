@@ -1140,11 +1140,12 @@ object QueriesWave10 {
       .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
   }
 
-  /** Oracle twin of [[scoredDocs]] — `w` + `scored` CTE bodies. */
-  private[graft] val scoredCteSql: String = {
+  /** The `scored` CTE body alone (assumes a `w` words CTE is already
+    * in scope — for composition with chains that bring their own).
+    */
+  private[graft] val scoredOnlyCteSql: String = {
     import operators.TextAnalysis.{emailPat, phonePat}
-    s"""${QueriesText.wordsCte},
-       |scored AS (
+    s"""scored AS (
        |  SELECT w.doc_id,
        |    CAST(round(1e6 * (${QueriesText.scoreSqlExpr})) AS BIGINT) AS s6,
        |    (len(ws) >= 30 AND (${QueriesText.stopRatioSqlExpr}) >= 0.02
@@ -1153,6 +1154,11 @@ object QueriesWave10 {
        |       + len(regexp_extract_all(d.text, '$phonePat'))) = 0) AS kept
        |  FROM w JOIN documents d USING (doc_id))""".stripMargin
   }
+
+  /** Oracle twin of [[scoredDocs]] — `w` + `scored` CTE bodies. */
+  private[graft] val scoredCteSql: String =
+    s"""${QueriesText.wordsCte},
+       |$scoredOnlyCteSql""".stripMargin
 
   val aucRocSql: String = {
     val mrSub =

@@ -225,7 +225,7 @@ object QueriesWave26 {
   /** (b, cnt, x6): the 256-bin equi-width histogram of event value —
     * the one data-scale aggregate the EM iterates over.
     */
-  private def emHist(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def emHist(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave26:emHist") {
       val st = Tables(spark, dir, "events")
         .agg(min(col("value")).cast("double").as("mn"),
@@ -258,6 +258,19 @@ object QueriesWave26 {
   def emMixtureQ(spark: SparkSession, dir: String): DataFrame = {
     val bins = emHist(spark, dir)
     val st = bins.groupBy(col("mn"), col("mx")).agg(sum(col("cnt")).as("n"))
+    emFitted(spark, dir)
+      .crossJoin(broadcast(st.select(col("n"))))
+      .selectExpr("n", "pi1", "mu1", "sqrt(v1) AS sigma1", "mu2",
+        "sqrt(v2) AS sigma2")
+  }
+
+  /** The memoized fitted mixture parameters (mn, mx, pi1, mu1, v1,
+    * mu2, v2) — the trained artifact `em_mixture` reports and Wave
+    * 29's goodness-of-fit consumes.
+    */
+  private[graft] def emFitted(spark: SparkSession, dir: String): DataFrame = {
+    val bins = emHist(spark, dir)
+    val st = bins.groupBy(col("mn"), col("mx")).agg(sum(col("cnt")).as("n"))
     var p = st.selectExpr("mn", "mx",
       "0.5 AS pi1",
       "mn + (mx - mn) / 4.0 AS mu1",
@@ -278,12 +291,26 @@ object QueriesWave26 {
     // the fitted parameters are a deterministic trained artifact —
     // memoized like every model frame, so a session fits once
     Memo(spark, dir, "wave26:emFit")(p)
-      .crossJoin(broadcast(st.select(col("n"))))
-      .selectExpr("n", "pi1", "mu1", "sqrt(v1) AS sigma1", "mu2",
-        "sqrt(v2) AS sigma2")
   }
 
-  val emMixtureSql: String = {
+  /** Shared oracle CTEs `st` (min/max/count) and `bins` (the 256-bin
+    * histogram) — used by em_mixture and Wave 29's goodness-of-fit.
+    */
+  private[graft] val emBinsCte: String =
+    s"""st AS MATERIALIZED (SELECT CAST(MIN(value) AS DOUBLE) AS mn,
+       |    CAST(MAX(value) AS DOUBLE) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events),
+       |bins AS MATERIALIZED (SELECT b, cnt,
+       |    CAST(round(1e6 * (mn + (CAST(b AS DOUBLE) + 0.5) * ((mx - mn) / $emBins.0))) AS BIGINT) AS x6
+       |  FROM (SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - mn) * $emBins.0
+       |        / (mx - mn)) AS BIGINT), ${emBins - 1}) AS b,
+       |      CAST(COUNT(*) AS BIGINT) AS cnt
+       |    FROM events, st GROUP BY 1), st)""".stripMargin
+
+  /** The em0..emN iteration CTE chain (expects `st`/`bins` in scope) —
+    * shared by em_mixture's oracle and Wave 29's goodness-of-fit.
+    */
+  private[graft] val emChainCte: String = {
     val iters = (1 to emIters).map { k =>
       s"""em$k AS (
          |  SELECT ${emParamExprs.mkString(",\n    ")}
@@ -295,25 +322,20 @@ object QueriesWave26 {
          |      FROM bins b, em${k - 1} p)
          |    GROUP BY 1, 2, 3, 4, 5, 6, 7))""".stripMargin
     }
-    s"""WITH st AS MATERIALIZED (SELECT CAST(MIN(value) AS DOUBLE) AS mn,
-       |    CAST(MAX(value) AS DOUBLE) AS mx, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM events),
-       |bins AS MATERIALIZED (SELECT b, cnt,
-       |    CAST(round(1e6 * (mn + (CAST(b AS DOUBLE) + 0.5) * ((mx - mn) / $emBins.0))) AS BIGINT) AS x6
-       |  FROM (SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - mn) * $emBins.0
-       |        / (mx - mn)) AS BIGINT), ${emBins - 1}) AS b,
-       |      CAST(COUNT(*) AS BIGINT) AS cnt
-       |    FROM events, st GROUP BY 1), st),
-       |em0 AS (SELECT mn, mx, 0.5 AS pi1,
+    s"""em0 AS (SELECT mn, mx, 0.5 AS pi1,
        |    mn + (mx - mn) / 4.0 AS mu1,
        |    ((mx - mn) / 4.0) * ((mx - mn) / 4.0) AS v1,
        |    mn + (mx - mn) * 3.0 / 4.0 AS mu2,
        |    ((mx - mn) / 4.0) * ((mx - mn) / 4.0) AS v2
        |  FROM st),
-       |${iters.mkString(",\n")}
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
+  val emMixtureSql: String =
+    s"""WITH $emBinsCte,
+       |$emChainCte
        |SELECT st.n, pi1, mu1, sqrt(v1) AS sigma1, mu2, sqrt(v2) AS sigma2
        |FROM em$emIters, st""".stripMargin
-  }
 
   // ---- hard_negatives: contrastive triplet mining over embeddings ----
 

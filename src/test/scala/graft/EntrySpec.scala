@@ -130,7 +130,8 @@ class EntrySpec extends SparkSpec {
       "dp_join_enum", "em_mixture", "hard_negatives", "linear_attribution",
       "dedup_saturation",
       "heldout_perplexity", "topk_rbo", "welch_anova",
-      "bloom_fpp_plan", "cluster_purity", "embed_outliers")
+      "bloom_fpp_plan", "cluster_purity", "embed_outliers",
+      "mixture_gof", "dup_quality_or")
     assert(SparkEntry.queries.keySet == expected)
   }
 }
