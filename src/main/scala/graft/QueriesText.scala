@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Multimodal, Similarity, TextAnalysis, TextOps}
@@ -1451,42 +1451,125 @@ object QueriesText {
   // matrix, making "bounded" levenshtein no cheaper than full.
   val fuzzyMaxDist = 8
 
-  /** Length-bucket width for fuzzy-match blocking. Any pair within edit
-    * distance τ has prefix lengths within τ of each other, so with
-    * W > τ the pair's buckets differ by at most 1 — joining each left
-    * row into its own bucket and both neighbors loses no qualifying
-    * pair. W = 2τ keeps replication at 3× while halving block sizes on
-    * length-diverse corpora.
+  /** Count-filter strength of the segment blocking: partition into
+    * τ + m segments and demand ≥ m distinct matched segments. m > 1 is
+    * what keeps the scheme selective on LOW-ENTROPY corpora (a small
+    * vocabulary makes any single bounded-length key collide at a
+    * constant per-pair rate; requiring m independent segment hits
+    * drives that rate down geometrically). m = 3 measured on the test
+    * corpus: ~50× fewer candidates than per-source all-pairs at
+    * sf0.1, at ~1.5× the (cheap, tiny-row) segment-join volume of
+    * m = 1. On natural-vocabulary corpora a smaller m (longer, rarer
+    * segments) is the better dial.
     */
-  val fuzzyLenBucket = 2 * fuzzyMaxDist
+  val fuzzyReqMatches = 3
 
-  /** Candidate pairs for fuzzy matching: blocked by (source,
-    * length-bucket). The left side replicates into its bucket ± 1 so a
-    * qualifying pair straddling a bucket boundary is still generated
-    * (exactly once — the right side sits in a single bucket). Block
-    * sizes are bounded by source × W-length-band population instead of
-    * the whole source, so candidate volume is O(Σ block²) with blocks
-    * that no longer grow with corpus-wide length diversity.
+  /** The fixed (start, len) partition of the cap-length prefix into
+    * τ + m segments (lengths differ by at most 1): with ≤ τ edits and
+    * each edit touching at most one segment, at least m segments of
+    * any qualifying partner survive every edit untouched.
+    */
+  private[graft] val fuzzySegs: Seq[(Int, Int, Int)] = {
+    val nSeg = fuzzyMaxDist + fuzzyReqMatches
+    val base = fuzzyPrefixLen / nSeg
+    val rem = fuzzyPrefixLen % nSeg
+    val lens = Seq.tabulate(nSeg)(i => if (i < rem) base + 1 else base)
+    lens.scanLeft(1)(_ + _).zip(lens).zipWithIndex.map {
+      case ((st, ln), i) => (i, st, ln)
+    }
+  }
+
+  /** Candidate pairs for fuzzy matching: CONTENT blocking on exact
+    * prefix segments (the PassJoin / pigeonhole discipline — Li, Deng,
+    * Feng, "Pass-Join", VLDB 2011 — strengthened to a count filter).
+    * Partition the higher-id string b into τ + m fixed segments
+    * ([[fuzzySegs]]); each of the ≤ τ edits of a qualifying pair
+    * destroys at most one segment, so ≥ m segments of b survive
+    * INTACT, and each intact segment appears in a as a contiguous
+    * substring whose start is shifted by the net indel balance before
+    * it. The index side emits b's segment keys; the probe side emits
+    * a's substrings at every admissible shifted position (plus the
+    * truncated/empty variants a shorter-than-cap partner could
+    * produce, gated on the |len| ≤ τ band); candidates are the
+    * (source, segment, content) equi-join rows that survive the exact
+    * position window — splitting the optimal alignment at the intact
+    * segment gives ed ≥ |shift| + |Δlen − shift|, so any row with
+    * |shift| + |Δlen − shift| > τ cannot come from an intact segment —
+    * then a per-pair HAVING of ≥ m distinct matched segments. Join
+    * volume is bounded by SEGMENT-CONTENT collisions (tiny rows,
+    * keyed shuffle); the verify set after the count filter is ~50×
+    * under per-source all-pairs on the test corpus
+    * (PairGrowthAuditSpec measures selectivity across scale factors);
+    * the emitted pair set provably contains every dist ≤ τ pair.
     */
   def fuzzyCandidates(p: DataFrame): DataFrame = {
-    val bkt = floor(length(col("pre")) / fuzzyLenBucket)
-    val a = p
+    val spark = p.sparkSession
+    import spark.implicits._
+    val tau = fuzzyMaxDist
+    // probe-side key specs (seg, segment start, emit position, emit
+    // length, is-full-length) — a few hundred constant rows broadcast
+    // onto the corpus; gates that depend on the row's own prefix
+    // length are WHERE clauses after the cross join, so the hot
+    // projection is one small codegen'd expression instead of an
+    // unrolled per-spec WHEN forest
+    val probeSpecs = fuzzySegs.flatMap { case (i, st, ln) =>
+      val shifted = for {
+        shift <- -tau to tau
+        pos = st + shift
+        if pos >= 1
+        l <- 1 to ln
+      } yield (i, st, pos, l, l == ln)
+      // the empty key: an empty-segment partner (len_b < st) — emit at
+      // the nominal position; the window filter reduces to |Δlen| ≤ τ
+      shifted :+ ((i, st, st, 0, false))
+    }.toDF("seg", "bst", "pos", "l", "full")
+    val lenA = length(col("pre"))
+    // index role (the pair's HIGHER doc_id): the τ+m segments verbatim,
+    // naturally truncated/empty when the prefix is short
+    val idxKeys = fuzzySegs.map { case (i, st, ln) =>
+      struct(lit(i).as("seg"), lit(st).as("bst"),
+        substring(col("pre"), st, ln).as("key"))
+    }
+    val b = p.select(col("source"), col("doc_id").as("doc_b"),
+        col("pre").as("pb"), explode(array(idxKeys: _*)).as("k"))
+      .select(col("source"), col("doc_b"), col("pb"),
+        col("k.seg").as("seg"), col("k.bst").as("bst"), col("k.key").as("key"))
+    // probe role (LOWER doc_id): for each segment, its content at every
+    // admissible shifted position — full-length always; truncated
+    // lengths ℓ only where a partner of length st+ℓ−1 is inside the
+    // ±τ length band; the empty key only where an empty-segment
+    // partner is inside the band
+    val a = p.crossJoin(broadcast(probeSpecs))
+      .filter(
+        when(col("l") === 0, lenA <= col("bst") - 1 + tau)
+          .otherwise(
+            (col("pos") + col("l") - 1 <= lenA) &&
+              when(col("full"), lenA + tau >= col("bst") + col("l") - 1)
+                .otherwise(abs(col("bst") + col("l") - 1 - lenA) <= tau)))
       .select(col("source"), col("doc_id").as("doc_a"), col("pre").as("pa"),
-        explode(array(bkt - 1, bkt, bkt + 1)).as("bkt"))
-    val b = p.select(col("source"), col("doc_id").as("doc_b"), col("pre").as("pb"),
-      bkt.as("bkt"))
-    a.join(b, Seq("source", "bkt"))
+        col("seg"), col("pos"),
+        expr("substring(pre, pos, l)").as("key"))
+    val shift = col("pos") - col("bst")
+    val dlen = length(col("pa")) - length(col("pb"))
+    a.join(b, Seq("source", "seg", "key"))
       .filter(col("doc_a") < col("doc_b"))
+      // exact alignment-split window: ed ≥ |shift| + |Δlen − shift|
+      .filter(abs(shift) + abs(dlen - shift) <= tau)
+      .groupBy(col("source"), col("doc_a"), col("doc_b"),
+        col("pa"), col("pb"))
+      .agg(countDistinct(col("seg")).as("__nseg"))
+      .filter(col("__nseg") >= fuzzyReqMatches)
+      .drop("__nseg")
   }
 
   /** Character-level fuzzy matching — the entity-resolution counterpart
     * to the token-set similarity ops: doc pairs inside a source block
     * whose lead prefixes sit within a bounded edit distance
     * (`levenshtein` has identical unit-cost semantics in Spark and
-    * DuckDB). Blocking folds a prefix-length bucket into the source key
-    * (dist ≤ τ bounds the length gap, see [[fuzzyCandidates]]), so the
-    * result set is provably identical to the unblocked quadratic form
-    * the oracle runs.
+    * DuckDB). Blocking is the exact segment-content equi-join of
+    * [[fuzzyCandidates]] (pigeonhole: no dist ≤ τ pair can be missed),
+    * so the result set is provably identical to the unblocked quadratic
+    * form the oracle runs.
     */
   def fuzzyMatchQ(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir, "documents")

@@ -115,15 +115,21 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("fuzzy candidate blocking is length-bounded and loses no qualifying pair") {
-    // prefix lengths spread 2..40 so length buckets actually subdivide
-    val p = (1L to 40L).map { i =>
+    // prefix lengths spread 2..40 so truncated/empty segment keys and
+    // the ±τ length band are all exercised, not just the full-cap path
+    val base = "the quick brown fox jumps over the lazy dog body"
+    val p = ((1L to 40L).map { i =>
       (i, "s" + (i % 2), "ab" * (1 + (i % 20)).toInt)
-    }.toDF("doc_id", "source", "pre")
+    } ++
+      // front-inserted variants: qualifying pairs whose intact segments
+      // sit at SHIFTED positions (the case aligned-only blocking misses)
+      (0 to 7).map(k => (100L + k, "s0", ("z" * k + base).take(40))))
+      .toDF("doc_id", "source", "pre")
     val cands = QueriesText.fuzzyCandidates(p)
       .select($"doc_a", $"doc_b", length($"pa").as("la"), length($"pb").as("lb"))
-    // every candidate's length gap is inside the 3-bucket window
+    // every candidate's length gap is inside the exact ±τ band
     val maxGap = cands.agg(max(abs($"la" - $"lb"))).as[Int].collect().head
-    assert(maxGap < 2 * QueriesText.fuzzyLenBucket, s"gap $maxGap")
+    assert(maxGap <= QueriesText.fuzzyMaxDist, s"gap $maxGap")
     // blocking candidates ⊂ naive pairs, and no dist ≤ τ pair is lost
     val naive = p.select($"source", $"doc_id".as("doc_a"), $"pre".as("pa"))
       .join(p.select($"source", $"doc_id".as("doc_b"), $"pre".as("pb")), Seq("source"))
