@@ -46,9 +46,16 @@ object Bench {
     // graph_assortativity 0.77 s here vs 1.41 s in the driver run on
     // identical code). The warm pass duration is reported separately in
     // BENCH_DETAIL.json as warm_sec.
+    // Eager per-memo timing DURING the warm pass only: each shared
+    // frame is forced as it is built, so warm_sec decomposes into a
+    // committed per-memo/per-checkpoint breakdown instead of one
+    // unattributed blob (timed passes run with the flag off — they
+    // only ever read already-persisted frames).
+    Memo.eagerTiming = true
     val warmT0 = System.nanoTime()
     pass()
     val warmSec = (System.nanoTime() - warmT0) / 1e9
+    Memo.eagerTiming = false
     // Three timed passes, min per query: steady-state throughput, not
     // whichever query paid the JIT/GC spike that run.
     val passes = Seq(pass(), pass(), pass())
@@ -63,8 +70,12 @@ object Bench {
     // driver tails only ~2,000 chars of stdout, so a map that long truncates
     // the head of the JSON object and the perf grade is lost. Keep the
     // stdout line compact (<1,500 chars): total + the 10 slowest queries.
+    val memoSecs = Memo.buildSecs.toSeq
+      .map { case ((_, tag), s) => tag -> s }.sortBy(-_._2)
+    val ckptSecs = Checkpoint.buildSecs.toSeq
+      .map { case ((_, name), s) => name -> s }.sortBy(-_._2)
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${f(warmSec)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${f(warmSec)},"memo_sec":${jmap(memoSecs)},"ckpt_train_sec":${jmap(ckptSecs)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * later session WITHOUT retraining (the reference's checkpoint
   * load/`--glob` path in scardina/run.py — models are trained once and
   * reloaded per workload). Here: parquet under
-  * `spark-warehouse/graft_ckpt/<schemaVersion>/<dataset>-<fingerprint>/
+  * `models/graft_ckpt/<schemaVersion>/<dataset>-<fingerprint>/
   * <name>`, written on first build, read-if-present ever after.
   *
   * The key is defensive on BOTH axes:
@@ -37,13 +37,26 @@ object Checkpoint {
     * surfaces from the warehouse with NO trainer invocation. */
   val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** (dir, name) → training wall seconds for builds that actually ran
+    * this process (loads record nothing). Bench dumps it into
+    * BENCH_DETAIL.json so the warm pass attributes trainer cost. */
+  val buildSecs =
+    scala.collection.concurrent.TrieMap[(String, String), Double]()
+
   /** Test seam: redirect the warehouse root (specs point it at a temp
     * dir so audit runs don't serve each other's artifacts). */
   @volatile private[graft] var rootOverride: Option[String] = None
 
+  /** Default root is a COMMITTED repo directory (`models/`), not the
+    * gitignored spark-warehouse: trained parameters are reproducible
+    * deliverables keyed by (schema version, data fingerprint), and
+    * shipping them with the library is what lets a fresh checkout — or
+    * the driver's bench environment — serve every estimator leg
+    * without a single training run (the reference likewise ships and
+    * globs `.pt` checkpoints rather than retraining per run). */
   private def root: String =
     rootOverride.getOrElse(
-      sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "spark-warehouse/graft_ckpt"))
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_DIR", "models/graft_ckpt"))
 
   /** Per-(dir, table) row counts for fingerprints — a parquet count is
     * metadata-only but still a job; cache it for the process lifetime. */
@@ -83,7 +96,9 @@ object Checkpoint {
       s"${new java.io.File(dir).getName}-${fingerprint}", name)
     if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
       builds.incrementAndGet()
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p.toString)
+      buildSecs.put((dir, name), (System.nanoTime() - t0) / 1e9)
     }
     spark.read.parquet(p.toString)
   }

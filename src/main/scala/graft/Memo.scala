@@ -12,9 +12,29 @@ object Memo {
   private val frames =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  /** Opt-in (Bench sets it): force-materialize each memo at build time
+    * and record its wall seconds, so the untimed warm pass attributes
+    * its cost PER MEMO instead of to whichever query touches the frame
+    * first. Off by default — tests and library callers keep the lazy
+    * persist (planning must not execute). */
+  @volatile var eagerTiming: Boolean = false
+
+  /** (dir, tag) → build wall seconds, recorded when [[eagerTiming]] is
+    * on. Bench dumps it into BENCH_DETAIL.json. */
+  val buildSecs =
+    scala.collection.concurrent.TrieMap[(String, String), Double]()
+
   def apply(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, dir, tag), persisted(build))
+    frames.getOrElseUpdate((spark, dir, tag), {
+      if (eagerTiming) {
+        val t0 = System.nanoTime()
+        val df = persisted(build)
+        df.count()
+        buildSecs.put((dir, tag), (System.nanoTime() - t0) / 1e9)
+        df
+      } else persisted(build)
+    })
 
   /** Idempotent cache: two memo tags (or a memo and an operator-level
     * persist) can resolve to canonically identical plans — re-caching

@@ -2399,6 +2399,14 @@ object QueriesEstimators {
   private[graft] def narTxArtifact(spark: SparkSession, dir: String): DataFrame =
     narTxDecoded(spark, dir)
 
+  /** model_store accessors for the remaining persisted trainer
+    * products — the training-curve eval table and the HPO eval table
+    * (both bounded by contract). */
+  private[graft] def narTxCurveArtifact(spark: SparkSession, dir: String): DataFrame =
+    narTxCurveEsts(spark, dir)
+  private[graft] def narHpoArtifact(spark: SparkSession, dir: String): DataFrame =
+    narHpoEstFrame(spark, dir)
+
   /** [[narEstFrame]]'s estimate formula evaluated over the transformer
     * joint — est = W × Σ P̂(combo satisfying spec), E[1/fanout]
     * downweight on order-level specs. */
@@ -2591,6 +2599,139 @@ object QueriesEstimators {
         s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS finite_ok," +
         " TRUE AS pos_ok, TRUE AS qerr_ok, TRUE AS mlp_agree_ok," +
         " TRUE AS tx_agree_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  // ---- rows 11t/11u: continuous-fanout NAR variant (--cont-fanout) ----
+
+  /** The reference's `--cont-fanout` encoding variant (run.py:166;
+    * common.py:536-546 log2-transforms fanout columns instead of
+    * discretizing them into a categorical head; estimators.py:373-377
+    * then downweights by the POINT-predicted fanout fo = max(1,
+    * 2^log2_fo) instead of the categorical head's E[1/fanout]).
+    * Re-expressed closed-form: with one-hot combo features the
+    * L2-optimal continuous regression head IS the per-combo
+    * conditional mean of log2(fanout) over the training batch —
+    * computed as a hierarchical shrinkage chain (combo mean → (c, o)
+    * mean → global mean) so unseen combos still predict, the role the
+    * NN's generalization plays in the reference. The tiny
+    * (combo → fo_hat) table persists to the warehouse model store like
+    * every trained head; training is one keyed aggregate of the
+    * sample-sized batch.
+    */
+  private def narContHead(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narContHead") {
+      Checkpoint(spark, dir, "nar_cont_head")(narFingerprint(spark, dir)) {
+        import graft.operators.Encoding
+        import spark.implicits._
+        def dmax(t: String, c: String): Int =
+          Encoding.dictionary(Tables(spark, dir, t), c)
+            .agg(max(col("code"))).head().getInt(0)
+        val (cMax, oMax, lMax) = (dmax("customer", "c_mktsegment"),
+          dmax("orders", "o_orderstatus"), dmax("lineitem", "l_returnflag"))
+        val combos = (for { c <- 1 to cMax; o <- 1 to oMax; l <- 1 to lMax }
+          yield (c, o, l)).toDF("c_code", "o_code", "l_code")
+        val batch = memoized(spark, dir, "trainingBatch")(trainingBatchQ(spark, dir))
+        val lg = batch.select(col("c_code"), col("o_code"), col("l_code"),
+          log2(col("lo_fanout").cast("double")).as("__lf"))
+        val m3 = lg.groupBy(col("c_code"), col("o_code"), col("l_code"))
+          .agg(avg(col("__lf")).as("__m3"))
+        val m2 = lg.groupBy(col("c_code"), col("o_code"))
+          .agg(avg(col("__lf")).as("__m2"))
+        val m1 = lg.agg(avg(col("__lf")).as("__m1"))
+        combos
+          .join(broadcast(m3), Seq("c_code", "o_code", "l_code"), "left")
+          .join(broadcast(m2), Seq("c_code", "o_code"), "left")
+          .crossJoin(broadcast(m1))
+          .select(col("c_code"), col("o_code"), col("l_code"),
+            greatest(lit(1.0),
+              pow(lit(2.0), coalesce(col("__m3"), col("__m2"), col("__m1"))))
+              .as("fo_hat"))
+      }
+    }
+
+  /** [[narEstFrame]]'s estimate formula with the CONTINUOUS fanout
+    * downweight: order-level specs divide each combo's mass by the
+    * point-predicted fo_hat (1/fo, the reference's cont-fanout
+    * scaling) instead of multiplying by the categorical E[1/fanout]. */
+  private def narContEstFrame(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "narContEstFrame") {
+      val joint = narJointDecoded(spark, dir)
+        .join(broadcast(narContHead(spark, dir)),
+          Seq("c_code", "o_code", "l_code"), "left")
+      val w = narW(spark, dir)
+      narSpecs.map { case (id, needO, needL, pred, _) =>
+        val flags = (if (needO) Seq(col("o_code") =!= 1) else Nil) ++
+          (if (needL) Seq(col("l_code") =!= 1) else Nil)
+        val sat = (pred +: flags).reduce(_ && _)
+        val mass = if (needL) col("p")
+          else col("p") / greatest(col("fo_hat"), lit(1.0))
+        joint
+          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .crossJoin(w)
+          .select(lit(id).as("query_id"),
+            greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
+      }.reduce(_.unionAll(_))
+    }
+
+  /** model_store accessor: the loaded continuous-fanout head. */
+  private[graft] def narContArtifact(spark: SparkSession, dir: String): DataFrame =
+    narContHead(spark, dir)
+
+  /** Library surface: the continuous-fanout variant's raw estimates
+    * (primary registered form is [[narContEstGatedQ]]). */
+  def narContEstQ(spark: SparkSession, dir: String): DataFrame =
+    narContEstFrame(spark, dir).orderBy(col("query_id"))
+
+  /** Primary (hash-checked) form of the continuous-fanout NAR variant:
+    * per spec, the oracle-re-derived true cardinality and the model
+    * gate ([[narBound]] q-error) — the same contract every other NAR
+    * leg meets; a broken log2 encoding or a collapsed head fails the
+    * hash. Raw estimates: [[narContEstQ]]. */
+  def narContEstGatedQ(spark: SparkSession, dir: String): DataFrame =
+    narContEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("est")) && col("est").isNotNull && col("est") >= 1.0 &&
+          greatest(col("est"), col("__t")) /
+            greatest(least(col("est"), col("__t")), lit(1.0)) <= narBound).as("est_ok"))
+      .orderBy(col("query_id"))
+
+  val narContEstGatedSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS est_ok"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
+  /** Itemized verdict for the continuous-fanout variant against
+    * oracle-re-derived truth: finite, ≥ 1, within the q-error bound,
+    * and agreeing within 2× with the categorical-fanout leg — the
+    * cross-encoding check that makes the off-by-default flag safe to
+    * flip (the nar_tx_check discipline applied across fanout
+    * ENCODINGS rather than architectures). */
+  def narContCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    def qerr(e: Column, t: Column): Column =
+      greatest(e, t) / greatest(least(e, t), lit(1.0))
+    narContEstFrame(spark, dir)
+      .join(narTruths(spark, dir), Seq("query_id"))
+      .join(narEstFrame(spark, dir).withColumnRenamed("est", "__cat"),
+        Seq("query_id"))
+      .select(col("query_id"), col("__t").cast("bigint").as("truth"),
+        (!isnan(col("est")) && col("est").isNotNull).as("finite_ok"),
+        (col("est") >= 1.0).as("pos_ok"),
+        (qerr(col("est"), col("__t")) <= narBound).as("qerr_ok"),
+        (qerr(col("est"), col("__cat")) <= 2.0).as("cat_agree_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  val narContCheckSql: String =
+    narSpecs.map { case (id, _, needL, _, predSql) =>
+      val joins = "customer JOIN orders ON c_custkey = o_custkey" +
+        (if (needL) " JOIN lineitem ON o_orderkey = l_orderkey" else "")
+      s"SELECT '$id' AS query_id, CAST((SELECT COUNT(*) FROM $joins" +
+        s" WHERE $predSql) AS BIGINT) AS truth, TRUE AS finite_ok," +
+        " TRUE AS pos_ok, TRUE AS qerr_ok, TRUE AS cat_agree_ok"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
 
   // ---- row 11p: nar_training_curve (run.py:156 --eval-all-intermediate-models) ----
@@ -2874,6 +3015,8 @@ object QueriesEstimators {
     "nar_inc_check" -> (narIncCheckQ _),
     "nar_tx_est" -> (narTxEstGatedQ _),
     "nar_tx_check" -> (narTxCheckQ _),
+    "nar_cont_est" -> (narContEstGatedQ _),
+    "nar_cont_check" -> (narContCheckQ _),
     "nar_mlm_est" -> (narMlmEstGatedQ _),
     "nar_mlm_check" -> (narMlmCheckQ _),
     "nar_training_curve" -> (narTrainingCurveQ _),
@@ -2917,6 +3060,8 @@ object QueriesEstimators {
     "nar_inc_check" -> narIncCheckSql,
     "nar_tx_est" -> narTxEstGatedSql,
     "nar_tx_check" -> narTxCheckSql,
+    "nar_cont_est" -> narContEstGatedSql,
+    "nar_cont_check" -> narContCheckSql,
     "nar_mlm_est" -> narMlmEstGatedSql,
     "nar_mlm_check" -> narMlmCheckSql,
     "nar_training_curve" -> narTrainingCurveSql,

@@ -50,14 +50,6 @@ object QueriesPipeline {
 
   // ---- row 119: per-label centroid drift ----
 
-  /** Sign-split truncating integer division: both engines truncate
-    * non-negative integer quotients identically, so sign·(|a| div b)
-    * sidesteps the floor-vs-truncate ambiguity negative quotients have.
-    */
-  private def signDiv(a: Column, b: Column): Column =
-    (when(a < 0, lit(-1L)).otherwise(lit(1L))) *
-      expr(s"CAST(abs(${a.toString}) DIV ${b.toString} AS BIGINT)")
-
   /** Per-label embedding centroid drift from the corpus centroid:
     * squared L2 distance between the label mean and the global mean,
     * entirely on the 1e-6 fixed-point grid (values quantized, means via
@@ -81,8 +73,15 @@ object QueriesPipeline {
         .groupBy(col("label"), col("i"))
         .agg(sum(col("qv")).as("s"), count(lit(1)).as("n")))
 
-  /** Sign-split integer division c = sign(a)·(|a| div b) — shared by
-    * the centroid legs (identical truncation on both engines).
+  /** Sign-split truncating integer division c = sign(a)·(|a| div b) —
+    * both engines truncate NON-NEGATIVE integer quotients identically,
+    * so the sign split sidesteps the floor-vs-truncate ambiguity
+    * negative quotients have. Shared by the centroid legs.
+    *
+    * CONTRACT: `a` and `b` must be BARE COLUMN REFERENCES (the DIV is
+    * rendered through `Column.toString` into a SQL fragment, which is
+    * only well-formed for simple names) — pre-compute any derived
+    * expression into a named column before calling.
     */
   private[graft] def signDivCol(a: Column, b: Column): Column =
     (when(a < 0, lit(-1L)).otherwise(lit(1L))) *
@@ -94,7 +93,7 @@ object QueriesPipeline {
       .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
     per.join(broadcast(glob), Seq("i"))
       .select(col("label"), col("n"),
-        (signDiv(col("s"), col("n")) - signDiv(col("gs"), col("gn"))).as("d"))
+        (signDivCol(col("s"), col("n")) - signDivCol(col("gs"), col("gn"))).as("d"))
       .groupBy(col("label"))
       .agg(max(col("n")).as("n_vecs"),
         sum(col("d") * col("d")).as("dist2_q"))
@@ -667,10 +666,18 @@ object QueriesPipeline {
         QueriesWave11.isotonicFit(spark, dir)),
       ("kmeans_centroids", QueriesText.kmeansFpTables,
         QueriesText.kmeansCentsFrame(spark, dir)),
+      ("nar_cont_head", QueriesEstimators.narFpTables,
+        QueriesEstimators.narContArtifact(spark, dir)),
+      ("nar_hpo_evals", QueriesEstimators.narFpTables,
+        QueriesEstimators.narHpoArtifact(spark, dir)),
       ("nar_inc_joint", QueriesEstimators.narFpTables,
         QueriesEstimators.narIncArtifact(spark, dir)),
       ("nar_joint", QueriesEstimators.narFpTables,
         QueriesEstimators.narJointArtifact(spark, dir)),
+      ("nar_mlm_joint", QueriesEstimators.narFpTables,
+        QueriesEstimators.narMlmArtifact(spark, dir)),
+      ("nar_tx_curve", QueriesEstimators.narFpTables,
+        QueriesEstimators.narTxCurveArtifact(spark, dir)),
       ("nar_tx_joint", QueriesEstimators.narFpTables,
         QueriesEstimators.narTxArtifact(spark, dir)))
     artifacts
@@ -687,8 +694,12 @@ object QueriesPipeline {
       ("bpe_merges", Seq("documents")),
       ("isotonic_staircase", QueriesWave11.isoFpTables),
       ("kmeans_centroids", QueriesText.kmeansFpTables),
+      ("nar_cont_head", QueriesEstimators.narFpTables),
+      ("nar_hpo_evals", QueriesEstimators.narFpTables),
       ("nar_inc_joint", QueriesEstimators.narFpTables),
       ("nar_joint", QueriesEstimators.narFpTables),
+      ("nar_mlm_joint", QueriesEstimators.narFpTables),
+      ("nar_tx_curve", QueriesEstimators.narFpTables),
       ("nar_tx_joint", QueriesEstimators.narFpTables))
     rows.map { case (name, tables) =>
       s"SELECT '$name' AS artifact, CAST(${Checkpoint.fingerprintSql(tables)}" +

@@ -35,13 +35,8 @@ object QueriesWave22 {
     val z = QueriesWave9.propZtestPairsQ(spark, dir)
       .select(col("src_a"), col("src_b"), col("z"))
       .withColumn("p9", expr(
-        """CAST(round(1e9 * (
-          |  0.254829592 / (1 + 0.3275911 * (abs(z) / sqrt(2.0)))
-          |  - 0.284496736 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 2)
-          |  + 1.421413741 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 3)
-          |  - 1.453152027 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 4)
-          |  + 1.061405429 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 5)
-          |) * exp(-(z * z) / 2.0)) AS BIGINT)""".stripMargin))
+        s"""CAST(round(1e9 * ${NormalDist.erfcTailPoly("abs(z)")}
+           | * exp(-(z * z) / 2.0)) AS BIGINT)""".stripMargin))
     // source-bounded frame (≤ #sources² rows): documented unpartitioned
     // windows, on the WindowAuditSpec allowlist
     val wRank = Window.orderBy(col("p9"), col("src_a"), col("src_b"))
@@ -62,13 +57,8 @@ object QueriesWave22 {
   val bhFdrSql: String =
     s"""WITH zt AS (${QueriesWave9.propZtestPairsSql}),
        |p AS (SELECT src_a, src_b, z,
-       |    CAST(round(1e9 * (
-       |      0.254829592 / (1 + 0.3275911 * (abs(z) / sqrt(2.0)))
-       |      - 0.284496736 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 2)
-       |      + 1.421413741 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 3)
-       |      - 1.453152027 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 4)
-       |      + 1.061405429 / pow(1 + 0.3275911 * (abs(z) / sqrt(2.0)), 5)
-       |    ) * exp(-(z * z) / 2.0)) AS BIGINT) AS p9
+       |    CAST(round(1e9 * ${NormalDist.erfcTailPoly("abs(z)")}
+       |      * exp(-(z * z) / 2.0)) AS BIGINT) AS p9
        |  FROM zt),
        |rk AS (SELECT *,
        |    CAST(ROW_NUMBER() OVER (ORDER BY p9, src_a, src_b) AS BIGINT) AS rnk,

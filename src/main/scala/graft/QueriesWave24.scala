@@ -417,13 +417,8 @@ object QueriesWave24 {
           (col("n01") + col("n10")).cast("double")))
       .withColumn("z", sqrt(col("chi2")))
       .withColumn("p9", expr(
-        """CAST(round(1e9 * (
-          |  0.254829592 / (1 + 0.3275911 * (z / sqrt(2.0)))
-          |  - 0.284496736 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 2)
-          |  + 1.421413741 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 3)
-          |  - 1.453152027 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 4)
-          |  + 1.061405429 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 5)
-          |) * exp(-(z * z) / 2.0)) AS BIGINT)""".stripMargin))
+        s"""CAST(round(1e9 * ${NormalDist.erfcTailPoly("z")}
+           | * exp(-(z * z) / 2.0)) AS BIGINT)""".stripMargin))
       .select(col("n00"), col("n01"), col("n10"), col("n11"), col("chi2"), col("p9"))
 
   val mcnemarGatesSql: String =
@@ -440,13 +435,8 @@ object QueriesWave24 {
        |      / NULLIF(CAST(n01 + n10 AS DOUBLE), 0.0) AS chi2
        |  FROM c))
        |SELECT n00, n01, n10, n11, chi2,
-       |  CAST(round(1e9 * (
-       |    0.254829592 / (1 + 0.3275911 * (z / sqrt(2.0)))
-       |    - 0.284496736 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 2)
-       |    + 1.421413741 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 3)
-       |    - 1.453152027 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 4)
-       |    + 1.061405429 / pow(1 + 0.3275911 * (z / sqrt(2.0)), 5)
-       |  ) * exp(-(z * z) / 2.0)) AS BIGINT) AS p9
+       |  CAST(round(1e9 * ${NormalDist.erfcTailPoly("z")}
+       |    * exp(-(z * z) / 2.0)) AS BIGINT) AS p9
        |FROM x""".stripMargin
 
   // ---- gopher_rules: per-rule quality audit (Rae et al. 2021) ----

@@ -344,35 +344,73 @@ object QueriesWave26 {
 
   /** Hard-negative / hard-positive mining for contrastive embedding
     * training (the triplet-selection step of every metric-learning
-    * pipeline): for each md5-sampled anchor, the most-similar
-    * DIFFERENT-label vector (hardest negative) and least-similar
-    * SAME-label vector (hardest positive), and whether the 0.1-margin
-    * triplet constraint is violated. Cosines ride the exact
+    * pipeline), run THROUGH the IVF index — the shape a billion-vector
+    * pipeline actually executes: every vector is assigned to its
+    * nearest coarse cell (the deterministic centroid slice the
+    * `embed_ivf_ann`/`semantic_dedup` index uses, so the oracle
+    * replays the assignment bit-for-bit); each md5-sampled anchor
+    * probes its nProbe nearest cells and mines only the vectors
+    * ASSIGNED to those cells — the most-similar DIFFERENT-label
+    * candidate (hardest negative), the least-similar SAME-label
+    * candidate (hardest positive), and whether the 0.1-margin triplet
+    * constraint is violated. Pair work is anchors × probed-cell
+    * population, never anchors × corpus (cells are IVF-list-sized at
+    * scale — the `semantic_dedup`/`knn_graph` cluster-bounded
+    * discipline; Wave26Spec compares the probed mining against the
+    * brute-force truth on the test corpus). Cosines ride the exact
     * quantized-integer dot path and pin to the 1e-6 grid, so the
-    * per-anchor max/min need no tie-break at all; anchors are a
-    * 1-in-8 seeded sample, so the pair frame is (n/8)·n — at
-    * billion-vector scale the same mining runs per IVF list, exactly
-    * like the `knn_graph` discipline. Reported per label.
+    * per-anchor max/min need no tie-break at all. Reported per label.
     */
-  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-anchor mining products (la, va, hn6, hp6) over the probed
+    * cells — the frame [[hardNegativesQ]] aggregates; exposed so the
+    * spec can compare probed mining against the brute-force truth. */
+  private[graft] def hardNegativesPerAnchor(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesPairs(spark, dir)
+      .groupBy(col("la"), col("va"))
+      .agg(max(when(col("la") =!= col("lb"), col("cos6"))).as("hn6"),
+        min(when(col("la") === col("lb"), col("cos6"))).as("hp6"))
+      .filter(col("hn6").isNotNull && col("hp6").isNotNull)
+
+  /** The scored (anchor × probed-cell candidate) pair frame — the
+    * operator's whole data-scale cost, exposed so PairGrowthAuditSpec
+    * can measure that it stays a small fraction of anchors × corpus. */
+  private[graft] def hardNegativesPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = QueriesWave6.knnQuantized(spark, dir)
-    val anchors = q.filter(
-      md5Long(concat(lit("hn:"), col("vec_id").cast("string"))) % hnRate === 0L)
-    val pairs = anchors
+    val cents = q.filter(col("vec_id") >= QueriesText.ivfCentLo &&
+        col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"),
+        col("nn").as("ncent"))
+    val acos = q.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        expr("quantized_dot(qv, cv)").cast("double") /
+          sqrt(col("nn").cast("double")) / sqrt(col("ncent").cast("double")))
+      .select(col("vec_id"), col("label"), col("qv"), col("nn"),
+        col("cent_id"), col("cos_c"))
+    val assign = acos.groupBy(col("vec_id"), col("label"), col("qv"), col("nn"))
+      .agg(max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id")))
+        .as("list_id"))
+    val probes = acos
+      .filter(md5Long(concat(lit("hn:"), col("vec_id").cast("string"))) % hnRate === 0L)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("__rn") <= QueriesText.ivfNProbe)
       .select(col("vec_id").as("va"), col("label").as("la"),
-        col("qv").as("qa"), col("nn").as("na"))
-      .crossJoin(q.select(col("vec_id").as("vb"), col("label").as("lb"),
-        col("qv").as("qb"), col("nn").as("nb")))
+        col("qv").as("qa"), col("nn").as("na"), col("cent_id").as("list_id"))
+    probes
+      .join(assign.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("qv").as("qb"), col("nn").as("nb"), col("list_id")), Seq("list_id"))
       .filter(col("va") =!= col("vb"))
       .withColumn("cos6", expr(
         """CAST(round(1e6 * (CAST(quantized_dot(qa, qb) AS DOUBLE)
           | / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)))) AS BIGINT)"""
           .stripMargin))
-    val per = pairs.groupBy(col("la"), col("va"))
-      .agg(max(when(col("la") =!= col("lb"), col("cos6"))).as("hn6"),
-        min(when(col("la") === col("lb"), col("cos6"))).as("hp6"))
-      .filter(col("hn6").isNotNull && col("hp6").isNotNull)
-    per.groupBy(col("la").as("label"))
+  }
+
+  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesPerAnchor(spark, dir)
+      .groupBy(col("la").as("label"))
       .agg(count(lit(1)).as("n_anchors"),
         (sum(col("hn6")).cast("double") / lit(1e6) / count(lit(1))).as("mean_hard_neg_cos"),
         (sum(col("hp6") - col("hn6")).cast("double") / lit(1e6) / count(lit(1)))
@@ -380,17 +418,41 @@ object QueriesWave26 {
         sum(when(col("hn6") + hnMargin6 > col("hp6"), 1L).otherwise(0L))
           .as("n_violations"))
       .orderBy(col("label"))
-  }
 
-  val hardNegativesSql: String =
+  val hardNegativesSql: String = {
+    val (cLo, cHi) =
+      (QueriesText.ivfCentLo, QueriesText.ivfCentLo + QueriesText.ivfNCent)
     s"""WITH ${QueriesWave6.knnQuantCte},
-       |anch AS (SELECT * FROM q
-       |  WHERE CAST(('0x' || substr(md5('hn:' || CAST(vec_id AS VARCHAR)), 1, 13))
-       |    AS BIGINT) % $hnRate = 0),
-       |pex AS (SELECT a.label AS la, a.vec_id AS va, b.label AS lb, b.vec_id AS vb,
-       |    a.qv AS qa, b.qv AS qb, unnest(range(1, len(a.qv) + 1)) AS i
-       |  FROM anch a JOIN q b ON a.vec_id != b.vec_id),
-       |dots AS MATERIALIZED (SELECT la, va, lb, vb, CAST(SUM(qa[i] * qb[i]) AS BIGINT) AS dot
+       |cent AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+       |         WHERE vec_id >= $cLo AND vec_id < $cHi),
+       |asex AS (SELECT v.vec_id, c.cent_id, v.qv AS qv, c.cv AS cv,
+       |                unnest(range(1, len(v.qv) + 1)) AS i
+       |         FROM q v, cent c),
+       |adots AS (SELECT vec_id, cent_id, CAST(SUM(qv[i] * cv[i]) AS BIGINT) AS dot
+       |          FROM asex GROUP BY 1, 2),
+       |acos AS (SELECT a.vec_id, a.cent_id,
+       |           CAST(a.dot AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos_c
+       |         FROM adots a
+       |         JOIN norms nv ON nv.vec_id = a.vec_id
+       |         JOIN norms nc ON nc.vec_id = a.cent_id),
+       |assign AS (SELECT vec_id, cent_id AS list_id FROM (
+       |             SELECT vec_id, cent_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |             FROM acos) WHERE rn = 1),
+       |plist AS (SELECT vec_id AS va, cent_id AS list_id FROM (
+       |            SELECT vec_id, cent_id,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |            FROM acos
+       |            WHERE CAST(('0x' || substr(md5('hn:' || CAST(vec_id AS VARCHAR)), 1, 13))
+       |              AS BIGINT) % $hnRate = 0)
+       |          WHERE rn <= ${QueriesText.ivfNProbe}),
+       |pex AS (SELECT qa.label AS la, p.va, qb.label AS lb, b.vec_id AS vb,
+       |    qa.qv AS qva, qb.qv AS qvb, unnest(range(1, len(qa.qv) + 1)) AS i
+       |  FROM plist p
+       |  JOIN assign b ON b.list_id = p.list_id AND b.vec_id != p.va
+       |  JOIN q qa ON qa.vec_id = p.va
+       |  JOIN q qb ON qb.vec_id = b.vec_id),
+       |dots AS MATERIALIZED (SELECT la, va, lb, vb, CAST(SUM(qva[i] * qvb[i]) AS BIGINT) AS dot
        |  FROM pex GROUP BY 1, 2, 3, 4),
        |cs AS (SELECT d.la, d.va, d.lb,
        |    CAST(round(1e6 * (CAST(d.dot AS DOUBLE)
@@ -406,6 +468,7 @@ object QueriesWave26 {
        |  CAST(SUM(CASE WHEN hn6 + $hnMargin6 > hp6 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
        |FROM per WHERE hn6 IS NOT NULL AND hp6 IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // ---- linear_attribution: multi-touch credit over the click window ----
 

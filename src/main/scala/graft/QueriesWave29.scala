@@ -21,13 +21,8 @@ object QueriesWave29 {
     */
   private def phiSql(z: String): String = {
     val half =
-      s"""(0.5 * (
-         |  0.254829592 / (1 + 0.3275911 * (abs($z) / sqrt(2.0)))
-         |  - 0.284496736 / pow(1 + 0.3275911 * (abs($z) / sqrt(2.0)), 2)
-         |  + 1.421413741 / pow(1 + 0.3275911 * (abs($z) / sqrt(2.0)), 3)
-         |  - 1.453152027 / pow(1 + 0.3275911 * (abs($z) / sqrt(2.0)), 4)
-         |  + 1.061405429 / pow(1 + 0.3275911 * (abs($z) / sqrt(2.0)), 5)
-         |) * exp(-(($z) * ($z)) / 2.0))""".stripMargin
+      s"""(0.5 * ${NormalDist.erfcTailPoly(s"abs($z)")}
+         | * exp(-(($z) * ($z)) / 2.0))""".stripMargin
     s"""(CAST(round(1e9 * (CASE WHEN ($z) >= 0 THEN 1.0 - $half
        |  ELSE $half END)) AS BIGINT))""".stripMargin
   }

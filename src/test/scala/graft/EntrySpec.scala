@@ -114,6 +114,7 @@ class EntrySpec extends SparkSpec {
       "cuped_adjust", "odds_ratio_ci", "max_drawdown",
       "kendall_tau", "segmented_trend", "ess_autocorr",
       "nar_tx_est", "nar_tx_check", "nar_training_curve",
+      "nar_cont_est", "nar_cont_check",
       "lsh_precision_audit", "split_leak_audit", "ivf_pq_adc",
       "mmd_drift", "gumbel_topk_sample", "wasserstein_drift", "kmeans_coreset",
       "nar_hpo", "bh_fdr", "label_propagation", "graph_modularity",

@@ -49,6 +49,41 @@ class Wave26Spec extends SparkSpec {
     }
   }
 
+  test("hard_negatives: probed-cell mining vs brute-force truth") {
+    graft.functions.GraftFunctions.register(spark)
+    // brute-force per-anchor hardest negative over the WHOLE corpus
+    val q = QueriesWave6.knnQuantized(spark, sf)
+    val anchors = q.filter(
+      expr("CAST(conv(substring(md5(concat('hn:', CAST(vec_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+        % QueriesWave26.hnRate === 0L)
+    val brute = anchors
+      .select(col("vec_id").as("va"), col("label").as("la"),
+        col("qv").as("qa"), col("nn").as("na"))
+      .crossJoin(q.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("qv").as("qb"), col("nn").as("nb")))
+      .filter(col("va") =!= col("vb"))
+      .withColumn("cos6", expr(
+        """CAST(round(1e6 * (CAST(quantized_dot(qa, qb) AS DOUBLE)
+          | / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col("va"))
+      .agg(max(when(col("la") =!= col("lb"), col("cos6"))).as("bhn6"))
+    val mined = QueriesWave26.hardNegativesPerAnchor(spark, sf)
+      .select(col("va"), col("hn6"))
+    val joined = mined.join(brute, Seq("va")).collect()
+    assert(joined.nonEmpty)
+    // probed candidates ⊆ corpus: the mined hardest negative can never
+    // beat the brute-force one
+    for (r <- joined)
+      assert(r.getLong(1) <= r.getLong(2),
+        s"anchor ${r.getLong(0)}: mined ${r.getLong(1)} above brute ${r.getLong(2)}")
+    // ...and the nProbe=2/16 probe budget must still FIND the true
+    // hardest negative for a meaningful share of anchors (the same
+    // recall regime as ivf_kmeans_recall's 0.2 floor)
+    val agree = joined.count(r => r.getLong(1) == r.getLong(2)).toDouble / joined.length
+    assert(agree >= 0.2, s"probed mining found the true hardest negative for only $agree")
+  }
+
   test("linear_attribution: credits never exceed the attributed value") {
     val rows = QueriesWave26.linearAttributionQ(spark, sf).collect()
     for (r <- rows) {

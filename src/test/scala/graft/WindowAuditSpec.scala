@@ -47,6 +47,9 @@ class WindowAuditSpec extends SparkSpec {
     "q_error_quantiles", "progressive_est", "training_batch",
     "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
     "nar_inc_check", "nar_tx_est", "nar_tx_check", "nar_training_curve",
+    // spec-frame unions (4 rows) + broadcast scalar joins, same shape
+    // as every other nar leg — measured 4 -> 4 across scale factors
+    "nar_cont_est", "nar_cont_check",
     "nar_hpo", "nar_mlm_est", "nar_mlm_check",
     "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
