@@ -365,11 +365,14 @@ object QueriesWave26 {
     * cells — the frame [[hardNegativesQ]] aggregates; exposed so the
     * spec can compare probed mining against the brute-force truth. */
   private[graft] def hardNegativesPerAnchor(spark: SparkSession, dir: String): DataFrame =
-    hardNegativesPairs(spark, dir)
-      .groupBy(col("la"), col("va"))
-      .agg(max(when(col("la") =!= col("lb"), col("cos6"))).as("hn6"),
-        min(when(col("la") === col("lb"), col("cos6"))).as("hp6"))
-      .filter(col("hn6").isNotNull && col("hp6").isNotNull)
+    // anchor-bounded mined frame memoized per session (the lshPairs
+    // discipline): the assign-probe-score pipeline runs once
+    Memo(spark, dir, "wave26:hnPerAnchor")(
+      hardNegativesPairs(spark, dir)
+        .groupBy(col("la"), col("va"))
+        .agg(max(when(col("la") =!= col("lb"), col("cos6"))).as("hn6"),
+          min(when(col("la") === col("lb"), col("cos6"))).as("hp6"))
+        .filter(col("hn6").isNotNull && col("hp6").isNotNull))
 
   /** The scored (anchor × probed-cell candidate) pair frame — the
     * operator's whole data-scale cost, exposed so PairGrowthAuditSpec
