@@ -374,33 +374,59 @@ object QueriesWave26 {
           min(when(col("la") === col("lb"), col("cos6"))).as("hp6"))
         .filter(col("hn6").isNotNull && col("hp6").isNotNull))
 
-  /** The scored (anchor × probed-cell candidate) pair frame — the
-    * operator's whole data-scale cost, exposed so PairGrowthAuditSpec
-    * can measure that it stays a small fraction of anchors × corpus. */
-  private[graft] def hardNegativesPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, qv, nn, cent_id, cos_c): every vector's exact
+    * quantized cosine to each deterministic coarse centroid — the one
+    * frame cell assignment AND probe-list ranking both derive from
+    * (hard_negatives here, bitext_mine in Wave 30). Memoized: one
+    * corpus × broadcast-centroids pass per session. */
+  private[graft] def ivfAcos(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave26:ivfAcos") {
+      val q = QueriesWave6.knnQuantized(spark, dir)
+      val cents = q.filter(col("vec_id") >= QueriesText.ivfCentLo &&
+          col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv"),
+          col("nn").as("ncent"))
+      q.crossJoin(broadcast(cents))
+        .withColumn("cos_c",
+          expr("quantized_dot(qv, cv)").cast("double") /
+            sqrt(col("nn").cast("double")) / sqrt(col("ncent").cast("double")))
+        .select(col("vec_id"), col("label"), col("qv"), col("nn"),
+          col("cent_id"), col("cos_c"))
+    }
+
+  /** Each vector's assigned coarse cell (argmax cosine, lower cent_id
+    * on ties) — the oracle-replayable IVF assignment. */
+  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "wave26:ivfAssign")(
+      ivfAcos(spark, dir)
+        .groupBy(col("vec_id"), col("label"), col("qv"), col("nn"))
+        .agg(max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id")))
+          .as("list_id")))
+
+  /** The nProbe nearest cells per vector in `sel` (cos desc, cent_id
+    * tie-break) — the probe lists of an IVF search. */
+  private[graft] def ivfProbes(
+      spark: SparkSession, dir: String, sel: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = QueriesWave6.knnQuantized(spark, dir)
-    val cents = q.filter(col("vec_id") >= QueriesText.ivfCentLo &&
-        col("vec_id") < QueriesText.ivfCentLo + QueriesText.ivfNCent)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cv"),
-        col("nn").as("ncent"))
-    val acos = q.crossJoin(broadcast(cents))
-      .withColumn("cos_c",
-        expr("quantized_dot(qv, cv)").cast("double") /
-          sqrt(col("nn").cast("double")) / sqrt(col("ncent").cast("double")))
-      .select(col("vec_id"), col("label"), col("qv"), col("nn"),
-        col("cent_id"), col("cos_c"))
-    val assign = acos.groupBy(col("vec_id"), col("label"), col("qv"), col("nn"))
-      .agg(max_by(col("cent_id"), struct(col("cos_c"), -col("cent_id")))
-        .as("list_id"))
-    val probes = acos
-      .filter(md5Long(concat(lit("hn:"), col("vec_id").cast("string"))) % hnRate === 0L)
+    ivfAcos(spark, dir)
+      .filter(sel)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_c").desc, col("cent_id"))))
       .filter(col("__rn") <= QueriesText.ivfNProbe)
+      .select(col("vec_id"), col("label"), col("qv"), col("nn"),
+        col("cent_id").as("list_id"))
+  }
+
+  /** The scored (anchor × probed-cell candidate) pair frame — the
+    * operator's whole data-scale cost, exposed so PairGrowthAuditSpec
+    * can measure that it stays a small fraction of anchors × corpus. */
+  private[graft] def hardNegativesPairs(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+    val probes = ivfProbes(spark, dir,
+      md5Long(concat(lit("hn:"), col("vec_id").cast("string"))) % hnRate === 0L)
       .select(col("vec_id").as("va"), col("label").as("la"),
-        col("qv").as("qa"), col("nn").as("na"), col("cent_id").as("list_id"))
+        col("qv").as("qa"), col("nn").as("na"), col("list_id"))
     probes
       .join(assign.select(col("vec_id").as("vb"), col("label").as("lb"),
         col("qv").as("qb"), col("nn").as("nb"), col("list_id")), Seq("list_id"))
@@ -422,11 +448,14 @@ object QueriesWave26 {
           .as("n_violations"))
       .orderBy(col("label"))
 
-  val hardNegativesSql: String = {
+  /** Oracle twin of [[ivfAcos]] — the cent/asex/adots/acos CTE chain
+    * over the deterministic centroid slice. Assumes knnQuantCte's
+    * q/norms precede it. Shared by hard_negatives and Wave 30's
+    * bitext_mine. */
+  private[graft] val ivfAcosCtes: String = {
     val (cLo, cHi) =
       (QueriesText.ivfCentLo, QueriesText.ivfCentLo + QueriesText.ivfNCent)
-    s"""WITH ${QueriesWave6.knnQuantCte},
-       |cent AS (SELECT vec_id AS cent_id, qv AS cv FROM q
+    s"""cent AS (SELECT vec_id AS cent_id, qv AS cv FROM q
        |         WHERE vec_id >= $cLo AND vec_id < $cHi),
        |asex AS (SELECT v.vec_id, c.cent_id, v.qv AS qv, c.cv AS cv,
        |                unnest(range(1, len(v.qv) + 1)) AS i
@@ -437,7 +466,12 @@ object QueriesWave26 {
        |           CAST(a.dot AS DOUBLE) / sqrt(CAST(nv.nn AS DOUBLE)) / sqrt(CAST(nc.nn AS DOUBLE)) AS cos_c
        |         FROM adots a
        |         JOIN norms nv ON nv.vec_id = a.vec_id
-       |         JOIN norms nc ON nc.vec_id = a.cent_id),
+       |         JOIN norms nc ON nc.vec_id = a.cent_id)""".stripMargin
+  }
+
+  val hardNegativesSql: String = {
+    s"""WITH ${QueriesWave6.knnQuantCte},
+       |$ivfAcosCtes,
        |assign AS (SELECT vec_id, cent_id AS list_id FROM (
        |             SELECT vec_id, cent_id,
        |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn

@@ -144,6 +144,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(blocked == naive)
   }
 
+  test("fuzzy blocking is exhaustive on randomized edit families (indels, subs, truncation)") {
+    // Adversarial randomized recall check for the PassJoin-style
+    // segment blocking: seed strings over a tiny alphabet (forcing
+    // segment collisions), partners derived by random edit scripts of
+    // every length 0..12 (past τ=8, so the naive truth set includes
+    // boundary cases on both sides), lengths spanning the short-string
+    // truncated/empty-segment paths. The blocked+verified pair set
+    // must equal the naive quadratic truth on every seeded corpus.
+    val alphabet = "abc "
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      def randStr(n: Int): String =
+        (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      def edit(s: String): String = {
+        val sb = new StringBuilder(s)
+        val k = rnd.nextInt(13)
+        for (_ <- 1 to k) {
+          val op = rnd.nextInt(3)
+          if (sb.isEmpty || op == 0) // insert
+            sb.insert(rnd.nextInt(sb.length + 1), alphabet(rnd.nextInt(alphabet.length)))
+          else if (op == 1) sb.deleteCharAt(rnd.nextInt(sb.length))
+          else sb.setCharAt(rnd.nextInt(sb.length), alphabet(rnd.nextInt(alphabet.length)))
+        }
+        sb.toString
+      }
+      val docs = (1 to 20).flatMap { fam =>
+        val base = randStr(rnd.nextInt(61)) // 0..60 chars, many < cap
+        base +: (1 to 3).map(_ => edit(base))
+      }
+      val p = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"s${i % 2}", t.take(QueriesText.fuzzyPrefixLen)) }
+        .toDF("doc_id", "source", "pre")
+      val naive = p.select($"source", $"doc_id".as("doc_a"), $"pre".as("pa"))
+        .join(p.select($"source", $"doc_id".as("doc_b"), $"pre".as("pb")), Seq("source"))
+        .filter($"doc_a" < $"doc_b")
+        .filter(levenshtein($"pa", $"pb") <= QueriesText.fuzzyMaxDist)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val blocked = QueriesText.fuzzyCandidates(p)
+        .filter(levenshtein($"pa", $"pb") <= QueriesText.fuzzyMaxDist)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(blocked == naive,
+        s"seed $seed: missing ${naive -- blocked}, extra ${blocked -- naive}")
+      assert(naive.nonEmpty, s"seed $seed produced a vacuous truth set")
+    }
+  }
+
   test("ngram_jaccard: multi-family corpus — cross-group expansion and (lang,source) filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft_njc").toString
     val docs = Seq(

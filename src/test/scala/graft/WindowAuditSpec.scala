@@ -50,6 +50,8 @@ class WindowAuditSpec extends SparkSpec {
     // spec-frame unions (4 rows) + broadcast scalar joins, same shape
     // as every other nar leg — measured 4 -> 4 across scale factors
     "nar_cont_est", "nar_cont_check",
+    // rank window over the ≤ #sources-row literal strength frame
+    "bradley_terry",
     "nar_hpo", "nar_mlm_est", "nar_mlm_check",
     "wander_join_est", "isotonic_calibration",
     "isotonic_check", "conformal_interval", "curriculum_plan",
