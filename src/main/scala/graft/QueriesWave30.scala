@@ -136,6 +136,79 @@ object QueriesWave30 {
        |FROM best b JOIN sA ON sA.sa_va = b.va LEFT JOIN sB ON sB.sb_vb = b.vb
        |ORDER BY b.va""".stripMargin
 
+  // ---- bitext_recall: probed mining vs brute-force truth ----
+
+  /** The eval loop of the bitext leg (the `ann_recall` discipline
+    * applied to mining): for every source vector the IVF-probed search
+    * mined a target for, the BRUTE-FORCE best target over the whole
+    * target side — same exact cosine grid, same (cos desc, lower id)
+    * tie-break — plus whether the probed search found it. The
+    * brute-force side is the documented ground-truth leg (the
+    * `embed_cosine_topk` role): quadratic in the two sides at test
+    * scale, run exactly to MEASURE the probe budget's recall, never as
+    * the production path. Itemized per source vector so a recall
+    * regression is visible per row, not hidden in an average.
+    */
+  def bitextRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    val q = QueriesWave6.knnQuantized(spark, dir)
+    val bf = q.filter(col("label") === 0)
+      .select(col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
+      .crossJoin(q.filter(col("label") === 1)
+        .select(col("vec_id").as("vc"), col("qv").as("qc"), col("nn").as("nc")))
+      .withColumn("cos6", expr(
+        """CAST(round(1e6 * (CAST(quantized_dot(qa, qc) AS DOUBLE)
+          | / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nc AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col("va"))
+      .agg(max_by(struct(col("vc"), col("cos6")),
+        struct(col("cos6"), -col("vc"))).as("__b"))
+      .select(col("va"), col("__b.vc").as("vb_true"),
+        col("__b.cos6").as("cos6_true"))
+    bitextMineQ(spark, dir)
+      .select(col("va"), col("vb").as("vb_mined"), col("cos6").as("cos6_mined"))
+      .join(bf, Seq("va"))
+      .select(col("va"), col("vb_mined"), col("cos6_mined"),
+        col("vb_true"), col("cos6_true"),
+        (col("vb_mined") === col("vb_true")).as("hit"))
+      .orderBy(col("va"))
+  }
+
+  val bitextRecallSql: String =
+    s"""WITH ${QueriesWave6.knnQuantCte},
+       |${QueriesWave26.ivfAcosCtes},
+       |assign AS (SELECT q.vec_id, q.label, z.list_id FROM (
+       |  SELECT vec_id, cent_id AS list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |  FROM acos) z JOIN q ON q.vec_id = z.vec_id WHERE rn = 1),
+       |plist AS (SELECT z.vec_id, q.label, z.list_id FROM (
+       |  SELECT vec_id, cent_id AS list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+       |  FROM acos) z JOIN q ON q.vec_id = z.vec_id
+       |  WHERE rn <= ${QueriesText.ivfNProbe}),
+       |pairsAB AS (SELECT p.vec_id AS va, b.vec_id AS vb
+       |  FROM plist p JOIN assign b ON b.list_id = p.list_id AND b.label = 1
+       |  WHERE p.label = 0 GROUP BY 1, 2),
+       |bfp AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.qv AS qva, b.qv AS qvb
+       |  FROM q a JOIN q b ON a.label = 0 AND b.label = 1),
+       |bex AS (SELECT va, vb, qva, qvb, unnest(range(1, len(qva) + 1)) AS i FROM bfp),
+       |bdots AS MATERIALIZED (SELECT va, vb, CAST(SUM(qva[i] * qvb[i]) AS BIGINT) AS dot
+       |  FROM bex GROUP BY 1, 2),
+       |bcs AS (SELECT d.va, d.vb,
+       |    CAST(round(1e6 * (CAST(d.dot AS DOUBLE)
+       |      / sqrt(CAST(na.nn AS DOUBLE)) / sqrt(CAST(nb.nn AS DOUBLE)))) AS BIGINT) AS cos6
+       |  FROM bdots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb),
+       |bbest AS (SELECT va, vb AS vb_true, cos6 AS cos6_true FROM (
+       |  SELECT va, vb, cos6, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos6 DESC, vb) AS rn
+       |  FROM bcs) WHERE rn = 1),
+       |mcs AS (SELECT c.* FROM bcs c JOIN pairsAB p ON p.va = c.va AND p.vb = c.vb),
+       |mbest AS (SELECT va, vb AS vb_mined, cos6 AS cos6_mined FROM (
+       |  SELECT va, vb, cos6, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos6 DESC, vb) AS rn
+       |  FROM mcs) WHERE rn = 1)
+       |SELECT m.va, m.vb_mined, m.cos6_mined, b.vb_true, b.cos6_true,
+       |  m.vb_mined = b.vb_true AS hit
+       |FROM mbest m JOIN bbest b ON b.va = m.va
+       |ORDER BY m.va""".stripMargin
+
   // ---- bradley_terry: pairwise-preference strength fit (RLHF prep) ----
 
   /** MM iterations (Hunter 2004) — quantized, so both engines replay
@@ -290,11 +363,13 @@ object QueriesWave30 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitext_mine" -> (bitextMineQ _),
+    "bitext_recall" -> (bitextRecallQ _),
     "bradley_terry" -> (bradleyTerryQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "bitext_mine" -> bitextMineSql,
+    "bitext_recall" -> bitextRecallSql,
     "bradley_terry" -> bradleyTerrySql
   )
 }

@@ -132,7 +132,7 @@ class EntrySpec extends SparkSpec {
       "dedup_saturation",
       "heldout_perplexity", "topk_rbo", "welch_anova",
       "bloom_fpp_plan", "cluster_purity", "embed_outliers",
-      "mixture_gof", "dup_quality_or", "bitext_mine", "bradley_terry")
+      "mixture_gof", "dup_quality_or", "bitext_mine", "bitext_recall", "bradley_terry")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

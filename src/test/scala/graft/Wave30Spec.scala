@@ -56,6 +56,20 @@ class Wave30Spec extends SparkSpec {
     }
   }
 
+  test("bitext_recall: mined never beats brute force; probe budget finds a real share") {
+    val rows = QueriesWave30.bitextRecallQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(4),
+        s"anchor ${r.getLong(0)}: mined cos ${r.getLong(2)} above truth ${r.getLong(4)}")
+      // hit ⟺ same target ⟹ same cosine
+      if (r.getBoolean(5)) assert(r.getLong(2) == r.getLong(4))
+    }
+    val recall = rows.count(_.getBoolean(5)).toDouble / rows.length
+    // same probe-budget regime as ivf_kmeans_recall's 0.2 floor
+    assert(recall >= 0.2, s"probed mining recall $recall")
+  }
+
   test("bradley_terry: a proper normalized strength scale over every source") {
     val rows = QueriesWave30.bradleyTerryQ(spark, sf).collect()
     val nSrc = Tables(spark, sf, "documents")
