@@ -51,11 +51,14 @@ object Bench {
     // committed per-memo/per-checkpoint breakdown instead of one
     // unattributed blob (timed passes run with the flag off — they
     // only ever read already-persisted frames).
+    // try/finally: if the warm pass throws, the flag must not leak —
+    // eagerTiming=true changes Memo semantics (every later build in the
+    // process would eagerly count()) for any same-JVM caller after us.
     Memo.eagerTiming = true
     val warmT0 = System.nanoTime()
-    pass()
+    try pass()
+    finally Memo.eagerTiming = false
     val warmSec = (System.nanoTime() - warmT0) / 1e9
-    Memo.eagerTiming = false
     // Three timed passes, min per query: steady-state throughput, not
     // whichever query paid the JIT/GC spike that run.
     val passes = Seq(pass(), pass(), pass())
@@ -70,10 +73,16 @@ object Bench {
     // driver tails only ~2,000 chars of stdout, so a map that long truncates
     // the head of the JSON object and the perf grade is lost. Keep the
     // stdout line compact (<1,500 chars): total + the 10 slowest queries.
+    // Key the timing maps by (dataset dir, tag): benching two datasets
+    // in one process must not emit duplicate JSON keys. Entries for
+    // THIS run's dir keep the bare tag (the common case stays
+    // readable); any other dir's entries are prefixed with its name.
+    def dirKey(d: String, tag: String): String =
+      if (d == sfDir) tag else s"${new java.io.File(d).getName}:$tag"
     val memoSecs = Memo.buildSecs.toSeq
-      .map { case ((_, tag), s) => tag -> s }.sortBy(-_._2)
+      .map { case ((d, tag), s) => dirKey(d, tag) -> s }.sortBy(-_._2)
     val ckptSecs = Checkpoint.buildSecs.toSeq
-      .map { case ((_, name), s) => name -> s }.sortBy(-_._2)
+      .map { case ((d, name), s) => dirKey(d, name) -> s }.sortBy(-_._2)
     val detail =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${f(warmSec)},"memo_sec":${jmap(memoSecs)},"ckpt_train_sec":${jmap(ckptSecs)}}"""
     java.nio.file.Files.write(

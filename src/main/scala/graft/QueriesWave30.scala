@@ -31,8 +31,20 @@ object QueriesWave30 {
     * separates genuine translations from hubs that are merely close
     * to everything. Accepted ⟺ margin ≥ τ, evaluated as the EXACT
     * integer predicate 2·τden·cos6·kx·ky ≥ τnum·(sx·ky + sy·kx) (sums
-    * of 1e-6-grid cosines, so the verdict cannot float-drift); the
-    * reported margin itself is one fixed-order double chain. Pair
+    * of 1e-6-grid cosines, so the verdict cannot float-drift) — the
+    * cross-multiplied form flips sign when the mean-top-k denominator
+    * is ≤ 0, so acceptance additionally requires sx·ky + sy·kx > 0
+    * (kx, ky > 0 always): with a non-positive denominator the margin
+    * ratio is meaningless and the pair is rejected, keeping the
+    * `accepted` bit and the reported `margin` double mutually
+    * consistent on adversarial/negative-cosine clouds. When the mined
+    * target's own probed neighborhood retrieved no source-side vector
+    * (sB absent after the left join), the margin falls back to the
+    * FORWARD-ONLY form (sy := sx, ky := kx) rather than force-reject:
+    * Artetxe–Schwenk always scores both neighborhoods, and the
+    * nearest-neighbor's missing reverse view is an artifact of the
+    * probe budget, not evidence against the pair. The reported margin
+    * itself is one fixed-order double chain. Pair
     * work is probes × probed-cell population on BOTH directions
     * (the hard_negatives cell-bounded discipline — never side A ×
     * side B), candidates ride the shared memoized [[QueriesWave26
@@ -76,14 +88,17 @@ object QueriesWave30 {
       best
         .join(sA, Seq("va"))
         .join(sB, Seq("vb"), "left")
+        // forward-only fallback when the reverse neighborhood is empty
+        .withColumn("sy2", coalesce(col("sy"), col("sx")))
+        .withColumn("ky2", coalesce(col("ky"), col("kx")))
         .select(col("va"), col("vb"), col("cos6"),
           (lit(2.0) * col("cos6").cast("double") /
             (col("sx").cast("double") / col("kx").cast("double") +
-              col("sy").cast("double") / col("ky").cast("double"))).as("margin"),
-          coalesce(
-            lit(2L * bmTauDen) * col("cos6") * col("kx") * col("ky") >=
-              lit(bmTauNum) * (col("sx") * col("ky") + col("sy") * col("kx")),
-            lit(false)).as("accepted"))
+              col("sy2").cast("double") / col("ky2").cast("double"))).as("margin"),
+          (col("sx") * col("ky2") + col("sy2") * col("kx") > 0 &&
+            lit(2L * bmTauDen) * col("cos6") * col("kx") * col("ky2") >=
+              lit(bmTauNum) * (col("sx") * col("ky2") + col("sy2") * col("kx")))
+            .as("accepted"))
     }.orderBy(col("va"))
 
   val bitextMineSql: String =
@@ -127,31 +142,56 @@ object QueriesWave30 {
        |best AS (SELECT va, vb, cos6 FROM (
        |  SELECT va, vb, cos6, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos6 DESC, vb) AS rn
        |  FROM csAB) WHERE rn = 1)
-       |SELECT b.va, b.vb, b.cos6,
-       |  2.0 * CAST(b.cos6 AS DOUBLE)
-       |    / (CAST(sA.sx AS DOUBLE) / CAST(sA.kx AS DOUBLE)
-       |       + CAST(sB.sy AS DOUBLE) / CAST(sB.ky AS DOUBLE)) AS margin,
-       |  COALESCE(${2 * bmTauDen} * b.cos6 * sA.kx * sB.ky >=
-       |    $bmTauNum * (sA.sx * sB.ky + sB.sy * sA.kx), FALSE) AS accepted
-       |FROM best b JOIN sA ON sA.sa_va = b.va LEFT JOIN sB ON sB.sb_vb = b.vb
-       |ORDER BY b.va""".stripMargin
+       |, scored AS (SELECT b.va, b.vb, b.cos6, sA.sx, sA.kx,
+       |    COALESCE(sB.sy, sA.sx) AS sy2, COALESCE(sB.ky, sA.kx) AS ky2
+       |  FROM best b JOIN sA ON sA.sa_va = b.va LEFT JOIN sB ON sB.sb_vb = b.vb)
+       |SELECT va, vb, cos6,
+       |  2.0 * CAST(cos6 AS DOUBLE)
+       |    / (CAST(sx AS DOUBLE) / CAST(kx AS DOUBLE)
+       |       + CAST(sy2 AS DOUBLE) / CAST(ky2 AS DOUBLE)) AS margin,
+       |  (sx * ky2 + sy2 * kx > 0 AND ${2 * bmTauDen} * cos6 * kx * ky2 >=
+       |    $bmTauNum * (sx * ky2 + sy2 * kx)) AS accepted
+       |FROM scored
+       |ORDER BY va""".stripMargin
 
   // ---- bitext_recall: probed mining vs brute-force truth ----
 
+  /** Eval-sample modulus: the brute-force truth side of
+    * [[bitextRecallQ]] is computed for the md5-seeded ~1/bmEvalMod of
+    * source vectors (the reference's `--eval-sample-size` discipline —
+    * recall is ESTIMATED on a seeded probe sample, never paid as
+    * sources × targets). The seed mix is `btr:<vec_id>`, replayed
+    * bit-for-bit by the oracle, so both engines measure the identical
+    * sample. */
+  val bmEvalMod = 4L
+
+  /** The md5-seeded eval predicate over a source-side `vec_id` column
+    * (exposed for PairGrowthAuditSpec's pair-frame inventory). */
+  private[graft] def bmEvalSampled(vecId: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("btr:"), vecId.cast("string"))), 1, 13), 16, 10)
+      .cast("long") % bmEvalMod === 0
+
+  private val bmEvalSampledSql =
+    s"CAST(('0x' || substr(md5('btr:' || CAST(a.vec_id AS VARCHAR)), 1, 13)) AS BIGINT) % $bmEvalMod = 0"
+
   /** The eval loop of the bitext leg (the `ann_recall` discipline
-    * applied to mining): for every source vector the IVF-probed search
-    * mined a target for, the BRUTE-FORCE best target over the whole
+    * applied to mining): for every SAMPLED source vector ([[bmEvalMod]]
+    * — the probe side is an md5-seeded sample, the reference's
+    * `--eval-sample-size` discipline) the IVF-probed search mined a
+    * target for, the BRUTE-FORCE best target over the whole
     * target side — same exact cosine grid, same (cos desc, lower id)
     * tie-break — plus whether the probed search found it. The
     * brute-force side is the documented ground-truth leg (the
-    * `embed_cosine_topk` role): quadratic in the two sides at test
-    * scale, run exactly to MEASURE the probe budget's recall, never as
+    * `embed_cosine_topk` role): linear in the target side per sampled
+    * probe — a FIXED eval budget at 100 TB, not a quadratic — run
+    * exactly to MEASURE the probe budget's recall, never as
     * the production path. Itemized per source vector so a recall
     * regression is visible per row, not hidden in an average.
     */
   def bitextRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val q = QueriesWave6.knnQuantized(spark, dir)
     val bf = q.filter(col("label") === 0)
+      .filter(bmEvalSampled(col("vec_id")))
       .select(col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
       .crossJoin(q.filter(col("label") === 1)
         .select(col("vec_id").as("vc"), col("qv").as("qc"), col("nn").as("nc")))
@@ -189,7 +229,8 @@ object QueriesWave30 {
        |  FROM plist p JOIN assign b ON b.list_id = p.list_id AND b.label = 1
        |  WHERE p.label = 0 GROUP BY 1, 2),
        |bfp AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.qv AS qva, b.qv AS qvb
-       |  FROM q a JOIN q b ON a.label = 0 AND b.label = 1),
+       |  FROM q a JOIN q b ON a.label = 0 AND b.label = 1
+       |  WHERE $bmEvalSampledSql),
        |bex AS (SELECT va, vb, qva, qvb, unnest(range(1, len(qva) + 1)) AS i FROM bfp),
        |bdots AS MATERIALIZED (SELECT va, vb, CAST(SUM(qva[i] * qvb[i]) AS BIGINT) AS dot
        |  FROM bex GROUP BY 1, 2),

@@ -198,8 +198,12 @@ object QueriesWave8 {
       .map { case (d, p) => s"SELECT $d AS digit, CAST($p AS DOUBLE) AS p_expected" }
       .mkString(" UNION ALL ")
     val tot = obs.agg(sum(col("n_obs")).as("nn"))
-    val terms = broadcast(obs.sparkSession.sql(spine))
-      .join(obs, Seq("digit"), "left_outer")
+    // Broadcast the BUILD side (obs, ≤9 post-agg rows): for a left
+    // outer join Spark can only build the right side — hinting the
+    // preserved left side is ignored with a HintErrorLogger WARN per
+    // execution (r12 bench tail).
+    val terms = obs.sparkSession.sql(spine)
+      .join(broadcast(obs), Seq("digit"), "left_outer")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .crossJoin(broadcast(tot))
       .withColumn("t6", expr(

@@ -252,20 +252,71 @@ object TextOps {
         col("__bands")(2).as("b2"), col("__bands")(3).as("b3"))
   }
 
+  /** Band-bucket population above which the second-level pigeonhole
+    * kicks in (see [[simhashCandidates]]): a bucket of ≤ cap docs
+    * contributes at most C(cap, 2) pairs — bounded work per bucket —
+    * while anything larger is re-split so no single key ever owns an
+    * unbounded quadratic. Dial measured in PairGrowthAuditSpec on both
+    * test corpora. */
+  val simhashHotCap = 32L
+
+  /** Candidate pairs for hamming ≤ 3 over the 4 × 16-bit bands, with a
+    * LOSSLESS second-level pigeonhole on hot buckets: a qualifying
+    * pair shares some band b exactly (first pigeonhole), so its ≤ 3
+    * differing bits all lie in the 48 complement bits; splitting those
+    * into 4 sub-bands of 12 bits, at least one sub-band is also exact
+    * (second pigeonhole — 3 diffs cannot hit 4 sub-bands). Buckets at
+    * or under [[simhashHotCap]] join directly; hot buckets join on
+    * (band key, sub-band id, sub-band value), converting one hot-key
+    * quadratic into 4 unions of sub-bucket quadratics. At 100 TB this
+    * is the skew guard: a degenerate signature cluster (boilerplate
+    * corpus slice) caps per-task pair fan-out at the sub-bucket level
+    * instead of melting one reducer; the hot-key list itself is ≤
+    * n/cap rows — broadcastable by construction.
+    */
+  def simhashCandidates(bands: DataFrame,
+      hotCap: Long = simhashHotCap): DataFrame =
+    (0 until 4).map { b =>
+      val others = (0 until 4).filter(_ != b)
+      // exact 48-bit complement of band b as one long (each band is a
+      // 16-bit value, so the polynomial concat stays < 2^48)
+      val comp = others.zipWithIndex
+        .map { case (o, i) => col(s"b$o") * lit(1L << (16 * i)) }
+        .reduce(_ + _)
+      val keyed = bands.select(
+        col("doc_id"), col(s"b$b").as("__k"), comp.as("__c"))
+      val hot = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotCap).select(col("__k"))
+      val cold = keyed.join(broadcast(hot), Seq("__k"), "left_anti")
+      val coldPairs = cold.select(col("doc_id").as("doc_a"), col("__k"))
+        .join(cold.select(col("doc_id").as("doc_b"), col("__k")), Seq("__k"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val sub = keyed.join(broadcast(hot), Seq("__k"))
+        .select(col("doc_id"), col("__k"),
+          explode(array((0 until 4).map(s => struct(lit(s).as("s"),
+            shiftright(col("__c"), 12 * s).bitwiseAND(lit(4095L)).as("v"))): _*))
+            .as("__sb"))
+        .select(col("doc_id"), col("__k"),
+          col("__sb.s").as("__s"), col("__sb.v").as("__v"))
+      val hotPairs = sub.select(col("doc_id").as("doc_a"), col("__k"), col("__s"), col("__v"))
+        .join(sub.select(col("doc_id").as("doc_b"), col("__k"), col("__s"), col("__v")),
+          Seq("__k", "__s", "__v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      coldPairs.unionAll(hotPairs)
+    }.reduce(_.unionAll(_)).distinct()
+
   /** Near-dup pairs with Hamming distance ≤ maxHamming (< 4): any pair
     * within that distance must share at least one of the 4 bands
-    * (pigeonhole), so candidates come from 4 equi-joins, never N².
+    * (pigeonhole), so candidates come from 4 equi-joins, never N² —
+    * with hot band buckets re-split by [[simhashCandidates]]'s
+    * second-level pigeonhole (output-identical: the blocking is
+    * lossless for hamming ≤ 3, only the candidate set shrinks).
     */
   def simhashDups(bands: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "band pigeonhole only covers hamming < #bands")
-    val cands = (0 until 4)
-      .map { b =>
-        val l = bands.select(col("doc_id").as("doc_a"), col(s"b$b").as("__k"))
-        val r = bands.select(col("doc_id").as("doc_b"), col(s"b$b").as("__k"))
-        l.join(r, "__k").filter(col("doc_a") < col("doc_b")).select(col("doc_a"), col("doc_b"))
-      }
-      .reduce(_.unionAll(_))
-      .distinct()
+    val cands = simhashCandidates(bands)
     val la = bands.select(col("doc_id").as("doc_a"),
       col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val lb = bands.select(col("doc_id").as("doc_b"),

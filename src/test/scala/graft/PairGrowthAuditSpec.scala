@@ -58,24 +58,34 @@ class PairGrowthAuditSpec extends SparkSpec {
     }
   }
 
-  test("simhash band buckets stay under corpus all-pairs") {
+  test("simhash two-level candidates stay under corpus all-pairs") {
     // The loosest frame of the family ON THIS CORPUS, by measurement:
     // the ~30-word vocabulary concentrates the 64-bit signatures
     // (median pairwise hamming is 15, and the TRUE hamming ≤ 3 output
-    // is itself ~0.8% of all-pairs ≈ 105k pairs at sf0.1), so 16-bit
-    // band buckets run hot (~15-17% of all-pairs at both scales —
-    // ~18× the true output). A measured two-level banding variant
-    // (band + sub-band of the complement, 28 matching bits) recovered
-    // only 23% — the mass is signature concentration, not a blocking
-    // bug. The 0.25 ceiling still fails a degenerate (≈ 1.0) scheme.
+    // is itself ~0.8% of all-pairs ≈ 105k pairs at sf0.1), so raw
+    // 16-bit band buckets run hot (~15-17% of all-pairs at both
+    // scales — ~18× the true output). The production candidate frame
+    // (TextOps.simhashCandidates) re-splits buckets above
+    // simhashHotCap by the lossless second pigeonhole (4 × 12-bit
+    // sub-bands of the 48 complement bits — any hamming ≤ 3 pair
+    // still shares an exact (band, sub-band) key); both the raw band
+    // mass and the recovered candidate count are printed so the
+    // recovery stays a measured, not asserted, quantity. The ceiling
+    // binds the REAL candidate frame and still fails a degenerate
+    // (≈ 1.0) scheme.
     for (dir <- dirs) {
       val n = docs(dir).count()
-      val bands = graft.operators.TextOps.simhashBands(docs(dir))
+      val bands = Memo.persisted(graft.operators.TextOps.simhashBands(docs(dir)))
       val mass = (0 until 4).map { b =>
         bucketPairs(bands.select(col(s"b$b").as("k")), Seq("k"))
       }.sum
-      info(s"$dir: simhash band mass $mass / ${nPairs(n)} = ${mass.toDouble / nPairs(n)}")
-      assert(mass.toDouble / nPairs(n) <= 0.25)
+      val cand = graft.operators.TextOps.simhashCandidates(bands).count()
+      info(s"$dir: raw band mass $mass / ${nPairs(n)} = ${mass.toDouble / nPairs(n)}")
+      info(s"$dir: two-level candidates $cand / ${nPairs(n)} = " +
+        s"${cand.toDouble / nPairs(n)} (recovery ${1.0 - cand.toDouble / mass})")
+      assert(cand.toDouble / nPairs(n) <= 0.25,
+        s"simhash blocking degenerated: $cand candidates vs ${nPairs(n)} pairs")
+      bands.unpersist()
     }
   }
 
@@ -121,6 +131,22 @@ class PairGrowthAuditSpec extends SparkSpec {
       info(s"$dir: hn pairs $cand / anchors×corpus $dom = ${cand.toDouble / dom}")
       // nProbe 2 of 16 cells → ~1/8 of the corpus per anchor; allow skew
       assert(cand.toDouble / dom <= 0.25)
+    }
+  }
+
+  test("bitext_recall brute-force truth runs on the eval sample, not every source") {
+    // The recall eval's quadratic leg (sampled sources × all targets)
+    // must stay pinned to the md5-seeded ~1/bmEvalMod probe sample —
+    // the reference's --eval-sample-size discipline. A predicate that
+    // degenerates to all sources turns the eval back into sides A × B.
+    for (dir <- dirs) {
+      val src = Tables(spark, dir, "embeddings").filter(col("label") === 0)
+      val nSrc = src.count()
+      val sampled = src.filter(QueriesWave30.bmEvalSampled(col("vec_id"))).count()
+      info(s"$dir: sampled probes $sampled / $nSrc = ${sampled.toDouble / nSrc}")
+      assert(sampled > 0, "eval sample is empty — recall would be vacuous")
+      assert(sampled.toDouble / nSrc <= 0.45,
+        s"eval sample degenerated toward all sources: $sampled / $nSrc")
     }
   }
 
