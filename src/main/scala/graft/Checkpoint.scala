@@ -2,14 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Warehouse persistence for TRAINED artifacts — the cross-session
-  * counterpart of [[Memo]]. A trained model's parameters (the NAR
-  * joint, k-means centroids, the isotonic staircase) are tiny tables
+/** Warehouse persistence for TRAINED artifacts and their
+  * deterministic derived frames — the cross-session counterpart of
+  * [[Memo]]. A trained model's parameters (the NAR joint, k-means
+  * centroids, the isotonic staircase) are tiny tables
   * that cost a training run to produce; a real engine writes them to
   * the warehouse keyed by (dataset, schema version) and serves every
   * later session WITHOUT retraining (the reference's checkpoint
   * load/`--glob` path in scardina/run.py — models are trained once and
-  * reloaded per workload). Here: parquet under
+  * reloaded per workload). The same contract covers bounded,
+  * fingerprint-keyed DERIVED products of those inputs (eval truths,
+  * decoded joints, per-spec estimate frames): rebuilding them is
+  * deterministic but costs per-session scans, so they ship in the
+  * store beside the parameters they derive from. Here: parquet under
   * `models/graft_ckpt/<schemaVersion>/<dataset>-<fingerprint>/
   * <name>`, written on first build, read-if-present ever after.
   *
@@ -29,8 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Checkpoint {
 
   /** Bump when a trainer/encoding change invalidates persisted
-    * artifacts (see class doc). */
-  val schemaVersion = "v1"
+    * artifacts (see class doc). v2: nar_cont_head means moved to the
+    * exact-integer 1e-6 grid (the v1 avg() summed doubles in partition
+    * order — nondeterministic in the last ulp across boxes, caught by
+    * CheckpointSpec's rebuild-vs-committed diff). */
+  val schemaVersion = "v2"
 
   /** Counts build-thunk executions (i.e. actual training runs).
     * CheckpointSpec uses it to prove a second session serves trained
@@ -83,6 +91,15 @@ object Checkpoint {
     tables.foldLeft("17")((acc, t) =>
       s"(($acc * 1000003 + (SELECT COUNT(*) FROM $t)) % $fingerprintMod)")
 
+  /** Session-level cache of loaded artifact frames: every consumer of
+    * a given (session, artifact path) shares ONE read relation — the
+    * footer read and schema inference happen once per session, not
+    * once per query that touches the artifact. (Most callers also
+    * wrap the result in a [[Memo]]; this covers the ones that don't,
+    * e.g. the model_store catalog's live probes.) */
+  private val loaded =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
   /** Serve `name` from the warehouse if present; otherwise run `build`
     * (counted as a training run), persist its result, and serve the
     * read-back — so downstream plans are identical on the build and
@@ -99,7 +116,8 @@ object Checkpoint {
       val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p.toString)
       buildSecs.put((dir, name), (System.nanoTime() - t0) / 1e9)
+      loaded.remove((spark, p.toString))
     }
-    spark.read.parquet(p.toString)
+    loaded.getOrElseUpdate((spark, p.toString), spark.read.parquet(p.toString))
   }
 }

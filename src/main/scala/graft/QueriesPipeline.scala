@@ -644,9 +644,13 @@ object QueriesPipeline {
 
   // ---- row 11m: model_store — the warehouse model-store catalog ----
 
-  /** The model-store catalog: one row per persisted trained artifact
-    * (NAR joint, incremental NAR joints, k-means centroid index,
-    * isotonic staircase) with the data-dependent fingerprint that keys
+  /** The model-store catalog: one row per persisted warehouse artifact
+    * — trained parameters (NAR joint, incremental NAR joints, k-means
+    * centroid index, isotonic staircase) and their deterministic
+    * derived eval frames (nar_truths, nar_inc_decoded, nar_inc_ests,
+    * model_ests — fingerprint-keyed products of the same training
+    * inputs, persisted so a session's warm path is footer reads, not
+    * re-derivation) — with the data-dependent fingerprint that keys
     * it and a loaded-and-non-empty verdict. Constructing the frame
     * LOADS every artifact through its owner (training on a cold store,
     * reading parquet ever after) — so the catalog row is a live probe
@@ -666,20 +670,28 @@ object QueriesPipeline {
         QueriesWave11.isotonicFit(spark, dir)),
       ("kmeans_centroids", QueriesText.kmeansFpTables,
         QueriesText.kmeansCentsFrame(spark, dir)),
-      ("nar_cont_head", QueriesEstimators.narFpTables,
-        QueriesEstimators.narContArtifact(spark, dir)),
-      ("nar_hpo_evals", QueriesEstimators.narFpTables,
-        QueriesEstimators.narHpoArtifact(spark, dir)),
-      ("nar_inc_joint", QueriesEstimators.narFpTables,
-        QueriesEstimators.narIncArtifact(spark, dir)),
-      ("nar_joint", QueriesEstimators.narFpTables,
-        QueriesEstimators.narJointArtifact(spark, dir)),
-      ("nar_mlm_joint", QueriesEstimators.narFpTables,
-        QueriesEstimators.narMlmArtifact(spark, dir)),
-      ("nar_tx_curve", QueriesEstimators.narFpTables,
-        QueriesEstimators.narTxCurveArtifact(spark, dir)),
-      ("nar_tx_joint", QueriesEstimators.narFpTables,
-        QueriesEstimators.narTxArtifact(spark, dir)))
+      ("model_ests", QueriesEstimators.modelEstsFpTables,
+        QueriesEstimators.modelEstsArtifact(spark, dir)),
+      ("nar_cont_head", QueriesNar.narFpTables,
+        QueriesNar.narContArtifact(spark, dir)),
+      ("nar_hpo_evals", QueriesNar.narFpTables,
+        QueriesNar.narHpoArtifact(spark, dir)),
+      ("nar_inc_decoded", QueriesNar.narFpTables,
+        QueriesNar.narIncDecodedArtifact(spark, dir)),
+      ("nar_inc_ests", QueriesNar.narFpTables,
+        QueriesNar.narIncEstsArtifact(spark, dir)),
+      ("nar_inc_joint", QueriesNar.narFpTables,
+        QueriesNar.narIncArtifact(spark, dir)),
+      ("nar_joint", QueriesNar.narFpTables,
+        QueriesNar.narJointArtifact(spark, dir)),
+      ("nar_mlm_joint", QueriesNar.narFpTables,
+        QueriesNar.narMlmArtifact(spark, dir)),
+      ("nar_truths", QueriesNar.narFpTables,
+        QueriesNar.narTruthsArtifact(spark, dir)),
+      ("nar_tx_curve", QueriesNar.narFpTables,
+        QueriesNar.narTxCurveArtifact(spark, dir)),
+      ("nar_tx_joint", QueriesNar.narFpTables,
+        QueriesNar.narTxArtifact(spark, dir)))
     artifacts
       .map { case (name, tables, frame) =>
         (name, Checkpoint.tableFingerprint(spark, dir, tables: _*),
@@ -694,13 +706,17 @@ object QueriesPipeline {
       ("bpe_merges", Seq("documents")),
       ("isotonic_staircase", QueriesWave11.isoFpTables),
       ("kmeans_centroids", QueriesText.kmeansFpTables),
-      ("nar_cont_head", QueriesEstimators.narFpTables),
-      ("nar_hpo_evals", QueriesEstimators.narFpTables),
-      ("nar_inc_joint", QueriesEstimators.narFpTables),
-      ("nar_joint", QueriesEstimators.narFpTables),
-      ("nar_mlm_joint", QueriesEstimators.narFpTables),
-      ("nar_tx_curve", QueriesEstimators.narFpTables),
-      ("nar_tx_joint", QueriesEstimators.narFpTables))
+      ("model_ests", QueriesEstimators.modelEstsFpTables),
+      ("nar_cont_head", QueriesNar.narFpTables),
+      ("nar_hpo_evals", QueriesNar.narFpTables),
+      ("nar_inc_decoded", QueriesNar.narFpTables),
+      ("nar_inc_ests", QueriesNar.narFpTables),
+      ("nar_inc_joint", QueriesNar.narFpTables),
+      ("nar_joint", QueriesNar.narFpTables),
+      ("nar_mlm_joint", QueriesNar.narFpTables),
+      ("nar_truths", QueriesNar.narFpTables),
+      ("nar_tx_curve", QueriesNar.narFpTables),
+      ("nar_tx_joint", QueriesNar.narFpTables))
     rows.map { case (name, tables) =>
       s"SELECT '$name' AS artifact, CAST(${Checkpoint.fingerprintSql(tables)}" +
         " AS BIGINT) AS fingerprint, TRUE AS loaded_ok"

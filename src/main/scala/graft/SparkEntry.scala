@@ -8,6 +8,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesEstimators.queries ++
+    QueriesSampleEst.queries ++ QueriesNar.queries ++
       QueriesStats.queries ++ QueriesText.queries ++ QueriesStreaming.queries ++
       QueriesCorpus.queries ++ QueriesAnalytics.queries ++ QueriesGraph.queries ++
       QueriesRelational.queries ++ QueriesPipeline.queries ++ QueriesWave6.queries ++ QueriesWave7.queries ++
@@ -23,6 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesEstimators.oracleSql ++
+    QueriesSampleEst.oracleSql ++ QueriesNar.oracleSql ++
       QueriesStats.oracleSql ++ QueriesText.oracleSql ++ QueriesStreaming.oracleSql ++
       QueriesCorpus.oracleSql ++ QueriesAnalytics.oracleSql ++ QueriesGraph.oracleSql ++
       QueriesRelational.oracleSql ++ QueriesPipeline.oracleSql ++ QueriesWave6.oracleSql ++ QueriesWave7.oracleSql ++

@@ -32,6 +32,34 @@ class CheckpointSpec extends SparkSpec {
         "second session re-ran a trainer instead of loading its checkpoint")
       // reload identity: both sessions answer identically
       for (q <- surfaces) assert(got1(q) == got2(q), s"reload drift on $q")
+      // Stale-committed-artifact guard: the store key is schemaVersion
+      // + a row-count fingerprint, so a training-table content edit
+      // that preserves counts — or a trainer change without a
+      // schemaVersion bump — would otherwise silently serve stale
+      // COMMITTED parameters to every fresh checkout. Every artifact
+      // this cold session just rebuilt from scratch must match the
+      // committed store value-for-value wherever the committed store
+      // carries the same (version, dataset-fingerprint, name) key.
+      val rebuiltRoot = new java.io.File(tmp, Checkpoint.schemaVersion)
+      val committedRoot = new java.io.File("models/graft_ckpt", Checkpoint.schemaVersion)
+      var checked = 0
+      for {
+        ds <- Option(rebuiltRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+        if ds.isDirectory
+        art <- Option(ds.listFiles()).getOrElse(Array.empty[java.io.File])
+        if art.isDirectory
+      } {
+        val committed = new java.io.File(new java.io.File(committedRoot, ds.getName), art.getName)
+        if (new java.io.File(committed, "_SUCCESS").exists()) {
+          val a = spark.read.parquet(art.getPath).collect().map(_.toString).sorted.toSeq
+          val b = spark.read.parquet(committed.getPath).collect().map(_.toString).sorted.toSeq
+          assert(a == b,
+            s"committed artifact ${ds.getName}/${art.getName} is stale vs a from-scratch rebuild")
+          checked += 1
+        }
+      }
+      info(s"diffed $checked rebuilt artifacts against the committed store")
+      assert(checked >= 5, "rebuild-vs-committed diff found nothing to compare")
     } finally {
       Checkpoint.rootOverride = None
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

@@ -39,7 +39,7 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("progressive_est covers the sampled subschema's specs with finite q-error") {
-    val got = QueriesEstimators.progressiveEstQ(spark, sf)
+    val got = QueriesSampleEst.progressiveEstQ(spark, sf)
       .as[(String, Double, Double)].collect().toSeq
     assert(got.nonEmpty)
     got.foreach { case (id, est, qerr) =>
@@ -50,7 +50,7 @@ class EstimatorModelSpec extends SparkSpec {
 
   test("nar density model: joint sums to 1, einv in (0,1], estimates within 2× of truth") {
     val joint = graft.operators.NarModel.joint(
-      QueriesEstimators.trainingBatchQ(spark, sf), 6, 4, 4, 8, 8, 101L)
+      QueriesSampleEst.trainingBatchQ(spark, sf), 6, 4, 4, 8, 8, 101L)
     val mass = joint.agg(sum($"p")).as[Double].collect().head
     assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
     joint.select($"einv").as[Double].collect().foreach { e =>
@@ -61,7 +61,7 @@ class EstimatorModelSpec extends SparkSpec {
       .agg(sum($"p")).as[Double].collect().head
     assert(leak == 0.0)
     // end-to-end accuracy: tighter in-test than the oracle gate's 4×
-    val checks = QueriesEstimators.narCheckQ(spark, sf)
+    val checks = QueriesNar.narCheckQ(spark, sf)
       .as[(String, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
     assert(checks.map(_._1) == Seq("n01", "n02", "n03", "n04"))
     checks.foreach { case (id, fin, pos, q, prog) =>
@@ -90,7 +90,7 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("incremental NAR training: every before/after/agreement gate holds") {
-    val rows = QueriesEstimators.queries("nar_inc_check")(spark, sf).collect()
+    val rows = QueriesNar.queries("nar_inc_check")(spark, sf).collect()
     assert(rows.length == 4, rows.mkString(" | "))
     for (r <- rows; i <- 2 until 6)
       assert(r.getBoolean(i), s"gate $i false in $r")
@@ -140,7 +140,7 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("nar_training_curve: gates hold and training monotonically helped") {
-    val rows = QueriesEstimators.queries("nar_training_curve")(spark, sf).collect()
+    val rows = QueriesNar.queries("nar_training_curve")(spark, sf).collect()
     assert(rows.length == 12, s"3 rungs x 4 specs expected, got ${rows.length}")
     for (r <- rows; i <- 3 until 6)
       assert(r.getBoolean(i), s"gate $i false in $r")
@@ -148,7 +148,7 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("nar_hpo: grid shape, argmin selection, and the winner's contract hold") {
-    val rows = QueriesEstimators.queries("nar_hpo")(spark, sf).collect()
+    val rows = QueriesNar.queries("nar_hpo")(spark, sf).collect()
     assert(rows.length == 16, s"4 trials x 4 specs expected, got ${rows.length}")
     // columns: trial d h lr1000 query_id truth loss_ok sel_ok finite_ok best_ok
     assert(rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
@@ -158,11 +158,11 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("transformer NAR: joint mass 1, structural zero, every registered gate holds") {
-    val rows = QueriesEstimators.queries("nar_tx_check")(spark, sf).collect()
+    val rows = QueriesNar.queries("nar_tx_check")(spark, sf).collect()
     assert(rows.length == 4, rows.mkString(" | "))
     for (r <- rows; i <- 2 until 6)
       assert(r.getBoolean(i), s"gate $i false in $r")
-    val joint = QueriesEstimators.narTxArtifact(spark, sf)
+    val joint = QueriesNar.narTxArtifact(spark, sf)
     val mass = joint.agg(sum($"p")).as[Double].collect().head
     assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
     val leak = joint.filter($"o_code" === 1 && $"l_code" =!= 1)
@@ -212,11 +212,11 @@ class EstimatorModelSpec extends SparkSpec {
   }
 
   test("masked-denoising NAR: joint mass 1, structural zero, registered gates hold") {
-    val rows = QueriesEstimators.queries("nar_mlm_check")(spark, sf).collect()
+    val rows = QueriesNar.queries("nar_mlm_check")(spark, sf).collect()
     assert(rows.length == 4, rows.mkString(" | "))
     for (r <- rows; i <- 2 until 7)
       assert(r.getBoolean(i), s"gate $i false in $r")
-    val joint = QueriesEstimators.narMlmArtifact(spark, sf)
+    val joint = QueriesNar.narMlmArtifact(spark, sf)
     val mass = joint.agg(sum($"p")).as[Double].collect().head
     assert(math.abs(mass - 1.0) < 1e-9, s"joint mass $mass")
     val leak = joint.filter($"o_code" === 1 && $"l_code" =!= 1)

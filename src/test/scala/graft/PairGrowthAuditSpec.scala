@@ -83,7 +83,10 @@ class PairGrowthAuditSpec extends SparkSpec {
       info(s"$dir: raw band mass $mass / ${nPairs(n)} = ${mass.toDouble / nPairs(n)}")
       info(s"$dir: two-level candidates $cand / ${nPairs(n)} = " +
         s"${cand.toDouble / nPairs(n)} (recovery ${1.0 - cand.toDouble / mass})")
-      assert(cand.toDouble / nPairs(n) <= 0.25,
+      // measured: 0.076 (sf0.001) / 0.056 (sf0.1) with 54% / 64% of the
+      // raw band mass recovered by the hot-bucket sub-banding — the
+      // ceiling keeps ~2× headroom over the hotter scale
+      assert(cand.toDouble / nPairs(n) <= 0.15,
         s"simhash blocking degenerated: $cand candidates vs ${nPairs(n)} pairs")
       bands.unpersist()
     }
@@ -147,6 +150,58 @@ class PairGrowthAuditSpec extends SparkSpec {
       assert(sampled > 0, "eval sample is empty — recall would be vacuous")
       assert(sampled.toDouble / nSrc <= 0.45,
         s"eval sample degenerated toward all sources: $sampled / $nSrc")
+    }
+  }
+
+  test("blocking selectivity holds on a natural-entropy vocabulary variant") {
+    // The synthetic corpus has a 31-word vocabulary, which makes every
+    // content-keyed blocking scheme read hot (constant per-pair
+    // collision rates) — the asserted ceilings above are calibrated to
+    // that regime. This measures the SAME ratios on a derived
+    // natural-entropy variant so the dials (fuzzy segment matches,
+    // simhash band widths, winnow window) are calibrated against both
+    // regimes: each word occurrence is remapped by md5 over its
+    // TRIGRAM context (the two preceding words + itself, clamped at
+    // doc start) onto a 16^4-slot token space — exact duplicates stay
+    // exact duplicates, shared word runs keep matching token runs
+    // (context shifts only near edit points), but the working
+    // vocabulary expands to the ~10k-scale distinct-trigram count of
+    // natural text.
+    val remap = expr(
+      """array_join(transform(split(lower(text), ' '), (w, i) ->
+        |  concat('w', substring(md5(concat_ws(' ',
+        |    ws[int(greatest(i - 2, 0))],
+        |    ws[int(greatest(i - 1, 0))], w)), 1, 4))), ' ')""".stripMargin)
+    for (dir <- dirs) {
+      val hi = Memo.persisted(docs(dir)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("doc_id"), col("source"), remap.as("text")))
+      val n = hi.count()
+      val vocab = hi.select(explode(split(col("text"), " "))).distinct().count()
+      info(s"$dir: natural-entropy vocab $vocab tokens over $n docs")
+      assert(vocab >= 1000L, s"remap failed to expand the vocabulary: $vocab")
+      // simhash: same two-level candidate measurement as the synthetic
+      // regime above
+      val bands = Memo.persisted(graft.operators.TextOps.simhashBands(hi))
+      val cand = graft.operators.TextOps.simhashCandidates(bands).count()
+      info(s"$dir: simhash candidates $cand / ${nPairs(n)} = ${cand.toDouble / nPairs(n)}")
+      assert(cand.toDouble / nPairs(n) <= 0.05,
+        s"simhash blocking hot on natural entropy: $cand / ${nPairs(n)}")
+      // winnow fingerprint buckets
+      val fpMass = bucketPairs(
+        graft.operators.TextOps.winnowFingerprints(hi), Seq("fp"))
+      info(s"$dir: winnow fp mass $fpMass / ${nPairs(n)} = ${fpMass.toDouble / nPairs(n)}")
+      assert(fpMass.toDouble / nPairs(n) <= 0.05)
+      // fuzzy segment-content candidates vs per-source all-pairs
+      val p = hi.select(col("doc_id"), col("source"),
+        substring(col("text"), 1, QueriesText.fuzzyPrefixLen).as("pre"))
+      val quad = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .agg((sum(col("n") * (col("n") - 1)) / 2).cast("long")).head().getLong(0)
+      val fc = QueriesText.fuzzyCandidates(p).count()
+      info(s"$dir: fuzzy candidates $fc / per-source pairs $quad = ${fc.toDouble / quad}")
+      assert(fc.toDouble / quad <= 0.05,
+        s"fuzzy blocking hot on natural entropy: $fc / $quad")
+      bands.unpersist(); hi.unpersist()
     }
   }
 

@@ -184,14 +184,14 @@ class Wave7InvariantSpec extends SparkSpec {
   }
 
   test("sample_est_ci brackets are ordered and the point estimate equals sample_est") {
-    val ci = QueriesEstimators.sampleEstCiQ(spark, sf).collect()
+    val ci = QueriesSampleEst.sampleEstCiQ(spark, sf).collect()
       .map(r => r.getAs[String]("query_id") ->
         (r.getAs[Double]("est"), r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
     assert(ci.nonEmpty)
     ci.values.foreach { case (est, lo, hi) =>
       assert(lo <= hi && est >= 0.0 && lo >= 0.0)
     }
-    val point = QueriesEstimators.sampleEstQ(spark, sf).collect()
+    val point = QueriesSampleEst.sampleEstQ(spark, sf).collect()
       .map(r => r.getAs[String]("query_id") -> r.getAs[Double]("est")).toMap
     point.foreach { case (id, est) => assert(ci(id)._1 == est, id) }
   }

@@ -45,7 +45,10 @@ class WindowAuditSpec extends SparkSpec {
     // family's windows run over the ~2000-slot join sample, the
     // per-spec union, or the enumerated model joint (catalog-sized)
     "q_error_quantiles", "progressive_est", "training_batch",
-    "nar_est", "nar_progressive", "nar_check", "nar_inc_est",
+    // (nar_inc_est dropped from the list: its windowed est frame now
+    // ships as the nar_inc_ests warehouse artifact, so the serving
+    // plan is a parquet scan with no window at all)
+    "nar_est", "nar_progressive", "nar_check",
     "nar_inc_check", "nar_tx_est", "nar_tx_check", "nar_training_curve",
     // spec-frame unions (4 rows) + broadcast scalar joins, same shape
     // as every other nar leg — measured 4 -> 4 across scale factors
