@@ -156,7 +156,11 @@ def main():
             acc.append(r)
             print(f"run {tag}{i}: total {sum(r.values()):.1f}s over "
                   f"{len(r)} queries", flush=True)
+        # incremental report: a long run always leaves an artifact
+        write_report(args, runsA, runsB)
 
+
+def write_report(args, runsA, runsB):
     common = sorted(set.intersection(*[set(r) for r in runsA + runsB]))
     medA = {q: statistics.median(r[q] for r in runsA) for q in common}
     medB = {q: statistics.median(r[q] for r in runsB) for q in common}
@@ -175,7 +179,8 @@ def main():
     report = {
         "ref_a": args.refA, "ref_b": args.refB,
         "sf": args.sf, "cpus": args.cpus,
-        "pairs": args.pairs, "timed_passes_per_run": args.passes,
+        "pairs_done": len(runsB), "pairs_planned": args.pairs,
+        "timed_passes_per_run": args.passes,
         "n_common_queries": len(common),
         "total_a_sec": round(totA, 2), "total_b_sec": round(totB, 2),
         "total_ratio_b_over_a": round(totB / totA, 4),
