@@ -133,6 +133,55 @@ def binom_two_sided(k, n):
     return min(1.0, 2.0 * p)
 
 
+def paired_permutation(diffs):
+    """Exact paired permutation test on run-total differences: under
+    H0 (no arm effect) each pair's sign is exchangeable, so enumerate
+    all 2^n sign assignments and count |mean| >= |observed mean|.
+    Unlike the per-query sign test, the n pairs here are genuinely
+    independent units (whole interleaved runs), so this p-value does
+    not overstate certainty through shared box state."""
+    n = len(diffs)
+    if n == 0:
+        return 1.0
+    obs = abs(sum(diffs))
+    hits = 0
+    for mask in range(2 ** n):
+        s = sum(d if (mask >> i) & 1 else -d for i, d in enumerate(diffs))
+        if abs(s) >= obs - 1e-12:
+            hits += 1
+    return hits / 2.0 ** n
+
+
+def wilcoxon_signed_rank(diffs):
+    """Exact Wilcoxon signed-rank on the run-total pairs (two-sided):
+    rank |d|, W+ = sum of ranks with d > 0, exact null distribution by
+    enumeration (n is small — the pair count)."""
+    d = [x for x in diffs if x != 0.0]
+    n = len(d)
+    if n == 0:
+        return 1.0
+    ranked = sorted(range(n), key=lambda i: abs(d[i]))
+    ranks = [0.0] * n
+    i = 0
+    while i < n:  # average ranks over |d| ties
+        j = i
+        while j + 1 < n and abs(d[ranked[j + 1]]) == abs(d[ranked[i]]):
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[ranked[k]] = avg
+        i = j + 1
+    w_pos = sum(r for r, x in zip(ranks, d) if x > 0)
+    # exact null: all 2^n sign assignments of the same ranks
+    ws = [0.0]
+    for r in ranks:
+        ws = [w for w in ws] + [w + r for w in ws]
+    tot = len(ws)
+    lo = sum(1 for w in ws if w <= w_pos + 1e-12) / tot
+    hi = sum(1 for w in ws if w >= w_pos - 1e-12) / tot
+    return min(1.0, 2.0 * min(lo, hi))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("refA")
@@ -176,7 +225,12 @@ def write_report(args, runsA, runsB):
     fmt = lambda q: {"query": q, "a_sec": round(medA[q], 3),
                      "b_sec": round(medB[q], 3),
                      "delta_sec": round(deltas[q], 3)}
+    # run-level paired statistics: the honest headline p-values — each
+    # interleaved (A, B) run pair is an independent unit, unlike the
+    # per-query deltas which share within-run box state
+    run_diffs = [b - a for a, b in zip(a_totals, b_totals)]
     report = {
+        "schema": 2,
         "ref_a": args.refA, "ref_b": args.refB,
         "sf": args.sf, "cpus": args.cpus,
         "pairs_done": len(runsB), "pairs_planned": args.pairs,
@@ -186,8 +240,17 @@ def write_report(args, runsA, runsB):
         "total_ratio_b_over_a": round(totB / totA, 4),
         "per_run_totals_a": [round(t, 1) for t in a_totals],
         "per_run_totals_b": [round(t, 1) for t in b_totals],
+        "run_level": {
+            "paired_diffs_sec": [round(d, 1) for d in run_diffs],
+            "p_permutation_two_sided": round(paired_permutation(run_diffs), 4),
+            "p_wilcoxon_two_sided": round(wilcoxon_signed_rank(run_diffs), 4),
+        },
         "sign_test": {"b_slower": pos, "b_faster": neg,
-                      "p_two_sided": round(p, 6)},
+                      "p_two_sided": round(p, 6),
+                      "caveat": "per-query deltas share within-run box "
+                                "state and are not independent trials; "
+                                "treat this p as optimistic and read "
+                                "run_level for the honest headline"},
         "top_regressions_b_vs_a": [fmt(q) for q in top[:10]],
         "top_improvements_b_vs_a": [fmt(q) for q in reversed(top[-10:])],
     }

@@ -77,8 +77,19 @@ object Bench {
     // in one process must not emit duplicate JSON keys. Entries for
     // THIS run's dir keep the bare tag (the common case stays
     // readable); any other dir's entries are prefixed with its name.
-    def dirKey(d: String, tag: String): String =
-      if (d == sfDir) tag else s"${new java.io.File(d).getName}:$tag"
+    // Two non-current dirs can share a basename (/a/sf0.1 vs /b/sf0.1)
+    // — prefix with parent/name in that case so JSON keys stay unique.
+    val allDirs = (Memo.buildSecs.keys ++ Checkpoint.buildSecs.keys)
+      .map(_._1).toSet
+    val baseCollides = allDirs.groupBy(new java.io.File(_).getName)
+      .filter(_._2.size > 1).keySet
+    def dirKey(d: String, tag: String): String = {
+      val f = new java.io.File(d)
+      if (d == sfDir) tag
+      else if (baseCollides(f.getName))
+        s"${Option(f.getParentFile).map(_.getName).getOrElse("")}/${f.getName}:$tag"
+      else s"${f.getName}:$tag"
+    }
     val memoSecs = Memo.buildSecs.toSeq
       .map { case ((d, tag), s) => dirKey(d, tag) -> s }.sortBy(-_._2)
     val ckptSecs = Checkpoint.buildSecs.toSeq

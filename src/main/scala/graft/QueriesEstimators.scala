@@ -92,36 +92,56 @@ object QueriesEstimators {
     }
 
   def trueCardQ(spark: SparkSession, dir: String): DataFrame =
-    parsedSpecs
-      .map { case (id, q, _) =>
-        bothFor(spark, dir, id, q)
-          .select(lit(id).as("query_id"), col("__cardn").as("card"))
-      }
-      .reduce(_.unionAll(_))
+    // served from the persisted boths_all frame — the per-spec join
+    // traversals only run inside its checkpoint build. __card is an
+    // exact count cast double (< 2^53), so the cast back is lossless.
+    bothsAll(spark, dir)
+      .select(col("query_id"), col("__card").cast("bigint").as("card"))
       .orderBy(col("query_id"))
 
   /** All specs' (query_id, join size, true card) as ONE 10-row cached
-    * frame — the base every estimator crossJoins against.
+    * frame — the base every estimator crossJoins against, and the
+    * workload's ground-truth side. Warehouse-persisted ([[Checkpoint]])
+    * keyed by the CONTENT-sensitive fingerprint of every table the
+    * workload scans: rebuilding costs one join traversal per spec per
+    * session (~7 s of the r13 warm pass), and the content term in the
+    * key keeps this persisted TRUTH independent of count-preserving
+    * data edits (the gate must never validate a model against stale
+    * ground truth).
     */
   private[graft] def bothsAll(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "bothsAll")(
-      parsedSpecs
-        .map { case (id, q, _) =>
-          bothFor(spark, dir, id, q).select(
-            lit(id).as("query_id"),
-            col("__jn").cast("double").as("__j"),
-            col("__cardn").cast("double").as("__card"))
-        }
-        .reduce(_.unionAll(_)))
+      Checkpoint(spark, dir, "boths_all")(
+        Checkpoint.tableFingerprint(spark, dir, modelEstsFpTables: _*)) {
+        parsedSpecs
+          .map { case (id, q, _) =>
+            bothFor(spark, dir, id, q).select(
+              lit(id).as("query_id"),
+              col("__jn").cast("double").as("__j"),
+              col("__cardn").cast("double").as("__card"))
+          }
+          .reduce(_.unionAll(_))
+      })
 
-  /** (query_id, est, __card) for every spec under one model, memoized.
-    * A single crossJoin of the 10-row base against the model's one-row
-    * broadcast stats table; the per-spec est expression is selected by a
-    * CASE over query_id — one plan branch per model instead of one per
-    * (model × spec), which keeps codegen and broadcast-exchange count
-    * flat as the workload grows.
-    */
+  /** (query_id, est, __card) for every spec under one model: SERVED
+    * from the warehouse-persisted six-model frame ([[modelEstFrame]])
+    * — one parquet footer read per session covers all six estimator
+    * arms, so a warm session never re-runs an arm's stats scans. The
+    * raw builders below only ever run inside the model_ests
+    * checkpoint build. */
   private def estFrame(spark: SparkSession, dir: String, model: String): DataFrame =
+    memoized(spark, dir, s"served:$model") {
+      modelEstFrame(spark, dir)
+        .filter(col("model") === model)
+        .select(col("query_id"), col("est"), col("__card"))
+    }
+
+  /** The arm's actual estimator plan (stats row broadcast × 10-row
+    * base). ONLY call from inside the model_ests checkpoint build (or
+    * another raw builder): calling it from a serve path would nest the
+    * build inside its own memo and recurse.
+    */
+  private def rawEstFrame(spark: SparkSession, dir: String, model: String): DataFrame =
     if (model == "ols") olsEstFrame(spark, dir)
     else memoized(spark, dir, s"est:$model") {
       val statsRow = model match {
@@ -1146,7 +1166,7 @@ object QueriesEstimators {
         import spark.implicits._
         Seq("cin", "ebo", "hist", "mcv", "naive", "ols")
           .flatMap { model =>
-            estFrame(spark, dir, model)
+            rawEstFrame(spark, dir, model)
               .select(lit(model).as("model"), col("query_id"),
                 col("est"), col("__card"))
               .as[(String, String, Double, Double)].collect().toSeq
@@ -1275,8 +1295,9 @@ object QueriesEstimators {
     * SQL oracle can reproduce exactly.
     */
   private[graft] def olsFeats(spark: SparkSession, dir: String): DataFrame =
+    // raw: reachable from rawEstFrame("ols") inside the model_ests build
     memoized(spark, dir, "olsFeats")(
-      estFrame(spark, dir, "naive")
+      rawEstFrame(spark, dir, "naive")
         .select(col("query_id"), col("est").as("x1"), col("__card").as("y"))
         .join(
           bothsAll(spark, dir).select(col("query_id"), col("__j").as("x2")),
@@ -1339,7 +1360,7 @@ object QueriesEstimators {
         .select(col("query_id"), expr(olsEstExprSql).as("est"), col("y").as("__card")))
 
   def olsEstQ(spark: SparkSession, dir: String): DataFrame =
-    olsEstFrame(spark, dir)
+    estFrame(spark, dir, "ols")
       .select(col("query_id"), col("est"))
       .orderBy(col("query_id"))
 

@@ -127,6 +127,18 @@ object QueriesNar {
     * est/progressive/check legs all scale by the same W — one Fanouts
     * traversal, not one per leg.
     */
+  /** Fixed-order probability-mass fold over a catalog-sized joint: the
+    * per-row terms are collected, sorted by value, and summed
+    * sequentially — the same double on ANY partitioning of the joint
+    * frame. A plain sum() here ulp-drifts with the build session's
+    * parallelism (both the enumerated-combos frame and a freshly
+    * rewritten joint artifact repartition with the session), which the
+    * round-14 full-store rebuild-vs-committed diff caught on
+    * nar_inc_decoded. Bounded by the code cross-product by contract.
+    */
+  private def pmFold(term: Column): Column =
+    aggregate(array_sort(collect_list(term)), lit(0.0), (acc, x) => acc + x)
+
   private def narW(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "narW")(
       JoinSample.totalWeight(QueriesSampleEst.chain, "customer", Fanouts.loader(spark, dir))
@@ -141,7 +153,7 @@ object QueriesNar {
       val sat = (pred +: flags).reduce(_ && _)
       val mass = if (needL) col("p") else col("p") * col("einv")
       joint
-        .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+        .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
         .crossJoin(w)
         .select(lit(id).as("query_id"),
           greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
@@ -604,7 +616,7 @@ object QueriesNar {
         val sat = (pred +: flags).reduce(_ && _)
         val mass = if (needL) col("p") else col("p") * col("einv")
         joint
-          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
           .crossJoin(w)
           .select(lit(id).as("query_id"),
             greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
@@ -718,7 +730,7 @@ object QueriesNar {
         val sat = (pred +: flags).reduce(_ && _)
         val mass = if (needL) col("p") else col("p") * col("einv")
         joint
-          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
           .crossJoin(w)
           .select(lit(id).as("query_id"),
             greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
@@ -860,7 +872,7 @@ object QueriesNar {
         val mass = if (needL) col("p")
           else col("p") / greatest(col("fo_hat"), lit(1.0))
         joint
-          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
           .crossJoin(w)
           .select(lit(id).as("query_id"),
             greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
@@ -966,7 +978,7 @@ object QueriesNar {
         val sat = (pred +: flags).reduce(_ && _)
         val mass = if (needL) col("p") else col("p") * col("einv")
         dec.groupBy(col("step"))
-          .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+          .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
           .crossJoin(w)
           .select(col("step"), lit(id).as("query_id"),
             greatest(col("__w") * col("__pm"), lit(1.0)).as("est"))
@@ -1065,7 +1077,7 @@ object QueriesNar {
           val sat = (pred +: flags).reduce(_ && _)
           val mass = if (needL) col("p") else col("p") * col("einv")
           dec.groupBy(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"))
-            .agg(sum(when(sat, mass).otherwise(0.0)).as("__pm"))
+            .agg(pmFold(when(sat, mass).otherwise(0.0)).as("__pm"))
             .crossJoin(w)
             .select(col("trial"), col("d"), col("h"), col("lr1000"), col("loss"),
               lit(id).as("query_id"),

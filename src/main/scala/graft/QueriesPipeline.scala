@@ -664,6 +664,8 @@ object QueriesPipeline {
   def modelStoreQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val artifacts: Seq[(String, Seq[String], DataFrame)] = Seq(
+      ("boths_all", QueriesEstimators.modelEstsFpTables,
+        QueriesEstimators.bothsAll(spark, dir)),
       ("bpe_merges", Seq("documents"),
         QueriesCorpus.bpeMergesArtifact(spark, dir)),
       ("isotonic_staircase", QueriesWave11.isoFpTables,
@@ -691,7 +693,13 @@ object QueriesPipeline {
       ("nar_tx_curve", QueriesNar.narFpTables,
         QueriesNar.narTxCurveArtifact(spark, dir)),
       ("nar_tx_joint", QueriesNar.narFpTables,
-        QueriesNar.narTxArtifact(spark, dir)))
+        QueriesNar.narTxArtifact(spark, dir)),
+      ("simhash_components", Seq("documents"),
+        QueriesText.simhashComponentsFrame(spark, dir)),
+      ("simhash_pairs", Seq("documents"),
+        QueriesText.simhashPairs(spark, dir)),
+      ("theil_sen_row", Seq("orders"),
+        QueriesWave8.theilSenQ(spark, dir)))
     artifacts
       .map { case (name, tables, frame) =>
         (name, Checkpoint.tableFingerprint(spark, dir, tables: _*),
@@ -703,6 +711,7 @@ object QueriesPipeline {
 
   val modelStoreSql: String = {
     val rows = Seq(
+      ("boths_all", QueriesEstimators.modelEstsFpTables),
       ("bpe_merges", Seq("documents")),
       ("isotonic_staircase", QueriesWave11.isoFpTables),
       ("kmeans_centroids", QueriesText.kmeansFpTables),
@@ -716,11 +725,19 @@ object QueriesPipeline {
       ("nar_mlm_joint", QueriesNar.narFpTables),
       ("nar_truths", QueriesNar.narFpTables),
       ("nar_tx_curve", QueriesNar.narFpTables),
-      ("nar_tx_joint", QueriesNar.narFpTables))
+      ("nar_tx_joint", QueriesNar.narFpTables),
+      ("simhash_components", Seq("documents")),
+      ("simhash_pairs", Seq("documents")),
+      ("theil_sen_row", Seq("orders")))
+    // each distinct table's content checksum is computed ONCE in a
+    // MATERIALIZED CTE; the per-artifact fingerprint folds reference
+    // the scalars, so the oracle pays one scan per table, not one per
+    // (artifact × table)
+    val ctes = Checkpoint.checksumCtes(rows.flatMap(_._2).distinct)
     rows.map { case (name, tables) =>
       s"SELECT '$name' AS artifact, CAST(${Checkpoint.fingerprintSql(tables)}" +
         " AS BIGINT) AS fingerprint, TRUE AS loaded_ok"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY artifact")
+    }.mkString(s"WITH $ctes\n", "\nUNION ALL\n", "\nORDER BY artifact")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -441,12 +441,21 @@ object QueriesText {
     // the verified PAIR frame is the shared product (simhash_dup,
     // simhash_clusters, dedup_method_agreement reference it up to twice
     // per plan) — memoize it, not just the band frame, or the band
-    // self-join re-runs on every reference
+    // self-join re-runs on every reference. Warehouse-persisted
+    // ([[Checkpoint]], content-fingerprint-keyed on documents): the
+    // verified pair SET is a deterministic integer frame, and
+    // rebuilding it costs the banded self-join + hamming verify per
+    // session (~8 s of the r13 warm pass). Bounded by the measured
+    // band selectivity (PairGrowthAuditSpec), so the artifact stays
+    // corpus-pair-sized, not all-pairs-sized.
     Memo(spark, dir, "simhashPairs")(
-      TextOps.simhashDups(
-        Memo(spark, dir, "simhashBands")(
-          TextOps.simhashBands(Tables(spark, dir, "documents"))),
-        simhashMaxHamming))
+      Checkpoint(spark, dir, "simhash_pairs")(
+        Checkpoint.tableFingerprint(spark, dir, "documents")) {
+        TextOps.simhashDups(
+          Memo(spark, dir, "simhashBands")(
+            TextOps.simhashBands(Tables(spark, dir, "documents"))),
+          simhashMaxHamming)
+      })
 
   def simhashDupQ(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -499,11 +508,21 @@ object QueriesText {
     * min-label propagation as dup_clusters, edge-list-only shuffles).
     */
   def simhashClustersQ(spark: SparkSession, dir: String): DataFrame =
+    simhashComponentsFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** Warehouse-persisted connected components over the verified
+    * simhash pairs: min-label propagation is deterministic (labels are
+    * min doc ids), and rebuilding costs the Pregel rounds per session
+    * (~5 s of the r13 warm pass). Keyed by the same documents
+    * fingerprint as the pair frame it closes over. */
+  private[graft] def simhashComponentsFrame(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "simhashComponents")(
-      graft.operators.Components
-        .connectedComponents(simhashPairs(spark, dir), "doc_a", "doc_b")
-        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
-      .orderBy(col("doc_id"))
+      Checkpoint(spark, dir, "simhash_components")(
+        Checkpoint.tableFingerprint(spark, dir, "documents")) {
+        graft.operators.Components
+          .connectedComponents(simhashPairs(spark, dir), "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      })
 
   val simhashClustersSql: String =
     s"""WITH RECURSIVE $simhashPairCtes,

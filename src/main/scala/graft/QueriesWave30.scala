@@ -156,23 +156,34 @@ object QueriesWave30 {
 
   // ---- bitext_recall: probed mining vs brute-force truth ----
 
-  /** Eval-sample modulus: the brute-force truth side of
-    * [[bitextRecallQ]] is computed for the md5-seeded ~1/bmEvalMod of
-    * source vectors (the reference's `--eval-sample-size` discipline —
-    * recall is ESTIMATED on a seeded probe sample, never paid as
-    * sources × targets). The seed mix is `btr:<vec_id>`, replayed
-    * bit-for-bit by the oracle, so both engines measure the identical
-    * sample. */
-  val bmEvalMod = 4L
+  /** Eval-sample COUNT: the brute-force truth side of
+    * [[bitextRecallQ]] is computed for a fixed-size md5-seeded sample
+    * of source vectors (the reference's `--eval-sample-size`
+    * discipline — a fixed COUNT, not a fraction, so the eval budget is
+    * genuinely constant at 100 TB: sample × targets, never
+    * (sources/k) × targets). The seed is the md5 of `btr:<vec_id>`
+    * used as a deterministic shuffle key — take the [[bmEvalN]]
+    * smallest (a per-partition top-N + driver merge, no global sort) —
+    * replayed bit-for-bit by the oracle, so both engines measure the
+    * identical sample. */
+  val bmEvalN = 256
 
-  /** The md5-seeded eval predicate over a source-side `vec_id` column
-    * (exposed for PairGrowthAuditSpec's pair-frame inventory). */
-  private[graft] def bmEvalSampled(vecId: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit("btr:"), vecId.cast("string"))), 1, 13), 16, 10)
-      .cast("long") % bmEvalMod === 0
+  /** The fixed-count md5-seeded eval sample of source vectors (also
+    * the frame PairGrowthAuditSpec measures): `vec_id`s of the
+    * [[bmEvalN]] smallest seeded keys among label-0 vectors. */
+  private[graft] def bmEvalSources(q: DataFrame): DataFrame =
+    q.filter(col("label") === 0)
+      .select(col("vec_id"),
+        md5(concat(lit("btr:"), col("vec_id").cast("string"))).as("__k"))
+      .orderBy(col("__k"), col("vec_id")).limit(bmEvalN)
+      .select(col("vec_id"))
+
+  private val bmEvalSampleCte =
+    s"""__btr_sample AS (SELECT vec_id FROM q WHERE label = 0
+       |  ORDER BY md5('btr:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $bmEvalN)""".stripMargin
 
   private val bmEvalSampledSql =
-    s"CAST(('0x' || substr(md5('btr:' || CAST(a.vec_id AS VARCHAR)), 1, 13)) AS BIGINT) % $bmEvalMod = 0"
+    "a.vec_id IN (SELECT vec_id FROM __btr_sample)"
 
   /** The eval loop of the bitext leg (the `ann_recall` discipline
     * applied to mining): for every SAMPLED source vector ([[bmEvalMod]]
@@ -191,7 +202,7 @@ object QueriesWave30 {
   def bitextRecallQ(spark: SparkSession, dir: String): DataFrame = {
     val q = QueriesWave6.knnQuantized(spark, dir)
     val bf = q.filter(col("label") === 0)
-      .filter(bmEvalSampled(col("vec_id")))
+      .join(broadcast(bmEvalSources(q)), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
       .crossJoin(q.filter(col("label") === 1)
         .select(col("vec_id").as("vc"), col("qv").as("qc"), col("nn").as("nc")))
@@ -228,6 +239,7 @@ object QueriesWave30 {
        |pairsAB AS (SELECT p.vec_id AS va, b.vec_id AS vb
        |  FROM plist p JOIN assign b ON b.list_id = p.list_id AND b.label = 1
        |  WHERE p.label = 0 GROUP BY 1, 2),
+       |$bmEvalSampleCte,
        |bfp AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.qv AS qva, b.qv AS qvb
        |  FROM q a JOIN q b ON a.label = 0 AND b.label = 1
        |  WHERE $bmEvalSampledSql),

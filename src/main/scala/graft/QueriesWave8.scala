@@ -390,15 +390,23 @@ object QueriesWave8 {
       .crossJoin(daily.agg(count(lit(1)).as("n_days")))
     // Literal checkpoint: one bounded row, but its plan nests the pair
     // memo plus two bucket-locate trees — replanning that per action
-    // cost ~15s/query at sf0.1. Collect the scalars once per session.
+    // cost ~15s/query at sf0.1, and BUILDING it costs the ~2.9M-pair
+    // scan per session. Warehouse-persist it ([[Checkpoint]]) keyed by
+    // the orders fingerprint: the values are exact fixed-point grids
+    // (bucket-located longs over a deterministic pair frame, divided
+    // once by 1e6), so the rebuild-vs-committed diff holds across
+    // boxes. One parquet footer read per later session.
     Memo(spark, dir, "wave8:theilSenRow") {
-      import spark.implicits._
-      meta.crossJoin(slope).crossJoin(icept)
-        .select(col("n_days"), col("n_pairs"),
-          (col("__slope6").cast("double") / 1e6).as("slope_cents_per_day"),
-          (col("__i6").cast("double") / 1e6).as("intercept_cents"))
-        .as[(Long, Long, Double, Double)].collect().toSeq
-        .toDF("n_days", "n_pairs", "slope_cents_per_day", "intercept_cents")
+      Checkpoint(spark, dir, "theil_sen_row")(
+        Checkpoint.tableFingerprint(spark, dir, "orders")) {
+        import spark.implicits._
+        meta.crossJoin(slope).crossJoin(icept)
+          .select(col("n_days"), col("n_pairs"),
+            (col("__slope6").cast("double") / 1e6).as("slope_cents_per_day"),
+            (col("__i6").cast("double") / 1e6).as("intercept_cents"))
+          .as[(Long, Long, Double, Double)].collect().toSeq
+          .toDF("n_days", "n_pairs", "slope_cents_per_day", "intercept_cents")
+      }
     }
   }
 

@@ -19,7 +19,7 @@ object SparkEntry {
       QueriesWave20.queries ++ QueriesWave21.queries ++ QueriesWave22.queries ++
       QueriesWave23.queries ++ QueriesWave24.queries ++ QueriesWave25.queries ++
       QueriesWave26.queries ++ QueriesWave27.queries ++ QueriesWave28.queries ++
-      QueriesWave29.queries ++ QueriesWave30.queries
+      QueriesWave29.queries ++ QueriesWave30.queries ++ QueriesParity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +35,5 @@ object SparkEntry {
       QueriesWave20.oracleSql ++ QueriesWave21.oracleSql ++ QueriesWave22.oracleSql ++
       QueriesWave23.oracleSql ++ QueriesWave24.oracleSql ++ QueriesWave25.oracleSql ++
       QueriesWave26.oracleSql ++ QueriesWave27.oracleSql ++ QueriesWave28.oracleSql ++
-      QueriesWave29.oracleSql ++ QueriesWave30.oracleSql
+      QueriesWave29.oracleSql ++ QueriesWave30.oracleSql ++ QueriesParity.oracleSql
 }

@@ -166,11 +166,22 @@ object NarModel {
       .withColumn("__praw",
         when(col("o_code") === 1 && col("l_code") =!= 1, lit(0.0))
           .otherwise(coalesce(col("pc"), lit(0.0)) * col("po") * col("pl")))
+    // FIXED-ORDER float folds, not partition-parallel sum(): the combos
+    // frame is a local Seq, so its partition count follows the
+    // session's default parallelism — a parallel double sum over it
+    // would make the persisted joint differ in the last ulp between a
+    // local[4] and a local[16] build (caught by the full-store
+    // rebuild-vs-committed diff in round 14). collect_list order is
+    // nondeterministic, so sort the bounded array first and fold
+    // sequentially — same values on any partitioning, any box.
     val einv = prob(pf,
         combos.crossJoin((1 to fMax).toDF("f_code")), codeFeats, "f_code", "pfv")
       .groupBy(col("c_code"), col("o_code"), col("l_code"))
-      .agg(sum(col("pfv") / col("f_code")).as("einv"))
-    val z = raw.agg(sum(col("__praw")).as("__z"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(f_code, pfv)))," +
+        " cast(0.0 as double), (acc, x) -> acc + x.pfv / x.f_code)").as("einv"))
+    val z = raw.agg(expr(
+      "aggregate(array_sort(collect_list(struct(c_code, o_code, l_code, __praw)))," +
+        " cast(0.0 as double), (acc, x) -> acc + x.__praw)").as("__z"))
     raw.crossJoin(broadcast(z))
       .join(einv, Seq("c_code", "o_code", "l_code"))
       .select(col("c_code"), col("o_code"), col("l_code"),

@@ -58,6 +58,17 @@ object StreamOps {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
 
+  /** Micros → Timestamp preserving the full microsecond: a bare
+    * `new Timestamp(us / 1000)` silently drops sub-millisecond
+    * precision, so a stream twin's reconstructed timestamps would
+    * drift from the batch operator's on any real (micro-stamped)
+    * event feed — caught by the stream_batch_parity row. */
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   val sessionGapMicros: Long = 30L * 60 * 1000000 // 30 min
 
   // ---- tumbling window agg (row 31) ----
@@ -137,7 +148,7 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
           def toSession(s: SessionState): Session =
-            Session(userId, new Timestamp(s.startUs / 1000), new Timestamp(s.endUs / 1000), s.n)
+            Session(userId, tsOfMicros(s.startUs), tsOfMicros(s.endUs), s.n)
 
           if (rows.isEmpty && state.hasTimedOut) {
             val out = state.getOption.map(toSession).toIterator
@@ -370,7 +381,7 @@ object StreamOps {
             else {
               val m = cur.filter(_.clickUs >= micros(ts) - boundUs)
               out += AsofRow(userId, eid, ts,
-                m.map(_.clickId), m.map(c => new Timestamp(c.clickUs / 1000)))
+                m.map(_.clickId), m.map(c => tsOfMicros(c.clickUs)))
             }
           }
           cur.foreach(state.update)

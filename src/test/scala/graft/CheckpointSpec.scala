@@ -66,6 +66,41 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("the loaded cache retains neither sessions nor frames strongly (weak on both axes)") {
+    // Scope: Checkpoint.loaded must never be what keeps a retired
+    // session alive. (Spark itself pins any session that has EXECUTED
+    // a query — measured: a bare newSession+read+count never collects
+    // even with no graft code involved — so the probe session only
+    // PLANS a load here; executing sessions are Spark's own
+    // bounded-retention concern, not this cache's.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-weak").toString
+    Checkpoint.rootOverride = Some(tmp)
+    try {
+      import org.apache.spark.sql.functions._
+      // build the artifact once via the long-lived outer session
+      Checkpoint(spark, sf, "weakprobe")(42L)(spark.range(2).select(col("id")))
+      var s: org.apache.spark.sql.SparkSession = spark.newSession()
+      val sref = new java.lang.ref.WeakReference(s)
+      // the probe session LOADS (plan construction only, no action)
+      var df: org.apache.spark.sql.DataFrame =
+        Checkpoint(s, sf, "weakprobe")(42L)(sys.error("must not rebuild"))
+      val dref = new java.lang.ref.WeakReference(df)
+      df = null; s = null
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      var tries = 0
+      while ((sref.get != null || dref.get != null) && tries < 50) {
+        System.gc(); Thread.sleep(50); tries += 1
+      }
+      assert(dref.get == null,
+        "the cached frame is still strongly reachable — inner refs must be weak")
+      assert(sref.get == null,
+        "a retired session is still strongly reachable — the loaded cache must not pin it")
+    } finally {
+      Checkpoint.rootOverride = None
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("the checkpoint key is data-dependent: a different fingerprint trains fresh") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-fp").toString
     Checkpoint.rootOverride = Some(tmp)

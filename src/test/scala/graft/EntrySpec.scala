@@ -132,7 +132,8 @@ class EntrySpec extends SparkSpec {
       "dedup_saturation",
       "heldout_perplexity", "topk_rbo", "welch_anova",
       "bloom_fpp_plan", "cluster_purity", "embed_outliers",
-      "mixture_gof", "dup_quality_or", "bitext_mine", "bitext_recall", "bradley_terry")
+      "mixture_gof", "dup_quality_or", "bitext_mine", "bitext_recall", "bradley_terry",
+      "stream_batch_parity")
     assert(SparkEntry.queries.keySet == expected)
   }
 }

@@ -137,19 +137,20 @@ class PairGrowthAuditSpec extends SparkSpec {
     }
   }
 
-  test("bitext_recall brute-force truth runs on the eval sample, not every source") {
+  test("bitext_recall brute-force truth runs on a FIXED-COUNT eval sample") {
     // The recall eval's quadratic leg (sampled sources × all targets)
-    // must stay pinned to the md5-seeded ~1/bmEvalMod probe sample —
-    // the reference's --eval-sample-size discipline. A predicate that
-    // degenerates to all sources turns the eval back into sides A × B.
+    // must stay pinned to the md5-seeded FIXED-SIZE probe sample — the
+    // reference's --eval-sample-size is a count, not a fraction, so
+    // the eval budget must NOT scale with the source side. A sample
+    // that grows with sources turns the eval back into sides A × B.
     for (dir <- dirs) {
-      val src = Tables(spark, dir, "embeddings").filter(col("label") === 0)
-      val nSrc = src.count()
-      val sampled = src.filter(QueriesWave30.bmEvalSampled(col("vec_id"))).count()
-      info(s"$dir: sampled probes $sampled / $nSrc = ${sampled.toDouble / nSrc}")
-      assert(sampled > 0, "eval sample is empty — recall would be vacuous")
-      assert(sampled.toDouble / nSrc <= 0.45,
-        s"eval sample degenerated toward all sources: $sampled / $nSrc")
+      val q = QueriesWave6.knnQuantized(spark, dir)
+      val nSrc = q.filter(col("label") === 0).count()
+      val sampled = QueriesWave30.bmEvalSources(q).count()
+      info(s"$dir: sampled probes $sampled of $nSrc sources " +
+        s"(budget ${QueriesWave30.bmEvalN})")
+      assert(sampled == math.min(QueriesWave30.bmEvalN.toLong, nSrc),
+        s"eval sample is not the fixed budget: $sampled / $nSrc")
     }
   }
 

@@ -62,9 +62,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("cms_freq").contains("BroadcastHashJoin"))
   }
 
-  test("naive_est broadcasts the one-row stats row, never shuffles it") {
+  test("naive_est serves from the persisted model artifact — no estimator-arm scans") {
+    // since round 14 the closed-form est frames serve from the
+    // warehouse-persisted six-model artifact (model_ests): the plan
+    // must be a bounded artifact read + filter, with NONE of the
+    // estimator arm's data-table scans (those run only inside the
+    // checkpoint build)
     val p = plan("naive_est")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("lineitem") && !p.contains("orders.parquet") &&
+      !p.contains("customer"), p)
   }
 
   test("q1_agg is a single scan + partial/final aggregate (one exchange)") {
