@@ -54,10 +54,34 @@ object Bench {
     // try/finally: if the warm pass throws, the flag must not leak —
     // eagerTiming=true changes Memo semantics (every later build in the
     // process would eagerly count()) for any same-JVM caller after us.
+    // The warm pass is UNTIMED per query and order-independent, so run
+    // it with a small pool of concurrent queries (guide §2.6: overlap
+    // independent jobs — one query's straggler tail back-fills with the
+    // next query's stages). Memo/Checkpoint builds are per-key locked,
+    // so a shared frame still builds exactly once. The three TIMED
+    // passes below stay strictly sequential — methodology unchanged.
+    // Under concurrency a memo's recorded build seconds include
+    // co-running queries' interference, so memo_sec entries are upper
+    // bounds on exclusive build cost (documented in OPTIMIZATION_r14).
     Memo.eagerTiming = true
     val warmT0 = System.nanoTime()
-    try pass()
-    finally Memo.eagerTiming = false
+    try {
+      val warmThreads =
+        sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            SparkEntry.queries.toSeq.map { case (_, fn) =>
+              scala.concurrent.Future(
+                try { fn(spark, sfDir).count(); () }
+                catch { case _: Throwable => () })
+            }),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    } finally Memo.eagerTiming = false
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // Three timed passes, min per query: steady-state throughput, not
     // whichever query paid the JIT/GC spike that run.

@@ -156,15 +156,25 @@ object Checkpoint {
   private val checks =
     scala.collection.concurrent.TrieMap[(String, String), Long]()
 
+  /** Per-(dir, table) locks so concurrent first callers (parallel warm
+    * pass) don't run the same full-column checksum scan twice. */
+  private val chkLocks =
+    scala.collection.concurrent.TrieMap[(String, String), Object]()
+
   private[graft] def tableChecksum(spark: SparkSession, dir: String, t: String): Long =
-    checks.getOrElseUpdate((dir, t), {
-      val ci = checksumInputSpark.getOrElse(t,
-        sys.error(s"no checksum spec for table $t — add one to Checkpoint"))
-      Tables(spark, dir, t)
-        .selectExpr("coalesce(sum(cast(conv(substring(md5(" + ci +
-          s"),1,13),16,10) as bigint) % $chkTermMod),0) as c")
-        .head().getLong(0) % fingerprintMod
-    })
+    checks.get((dir, t)).getOrElse {
+      chkLocks.putIfAbsent((dir, t), new Object)
+      chkLocks((dir, t)).synchronized {
+        checks.getOrElseUpdate((dir, t), {
+          val ci = checksumInputSpark.getOrElse(t,
+            sys.error(s"no checksum spec for table $t — add one to Checkpoint"))
+          Tables(spark, dir, t)
+            .selectExpr("coalesce(sum(cast(conv(substring(md5(" + ci +
+              s"),1,13),16,10) as bigint) % $chkTermMod),0) as c")
+            .head().getLong(0) % fingerprintMod
+        })
+      }
+    }
 
   /** Order-sensitive combined fingerprint of the named training-input
     * tables: a polynomial fold (mod [[fingerprintMod]]) interleaving
@@ -259,17 +269,28 @@ object Checkpoint {
     * load paths (always a parquet scan of the artifact, never the
     * trainer's own plan).
     */
+  /** Per-artifact build locks (keyed by resolved path): concurrent
+    * callers — the parallel warm pass — must never run two writers
+    * against the same artifact directory. */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
+
   def apply(spark: SparkSession, dir: String, name: String)(fingerprint: => Long)(
       build: => DataFrame): DataFrame = {
     val p = java.nio.file.Paths.get(
       root, schemaVersion,
       s"${new java.io.File(dir).getName}-${fingerprint}", name)
     if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
-      builds.incrementAndGet()
-      val t0 = System.nanoTime()
-      build.write.mode("overwrite").parquet(p.toString)
-      buildSecs.put((dir, name), (System.nanoTime() - t0) / 1e9)
-      sessionLoaded(spark).remove(p.toString)
+      buildLocks.putIfAbsent(p.toString, new Object)
+      buildLocks(p.toString).synchronized {
+        if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+          builds.incrementAndGet()
+          val t0 = System.nanoTime()
+          build.write.mode("overwrite").parquet(p.toString)
+          buildSecs.put((dir, name), (System.nanoTime() - t0) / 1e9)
+          sessionLoaded(spark).remove(p.toString)
+        }
+      }
     }
     cachedRead(spark, p.toString)
   }

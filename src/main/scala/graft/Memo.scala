@@ -24,17 +24,31 @@ object Memo {
   val buildSecs =
     scala.collection.concurrent.TrieMap[(String, String), Double]()
 
+  /** Per-key build locks: concurrent callers (the parallel warm pass)
+    * must not run the same build twice — a duplicated build wastes a
+    * full materialization and registers a duplicate cache entry. Lock
+    * objects are created race-safely via putIfAbsent. */
+  private val locks =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), Object]()
+
   def apply(spark: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((spark, dir, tag), {
-      if (eagerTiming) {
-        val t0 = System.nanoTime()
-        val df = persisted(build)
-        df.count()
-        buildSecs.put((dir, tag), (System.nanoTime() - t0) / 1e9)
-        df
-      } else persisted(build)
-    })
+      build: => DataFrame): DataFrame = {
+    val key = (spark, dir, tag)
+    frames.get(key).getOrElse {
+      locks.putIfAbsent(key, new Object)
+      locks(key).synchronized {
+        frames.getOrElseUpdate(key, {
+          if (eagerTiming) {
+            val t0 = System.nanoTime()
+            val df = persisted(build)
+            df.count()
+            buildSecs.put((dir, tag), (System.nanoTime() - t0) / 1e9)
+            df
+          } else persisted(build)
+        })
+      }
+    }
+  }
 
   /** Idempotent cache: two memo tags (or a memo and an operator-level
     * persist) can resolve to canonically identical plans — re-caching

@@ -61,9 +61,21 @@ object QueriesText {
     * session — the base of minhash_sig, the LSH bands, and (via the
     * verified pairs) dup_clusters.
     */
+  /** Per-doc distinct 3-shingles, exploded, materialized once per
+    * session: ngram_novelty and contamination each referenced this
+    * frame twice (self-join shape), so every execution re-tokenized and
+    * re-exploded the whole corpus twice — the two largest exec times of
+    * the round's profile (2.04 s / 0.93 s at sf0.1). One cached build
+    * serves all consumers incl. the minhash signature base
+    * (guide §2.4: share the expensive subtree; §5: persist only reused
+    * frames). */
+  private[graft] def shingles3(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "text:shingles3")(
+      TextOps.docShingles(Tables(spark, dir, "documents"), 3))
+
   private[graft] def mhWide(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "mhWide")(
-      TextOps.minhashWide(TextOps.docShingles(Tables(spark, dir, "documents"), 3)))
+      TextOps.minhashWide(shingles3(spark, dir)))
 
   /** Per-doc distinct 3-shingle sets, materialized once (pair verify). */
   private[graft] def shArr3(spark: SparkSession, dir: String): DataFrame =
@@ -352,7 +364,7 @@ object QueriesText {
     * words have no shingles and drop out (same in the oracle).
     */
   def ngramNoveltyQ(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
+    val sh = shingles3(spark, dir)
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
@@ -373,7 +385,7 @@ object QueriesText {
        |FROM sh JOIN df USING (shingle) GROUP BY 1 ORDER BY 1""".stripMargin
 
   def contaminationQ(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextOps.docShingles(Tables(spark, dir, "documents"), 3)
+    val sh = shingles3(spark, dir)
     val probes = sh.filter(col("doc_id") < contamProbeMax)
       .select(col("doc_id").as("probe_id"), col("shingle"))
     val corpus = sh.filter(col("doc_id") >= contamProbeMax)

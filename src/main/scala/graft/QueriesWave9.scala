@@ -87,11 +87,19 @@ object QueriesWave9 {
       val u = conv(substring(md5(concat(lit(s"ht:$label:"), rk)), 1, 13), 16, 10)
         .cast("long")
       val base = Tables(spark, dir, t).withColumn("__c", expr(centsExpr))
-      val s = base.filter(u % QueriesWave8.geeRate === 0L)
-        .agg(count(lit(1)).as("n_sample"),
-          (coalesce(sum(col("__c")), lit(0L)) * QueriesWave8.geeRate).as("est_cents"))
-      val truth = base.agg(sum(col("__c")).as("actual_cents"))
-      s.crossJoin(truth)
+      // sample leg + truth leg in ONE conditional aggregate over one
+      // scan (guide §2.3/§1.2: don't pay two passes for values one
+      // pass computes) — the old shape scanned the table twice and
+      // crossJoined two 1-row aggregates; results are identical
+      // (count-of-non-null ≡ count over the filtered rows, conditional
+      // sum ≡ sum over the filtered rows).
+      val cond = u % QueriesWave8.geeRate === 0L
+      base
+        .agg(
+          count(when(cond, lit(1))).as("n_sample"),
+          (coalesce(sum(when(cond, col("__c"))), lit(0L)) *
+            QueriesWave8.geeRate).as("est_cents"),
+          sum(col("__c")).as("actual_cents"))
         .select(lit(label).as("measure"), col("n_sample"), col("est_cents"),
           col("actual_cents"),
           ((col("est_cents") - col("actual_cents")).cast("double") /

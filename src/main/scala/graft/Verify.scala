@@ -22,15 +22,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    // Correctness dump is order-independent (one output dir per query)
+    // — run queries on a small concurrent pool (guide §2.6) so the
+    // 406-query dump isn't a sequential latency sum. Memo/Checkpoint
+    // builds are per-key locked; per-query results are unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          SparkEntry.queries.toSeq
+            .filter { case (name, _) => only.forall(_.contains(name)) }
+            .map { case (name, fn) =>
+              scala.concurrent.Future(
+                try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                  .parquet(s"$outDir/$name")
+                catch { case e: Throwable =>
+                  System.err.println(s"[verify] $name failed: ${e.getMessage}")
+                })
+            }),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
