@@ -245,9 +245,14 @@ object QueriesWave12 {
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .withColumn("grp", col("pos") - col("__rn"))
-    val phrases = nonstop.groupBy(col("doc_id"), col("grp"))
-      .agg(count(lit(1)).as("plen"))
-    val words = nonstop.join(phrases, Seq("doc_id", "grp"))
+    // phrase length as a window over (doc_id, grp) instead of a
+    // groupBy + self-join: the join shape re-tokenized the corpus for
+    // the second leg and paid an extra exchange; the window rides the
+    // doc_id partitioning the __rn window already established (same
+    // per-row plen, identical aggregate downstream) — guide §2.4.
+    val words = nonstop
+      .withColumn("plen", count(lit(1)).over(
+        Window.partitionBy(col("doc_id"), col("grp"))))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
       .filter(col("freq") >= rakeMinFreq)

@@ -45,17 +45,24 @@ object QueriesWave6 {
       val bounds = f.agg(min(col(fk)).as("lo"), max(col(fk)).as("hi"))
       def bkt(k: String): Column =
         expr(s"least(greatest((($k - lo) * $histJoinBuckets) div (hi - lo + 1), 0), ${histJoinBuckets - 1})")
-      val da = f.crossJoin(broadcast(bounds))
-        .groupBy(bkt(fk).as("b")).agg(countDistinct(col(fk)).as("da"))
-      val na = f.filter(expr(ff)).crossJoin(broadcast(bounds))
-        .groupBy(bkt(fk).as("b")).agg(count(lit(1)).as("na"))
-      val db = d.crossJoin(broadcast(bounds))
-        .groupBy(bkt(dk).as("b")).agg(countDistinct(col(dk)).as("db"))
-      val nb = d.filter(expr(df)).crossJoin(broadcast(bounds))
-        .groupBy(bkt(dk).as("b")).agg(count(lit(1)).as("nb"))
-      val est = na.join(nb, Seq("b"))
-        .join(da, Seq("b"), "left").join(db, Seq("b"), "left")
-        .select(expr("(na * nb) div greatest(coalesce(da, 1), coalesce(db, 1), 1)").as("e"))
+      // ndv + filtered count per bucket in ONE groupBy per side (guide
+      // §2.3: one scan computes both) — the old four legs scanned each
+      // side twice and joined four per-bucket frames. Semantics are
+      // identical: a filtered bucket (na/nb > 0) always exists in its
+      // side's unfiltered histogram, so the old left-join coalesce
+      // never fired; filtering na > 0 && nb > 0 reproduces the inner
+      // join of the filtered legs exactly.
+      val fstats = f.crossJoin(broadcast(bounds))
+        .groupBy(bkt(fk).as("b"))
+        .agg(countDistinct(col(fk)).as("da"),
+          count(when(expr(ff), lit(1))).as("na"))
+      val dstats = d.crossJoin(broadcast(bounds))
+        .groupBy(bkt(dk).as("b"))
+        .agg(countDistinct(col(dk)).as("db"),
+          count(when(expr(df), lit(1))).as("nb"))
+      val est = fstats.filter(col("na") > 0)
+        .join(dstats.filter(col("nb") > 0), Seq("b"))
+        .select(expr("(na * nb) div greatest(da, db, 1)").as("e"))
         .agg(coalesce(sum(col("e")), lit(0L)).as("est"))
       val actual = f.filter(expr(ff))
         .join(d.filter(expr(df)), col(fk) === col(dk))
