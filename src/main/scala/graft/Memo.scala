@@ -31,6 +31,25 @@ object Memo {
   private val locks =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), Object]()
 
+  /** Analyzed-plan node count above which a memo serves a
+    * lineage-CUT frame instead of a plain persist. A cached frame
+    * still carries its full logical plan, and every consumer query
+    * re-pays ANALYSIS of that tree per use — measured (r14, sf0.1):
+    * counting the cached 25-row final pagerank iterate cost 1.03 s
+    * per count (its unrolled lineage is thousands of nodes) vs
+    * 0.10 s for a shallow memo of the same size. `localCheckpoint`
+    * (guide §5) replaces the plan with one LogicalRDD leaf over the
+    * SAME materialized rows — values, caching and determinism are
+    * unchanged; only the dead re-analysis goes away. Lazy (eager =
+    * false): tests that only force plans must not trigger execution.
+    */
+  val lineageCutNodes = 96
+
+  private def materialized(df: DataFrame): DataFrame = {
+    val nodes = df.queryExecution.analyzed.collect { case n => n }.size
+    if (nodes > lineageCutNodes) df.localCheckpoint(false) else persisted(df)
+  }
+
   def apply(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val key = (spark, dir, tag)
@@ -40,11 +59,11 @@ object Memo {
         frames.getOrElseUpdate(key, {
           if (eagerTiming) {
             val t0 = System.nanoTime()
-            val df = persisted(build)
+            val df = materialized(build)
             df.count()
             buildSecs.put((dir, tag), (System.nanoTime() - t0) / 1e9)
             df
-          } else persisted(build)
+          } else materialized(build)
         })
       }
     }
