@@ -15,6 +15,36 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deep-memo lineage cut ON for the bench (default-off so the plan
+    // audits in sbt test see full memo subtrees; see Memo.lineageCut's
+    // doc for the cluster-scale reliable-checkpoint story).
+    Memo.lineageCut = true
+    // Per-memo task-CPU attribution: the concurrent warm pass makes
+    // each memo's WALL build time (memo_sec) an interference-inflated
+    // upper bound. Sum each build's task CPU time by job group —
+    // interference-free — and report it alongside (memo_cpu_sec).
+    val memoStageGroup = scala.collection.concurrent.TrieMap[Int, String]()
+    val memoCpuNs = scala.collection.concurrent.TrieMap[String, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          g.filter(_.startsWith("graft-memo\u0000")).foreach { grp =>
+            j.stageInfos.foreach(si => memoStageGroup.put(si.stageId, grp))
+          }
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          memoStageGroup.get(s.stageInfo.stageId).foreach { grp =>
+            val ns = Option(s.stageInfo.taskMetrics)
+              .map(_.executorCpuTime).getOrElse(0L)
+            memoCpuNs.updateWith(grp) {
+              case Some(v) => Some(v + ns); case None => Some(ns)
+            }
+          }
+      })
     // Every unpartitioned window left in the suite runs over a BOUNDED
     // post-agg frame (day/month/bucket/pair-memo scale — documented at
     // each site and guarded by WindowAuditSpec's allowlist), but each
@@ -65,6 +95,16 @@ object Bench {
     // bounds on exclusive build cost (documented in OPTIMIZATION_r14).
     Memo.eagerTiming = true
     val warmT0 = System.nanoTime()
+    // Warm-pass honesty: a query that fails to warm is COUNTED and
+    // NAMED (warm_errors/warm_failed in BENCH_DETAIL) instead of
+    // silently skipped, and only NonFatal throwables are swallowed —
+    // a fatal VM error (OOM under the 8-wide warm) must abort the
+    // bench rather than let 3 timed passes run on a degraded JVM.
+    val warmFailed = scala.collection.concurrent.TrieMap[String, String]()
+    // a FATAL throwable (VM error) in a Future body would leave that
+    // future uncompleted and hang the Await — capture it, let the
+    // future complete, and rethrow on the main thread after the join
+    val warmFatal = new java.util.concurrent.atomic.AtomicReference[Throwable]
     try {
       val warmThreads =
         sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt
@@ -74,13 +114,20 @@ object Bench {
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(
-            SparkEntry.queries.toSeq.map { case (_, fn) =>
+            SparkEntry.queries.toSeq.map { case (name, fn) =>
               scala.concurrent.Future(
                 try { fn(spark, sfDir).count(); () }
-                catch { case _: Throwable => () })
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    warmFailed.put(name, String.valueOf(e.getMessage).take(120))
+                    System.err.println(s"[bench] warm $name failed: $e")
+                  case fatal: Throwable =>
+                    warmFatal.compareAndSet(null, fatal)
+                })
             }),
           scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
+      if (warmFatal.get != null) throw warmFatal.get
     } finally Memo.eagerTiming = false
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // Three timed passes, min per query: steady-state throughput, not
@@ -118,8 +165,18 @@ object Bench {
       .map { case ((d, tag), s) => dirKey(d, tag) -> s }.sortBy(-_._2)
     val ckptSecs = Checkpoint.buildSecs.toSeq
       .map { case ((d, name), s) => dirKey(d, name) -> s }.sortBy(-_._2)
+    // interference-free per-memo CPU seconds (see listener above);
+    // additive field — existing BENCH_DETAIL consumers are unaffected
+    val memoCpuSecs = memoCpuNs.toSeq.flatMap { case (grp, ns) =>
+      grp.split('\u0000') match {
+        case Array(_, d, tag) => Some(dirKey(d, tag) -> ns / 1e9)
+        case _ => None
+      }
+    }.sortBy(-_._2)
+    val warmFailedJson = warmFailed.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${f(warmSec)},"memo_sec":${jmap(memoSecs)},"ckpt_train_sec":${jmap(ckptSecs)}}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","n_queries":${results.size},"warm_sec":${f(warmSec)},"warm_errors":${warmFailed.size},"warm_failed":$warmFailedJson,"memo_sec":${jmap(memoSecs)},"memo_cpu_sec":${jmap(memoCpuSecs)},"ckpt_train_sec":${jmap(ckptSecs)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Profile <sfDir> <outDir> [q1,q2,...|TOP<n>|ALL]
   *
   * Methodology matches Bench: same session configs, untimed table +
-  * memo warm pass first, then per-query timings (median of 3).
+  * memo warm pass first, then per-query timings (each of the three
+  * phases is the MIN over 3 tries, independently per phase — the
+  * steady-state floor, not a median; splits can come from different
+  * tries).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -33,6 +36,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // profile under the same deep-memo lineage cut the bench runs with
+    Memo.lineageCut = true
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

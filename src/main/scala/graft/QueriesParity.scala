@@ -79,11 +79,12 @@ object QueriesParity {
       /** Run one streaming leg to its memory sink and return the sink
         * table; `feed` pushes the batch-cut (+ flush sentinels) in. */
       def run(name: String, mode: String, start: SparkSession => DataFrame,
-          feed: () => Unit): DataFrame = {
+          feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+          : DataFrame = {
         val qn = s"parity_${name}_$tag"
         val q = start(ps).writeStream
           .format("memory").queryName(qn).outputMode(mode).start()
-        try { feed(); q.processAllAvailable() } finally q.stop()
+        try { feed(q); q.processAllAvailable() } finally q.stop()
         ps.table(qn)
       }
 
@@ -114,22 +115,28 @@ object QueriesParity {
           val (m, sdf) = mkStream()
           leg("window_agg", StreamOps.windowAgg(batchDf),
             run("window_agg", "complete", _ => StreamOps.windowAggStream(sdf),
-              () => { m.addData(slice: _*); () }))
+              _ => { m.addData(slice: _*); () }))
         case "sliding_agg" =>
           val (m, sdf) = mkStream()
           leg("sliding_agg", StreamOps.slidingAgg(batchDf),
             run("sliding_agg", "complete", _ => StreamOps.slidingAggStream(sdf),
-              () => { m.addData(slice: _*); () }))
+              _ => { m.addData(slice: _*); () }))
         case "sessionize" =>
           val (m, sdf) = mkStream()
           val sunk = run("sessionize", "append",
             s => StreamOps.sessionizeStream(s, sdf).toDF(),
-            () => {
-              m.addData(slice: _*)
-              // two sentinel batches: watermark advances off the max
-              // event time of the PREVIOUS batch, so the second push
-              // is what retires every real session's timeout
-              m.addData(sentinel(1)); m.addData(sentinel(2)); ()
+            q => {
+              // processAllAvailable() between pushes pins the batch
+              // boundaries: the watermark advances off the max event
+              // time of the PREVIOUS batch, so each sentinel must land
+              // in its OWN micro-batch (the second push retires every
+              // real session's timeout). Without the barriers the
+              // concurrent leg startup could coalesce the pushes into
+              // one batch and the leg would silently depend on
+              // noDataMicroBatches staying enabled.
+              m.addData(slice: _*); q.processAllAvailable()
+              m.addData(sentinel(1)); q.processAllAvailable()
+              m.addData(sentinel(2)); ()
             })
           leg("sessionize",
             StreamOps.sessionize(batchDf)
@@ -146,25 +153,25 @@ object QueriesParity {
           leg("interval_join", StreamOps.intervalJoin(batchDf),
             run("interval_join", "append",
               _ => StreamOps.intervalJoinStream(clicks, purchases),
-              () => { mc.addData(slice: _*); mp.addData(slice: _*); () }))
+              _ => { mc.addData(slice: _*); mp.addData(slice: _*); () }))
         case "asof_join" =>
           val (m, sdf) = mkStream()
           leg("asof_join", StreamOps.asofJoin(batchDf),
             run("asof_join", "append", s => StreamOps.asofJoinStream(s, sdf).toDF(),
-              () => { m.addData(slice: _*); () }))
+              _ => { m.addData(slice: _*); () }))
         case "latest_snapshot" =>
           val (m, sdf) = mkStream()
           leg("latest_snapshot", StreamOps.latestSnapshot(batchDf),
             run("latest_snapshot", "update",
               s => StreamOps.latestSnapshotStream(s, sdf).toDF(),
-              () => { m.addData(slice: _*); () }))
+              _ => { m.addData(slice: _*); () }))
         case "dedupe" =>
           val (m, sdf) = mkStream()
           // feed every event twice: the watermarked dropDuplicates
           // must emit each exactly once
           leg("dedupe", batchDf.dropDuplicates("event_id"),
             run("dedupe", "append", _ => StreamOps.dedupeStream(sdf, Seq("event_id")),
-              () => { m.addData(slice ++ slice: _*); () }))
+              _ => { m.addData(slice ++ slice: _*); () }))
       }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
       val rows =

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same deep-memo lineage cut as Bench: cheaper per-consumer
+    // re-analysis; results are identical (same materialized rows)
+    Memo.lineageCut = true
     new java.io.File(outDir).mkdirs()
     // Correctness dump is order-independent (one output dir per query)
     // — run queries on a small concurrent pool (guide §2.6) so the
