@@ -255,18 +255,24 @@ object QueriesStats {
     ("lineitem", "l_quantity"),
     ("orders", "o_totalprice"))
 
-  def colQuantilesQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Metrics.quantilesNearestBucketed(
-      // the bucket-locate plan scans this union three times → memoize
-      Memo(spark, dir, "stats:quantColVals")(
-        quantCols
-          .map { case (t, c) =>
-            Tables(spark, dir, t)
-              .filter(col(c).isNotNull)
-              .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
-          }
-          .reduce(_.unionAll(_))),
-      "col_name", "v")
+  def colQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    // the bucket-locate plan scans this union → memoize, and memoize
+    // the query-independent bucket-CDF prefix too: the per-query tail
+    // is then ONE scan of the union (located-bucket keep pass) instead
+    // of three (guide §2.4 — share one expensive subtree)
+    val vals = Memo(spark, dir, "stats:quantColVals")(
+      quantCols
+        .map { case (t, c) =>
+          Tables(spark, dir, t)
+            .filter(col(c).isNotNull)
+            .select(lit(s"$t.$c").as("col_name"), col(c).cast("double").as("v"))
+        }
+        .reduce(_.unionAll(_)))
+    val cdf = Memo(spark, dir, "stats:quantColCdf")(
+      graft.operators.Metrics.bucketCdf(vals, "col_name", "v"))
+    graft.operators.Metrics.quantilesNearestBucketedFrom(
+      vals, cdf, "col_name", "v")
+  }
 
   val colQuantilesSql: String = {
     val vals = quantCols
@@ -428,6 +434,14 @@ object QueriesStats {
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double").as("v")))
 
+  /** Query-independent bucket-CDF over [[eventVals]] — one memo serves
+    * BOTH group_quantiles (5 quantiles) and mad_outliers' first median
+    * pass (q = 0.5): the targets only enter the plan after the CDF.
+    */
+  private def eventValsCdf(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "stats:eventValsCdf")(
+      graft.operators.Metrics.bucketCdf(eventVals(spark, dir), "event_type", "v"))
+
   /** Median-absolute-deviation outlier profile per event_type — the
     * robust counterpart of z-score spike detection (immune to the very
     * outliers it hunts). Exact medians come from the bucket-locate
@@ -442,13 +456,16 @@ object QueriesStats {
     // cached-slim-projection discipline as the minhash/pq frames).
     val base = eventVals(spark, dir)
     val med = graft.operators.Metrics
-      .quantilesNearestBucketed(base, "event_type", "v", Seq(0.5))
+      .quantilesNearestBucketedFrom(
+        base, eventValsCdf(spark, dir), "event_type", "v", Seq(0.5))
       .select(col("event_type"), col("value").as("med"))
     val dev = Memo(spark, dir, "stats:madDev")(
       base.join(broadcast(med), "event_type")
         .select(col("event_type"), abs(col("v") - col("med")).as("d")))
+    val devCdf = Memo(spark, dir, "stats:madDevCdf")(
+      graft.operators.Metrics.bucketCdf(dev, "event_type", "d"))
     val mad = graft.operators.Metrics
-      .quantilesNearestBucketed(dev, "event_type", "d", Seq(0.5))
+      .quantilesNearestBucketedFrom(dev, devCdf, "event_type", "d", Seq(0.5))
       .select(col("event_type"), col("value").as("mad"))
     base
       .join(broadcast(med), "event_type")
@@ -494,8 +511,8 @@ object QueriesStats {
     * ranked).
     */
   def groupQuantilesQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Metrics.quantilesNearestBucketed(
-      eventVals(spark, dir), "event_type", "v")
+    graft.operators.Metrics.quantilesNearestBucketedFrom(
+      eventVals(spark, dir), eventValsCdf(spark, dir), "event_type", "v")
 
   val groupQuantilesSql: String = {
     val arms = graft.operators.Metrics.quantiles
@@ -774,14 +791,18 @@ object QueriesStats {
 
   def eqdepthHistQ(spark: SparkSession, dir: String): DataFrame = {
     val qs = (1 until eqdepthBins).map(_.toDouble / eqdepthBins)
-    // three bucket-locate scans + the final binning scan → memoize
+    // bucket-locate scans + the final binning scan → memoize the vals
+    // AND the query-independent bucket-CDF prefix: the bounds pass is
+    // then ONE located-bucket scan instead of three
     val vals = Memo(spark, dir, "stats:eqdepthVals")(
       Tables(spark, dir, "orders")
         .filter(col("o_totalprice").isNotNull)
         .select(lit("orders.o_totalprice").as("col_name"),
           col("o_totalprice").cast("double").as("v")))
+    val cdf = Memo(spark, dir, "stats:eqdepthCdf")(
+      graft.operators.Metrics.bucketCdf(vals, "col_name", "v"))
     val bounds = graft.operators.Metrics
-      .quantilesNearestBucketed(vals, "col_name", "v", qs)
+      .quantilesNearestBucketedFrom(vals, cdf, "col_name", "v", qs)
       .agg(sort_array(collect_list(col("value"))).as("bs"))
     val binCol = (1 until eqdepthBins)
       .foldLeft(lit(0)) { (acc, i) =>

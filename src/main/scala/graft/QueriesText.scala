@@ -82,6 +82,17 @@ object QueriesText {
     Memo(spark, dir, "shArr3")(
       TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
 
+  /** Collapsed LSH candidate pairs, materialized once per session —
+    * the multi-join rep/band/expand pipeline behind SIX query paths
+    * (bbit_minhash, containment_sim, ngram_jaccard, the LSH audits,
+    * lsh_tuning) and the verified lshPairs build re-ran it per
+    * execution; the frame is candidate-bounded (pair rows, no
+    * payloads), so it is exactly the "materialize the signature/pair
+    * tables once" discipline (guide §2.4). */
+  private[graft] def lshCands(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "text:lshCands")(
+      TextOps.lshCandidatesCollapsed(mhWide(spark, dir)))
+
   def minhashSigQ(spark: SparkSession, dir: String): DataFrame =
     mhWide(spark, dir)
       .select(
@@ -111,7 +122,7 @@ object QueriesText {
     */
   private[graft] def lshPairs(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "lshPairs") {
-      val cands = TextOps.lshCandidatesCollapsed(mhWide(spark, dir))
+      val cands = lshCands(spark, dir)
       // Verify candidates against whole shingle SETS (array_intersect):
       // the sparse candidate list joins the per-doc set twice — no second
       // exploded-shingle self-join, three document scans total.
@@ -569,7 +580,7 @@ object QueriesText {
         Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
     val meta = sets.select(col("doc_id"), col("lang"), col("source"))
     val arrs = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
-    TextOps.lshCandidatesCollapsed(mhWide(spark, dir))
+    lshCands(spark, dir)
       .join(meta.select(col("doc_id").as("doc_a"), col("lang"), col("source")), "doc_a")
       .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("source").as("source_b")), "doc_b")

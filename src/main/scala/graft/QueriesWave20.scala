@@ -28,8 +28,7 @@ object QueriesWave20 {
     */
   def lshPrecisionAuditQ(spark: SparkSession, dir: String): DataFrame = {
     val cand = Memo(spark, dir, "wave9:lshCand")(
-      graft.operators.TextOps
-        .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+      QueriesText.lshCands(spark, dir)
         .select(col("doc_a"), col("doc_b")))
     val ver = QueriesText.lshPairs(spark, dir)
     Memo(spark, dir, "wave20:lshPrecRow") {

@@ -910,12 +910,19 @@ object QueriesWave22 {
     * multiset's r-th element is the same value bucket-locate finds.
     */
   def medianCiQ(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables(spark, dir, "events")
-      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+    val v = Memo(spark, dir, "w22:medianCents")(
+      Tables(spark, dir, "events")
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c")))
+    // the 1024-bucket rank histogram is query-independent (the ranks
+    // join in after it) — memoized, the three order statistics cost
+    // ONE located-bucket scan instead of three full passes, and n
+    // rides the histogram's count instead of a fourth scan (§2.4)
+    val hist = Memo(spark, dir, "w22:medianHist")(
+      QueriesWave8.rankHist(v, "c"))
     val h = "CAST(round(1.959964 * sqrt(CAST(__p AS DOUBLE))) AS BIGINT)"
     // one multi-rank bucket-locate serves all three order statistics —
     // three separate locates would rescan the events 9 times
-    val ord = QueriesWave8.rankLocateMulti(v, "c", Seq(
+    val ord = QueriesWave8.rankLocateMultiFrom(v, hist, "c", Seq(
       ("med", "(__p + 1) div 2"),
       ("lo", s"greatest((__p - $h) div 2, 1L)"),
       ("hi", s"least((__p + $h) div 2 + 1, __p)")))
@@ -923,7 +930,7 @@ object QueriesWave22 {
       max(when(col("name") === "med", col("value"))).as("med_c"),
       max(when(col("name") === "lo", col("value"))).as("lo_c"),
       max(when(col("name") === "hi", col("value"))).as("hi_c"))
-    v.agg(count(lit(1)).as("n"))
+    hist.filter(col("__b") === 0L).select(col("__p").as("n"))
       .crossJoin(broadcast(wide))
       .select(col("n"),
         (col("med_c").cast("double") / 100.0).as("median"),

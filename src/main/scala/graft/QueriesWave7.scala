@@ -108,7 +108,7 @@ object QueriesWave7 {
     val bitAgree = (0 until n)
       .map(i => when(lowBit(col(s"m${i}_a")) === lowBit(col(s"m${i}_b")), 1L).otherwise(0L))
       .reduce(_ + _)
-    graft.operators.TextOps.lshCandidatesCollapsed(sigs)
+    QueriesText.lshCands(spark, dir)
       .join(side("a"), "doc_a").join(side("b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (sigAgree.cast("double") / n).as("j_sig"),
@@ -216,7 +216,7 @@ object QueriesWave7 {
     */
   def containmentSimQ(spark: SparkSession, dir: String): DataFrame = {
     val sets = QueriesText.shArr3(spark, dir)
-    graft.operators.TextOps.lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+    QueriesText.lshCands(spark, dir)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -822,8 +822,7 @@ object QueriesWave7 {
           expr("CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1e6) AS BIGINT)").as("idf6")))
     val docW = sh.join(idf, "shingle")
       .groupBy(col("doc_id")).agg(sum(col("idf6")).as("wsum"))
-    val cands = graft.operators.TextOps
-      .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+    val cands = QueriesText.lshCands(spark, dir)
     val sets = QueriesText.shArr3(spark, dir)
     // intersection weights: intersect the two memoized shingle ARRAYS
     // per candidate pair, explode only that sparse intersection, and

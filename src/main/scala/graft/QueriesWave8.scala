@@ -325,21 +325,46 @@ object QueriesWave8 {
     * bucket-bounded like the single-rank form.
     */
   private[graft] def rankLocateMulti(df: DataFrame, v: String,
-      ranks: Seq[(String, String)]): DataFrame = {
+      ranks: Seq[(String, String)]): DataFrame =
+    rankLocateMultiFrom(df, rankHist(df, v), v, ranks)
+
+  /** The QUERY-INDEPENDENT prefix of [[rankLocateMulti]]: per-frame
+    * count/min/max carried onto the 1024-bucket integer histogram with
+    * its running sum (≤ 1024 rows, two scans of `df`). The target
+    * ranks only enter the plan after this frame, so a memoized
+    * histogram serves any set of order statistics of the same column
+    * with ONE remaining data scan (the located-bucket keep pass) —
+    * same split as Metrics.bucketCdf (guide §2.4).
+    */
+  private[graft] def rankHist(df: DataFrame, v: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mm = df.agg(count(lit(1)).as("__p"), min(col(v)).as("__mn"),
       max(col(v)).as("__mx"))
+    val b = expr(s"(($v - __mn) * $tsBuckets) div (__mx - __mn + 1)")
+    df.crossJoin(broadcast(mm))
+      .groupBy(col("__p"), col("__mn"), col("__mx"), b.as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** The per-query tail of [[rankLocateMulti]] over a (possibly
+    * memoized) [[rankHist]] frame — identical output by construction.
+    */
+  private[graft] def rankLocateMultiFrom(df: DataFrame, hist: DataFrame,
+      v: String, ranks: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bucket 0 always exists: the min value lands there (and the
+    // degenerate mx == mn frame is all bucket 0)
+    val mm = hist.filter(col("__b") === 0L)
+      .select(col("__p"), col("__mn"), col("__mx"))
     val withRanks = mm.select(
       (col("__p") +: col("__mn") +: col("__mx") +:
         ranks.map { case (n, e) => expr(e).as(s"__r_$n") }): _*)
     val b = expr(s"(($v - __mn) * $tsBuckets) div (__mx - __mn + 1)")
-    val aggCols = count(lit(1)).as("__c") +:
-      ranks.map { case (n, _) => max(col(s"__r_$n")).as(s"__r_$n") }
-    val cum = df.crossJoin(broadcast(withRanks))
-      .groupBy(b.as("__b"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, 0)))
+    val cum = hist.select(col("__b"), col("__c"), col("__cum"))
+      .crossJoin(broadcast(withRanks.select(
+        ranks.map { case (n, _) => col(s"__r_$n") }: _*)))
     val loc = ranks.map { case (n, _) =>
       cum.filter(col("__cum") >= col(s"__r_$n") &&
           col("__cum") - col("__c") < col(s"__r_$n"))

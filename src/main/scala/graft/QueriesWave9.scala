@@ -249,8 +249,7 @@ object QueriesWave9 {
     // the band join recomputes per consumer otherwise — three aggregates
     // read it here, so pin the collapsed candidate pairs once
     val cand = Memo(spark, dir, "wave9:lshCand")(
-      graft.operators.TextOps
-        .lshCandidatesCollapsed(QueriesText.mhWide(spark, dir))
+      QueriesText.lshCands(spark, dir)
         .select(col("doc_a"), col("doc_b")))
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     Memo(spark, dir, "wave9:lshRecallRow") {

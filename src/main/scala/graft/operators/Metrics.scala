@@ -65,37 +65,75 @@ object Metrics {
     */
   def quantilesNearestBucketed(
       df: DataFrame, group: String, valueCol: String,
-      qs: Seq[Double] = quantiles, buckets: Int = 256): DataFrame = {
+      qs: Seq[Double] = quantiles, buckets: Int = 256): DataFrame =
+    quantilesNearestBucketedFrom(
+      df, bucketCdf(df, group, valueCol, buckets), group, valueCol, qs, buckets)
+
+  /** The bucket-locate bucket index for `__v`, given `__mn`/`__mx` in
+    * scope — the SAME expression in the CDF count pass and the keep
+    * pass, so located buckets are bit-identical across the two scans.
+    */
+  private def bucketIdx(buckets: Int): Column =
+    when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(
+        floor((col("__v") - col("__mn")) * lit(buckets.toDouble) /
+          (col("__mx") - col("__mn"))).cast("long"),
+        lit((buckets - 1).toLong)))
+
+  /** The QUERY-INDEPENDENT prefix of the bucket-locate quantile plan:
+    * per-group count/min/max joined onto per-(group, bucket) counts
+    * with their running sum — ≤ |groups|·buckets rows, built in two
+    * scans of `df`. The quantile targets (qs) only enter the plan
+    * AFTER this frame, so one memoized CDF serves every quantile probe
+    * of the same input (col_quantiles / group_quantiles / the MAD
+    * median passes / eqdepth bounds): each consumer then pays ONE scan
+    * of the input (the located-bucket keep pass) instead of three —
+    * guide §2.4, share one expensive subtree.
+    */
+  def bucketCdf(
+      df: DataFrame, group: String, valueCol: String,
+      buckets: Int = 256): DataFrame = {
     val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
     val mm = base.groupBy(col(group)).agg(
       count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    // same expression in the count pass and the keep pass — bit-identical
-    val bucket =
-      when(col("__mx") === col("__mn"), lit(0L))
-        .otherwise(least(
-          floor((col("__v") - col("__mn")) * lit(buckets.toDouble) /
-            (col("__mx") - col("__mn"))).cast("long"),
-          lit((buckets - 1).toLong)))
     val counts = base.join(broadcast(mm), group)
-      .groupBy(col(group), bucket.as("__b"))
+      .groupBy(col(group), col("__mn"), col("__mx"), col("__n"),
+        bucketIdx(buckets).as("__b"))
       .agg(count(lit(1)).as("__c"))
-    val cum = counts
+    counts
       .withColumn("__cum", sum(col("__c")).over(
         Window.partitionBy(col(group)).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** The per-query tail of the bucket-locate plan over a (possibly
+    * memoized) [[bucketCdf]] frame: locate each target rank's bucket in
+    * the CDF, then ONE scan of `df` keeps only rows in located buckets
+    * (~n/buckets each) and ranks within. Identical output to
+    * [[quantilesNearestBucketed]] by construction — the composed
+    * expressions are the same; only the reuse boundary moved.
+    */
+  def quantilesNearestBucketedFrom(
+      df: DataFrame, cdf: DataFrame, group: String, valueCol: String,
+      qs: Seq[Double] = quantiles, buckets: Int = 256): DataFrame = {
+    val base = df.select(col(group), col(valueCol).cast("double").as("__v"))
+    // one row per group (bucket 0 always exists: the min value lands
+    // there, and the degenerate mx == mn group is all bucket 0)
+    val mm = cdf.filter(col("__b") === 0L)
+      .select(col(group), col("__n"), col("__mn"), col("__mx"))
     // target rank r per (group, q); its bucket is the first with cum ≥ r
     val targets = mm
       .withColumn("quantile", explode(array(qs.map(lit): _*)))
       .select(col(group), col("quantile"),
         (expr("CAST(bround(quantile * (__n - 1), 0) AS BIGINT)") + 1L).as("__r"))
     val located = targets
-      .join(cum, group)
+      .join(cdf.select(col(group), col("__b"), col("__c"), col("__cum")), group)
       .filter(col("__cum") >= col("__r") && col("__cum") - col("__c") < col("__r"))
       .select(col(group), col("quantile"), col("__r"),
         col("__b"), (col("__cum") - col("__c")).as("__below"))
     // keep only rows in located buckets; rank within = __below + local rank
     val narrowed = base.join(broadcast(mm), group)
-      .withColumn("__b", bucket)
+      .withColumn("__b", bucketIdx(buckets))
       .join(broadcast(located), Seq(group, "__b"))
     narrowed
       .withColumn("__rn", row_number().over(
