@@ -38,6 +38,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     // profile under the same deep-memo lineage cut the bench runs with
     Memo.lineageCut = true
+    // profiling an AMPLIFIED/scratch dataset must not write its
+    // trainer fingerprints into the committed store (the ScaleLadder
+    // discipline) — redirect when asked
+    sys.env.get("SPARK_GRAFT_CKPT_ROOT")
+      .foreach(r => Checkpoint.rootOverride = Some(r))
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
