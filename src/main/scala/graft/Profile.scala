@@ -64,7 +64,11 @@ object Profile {
       }
     }
 
-    val rows = names.map { n =>
+    // Each row prints IMMEDIATELY (a crash loses nothing), and a query
+    // that fails — e.g. value-range overflow on an AMPLIFIED scratch
+    // dataset outside the oracle contract — is reported and skipped
+    // instead of killing the whole profile.
+    val rows = names.flatMap { n =>
       val fn = SparkEntry.queries(n)
       spark.sparkContext.setJobDescription(s"profile: $n")
       def once(): (Double, Double, Double) = {
@@ -78,20 +82,28 @@ object Profile {
         val t3 = System.nanoTime()
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }
-      val tries = (1 to 3).map(_ => once())
-      val build = tries.map(_._1).min
-      val plan = tries.map(_._2).min
-      val exec = tries.map(_._3).min
-      // plan dump (already-optimized physical plan, formatted)
-      try {
-        val df = fn(spark, sfDir)
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$outDir/$n.txt"),
-          txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Throwable => () }
-      f"$n%-28s build=$build%7.3f plan=$plan%7.3f exec=$exec%7.3f total=${build + plan + exec}%7.3f"
+      val row =
+        try {
+          val tries = (1 to 3).map(_ => once())
+          val build = tries.map(_._1).min
+          val plan = tries.map(_._2).min
+          val exec = tries.map(_._3).min
+          // plan dump (already-optimized physical plan, formatted)
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/$n.txt"),
+              txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } catch { case _: Throwable => () }
+          Some(f"$n%-28s build=$build%7.3f plan=$plan%7.3f exec=$exec%7.3f total=${build + plan + exec}%7.3f")
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Some(f"$n%-28s FAILED: ${e.getMessage.linesIterator.next()}")
+        }
+      row.foreach(r => println(s"[profile-row] $r"))
+      row
     }
     spark.stop()
     rows.foreach(println)

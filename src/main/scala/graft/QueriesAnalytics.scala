@@ -409,8 +409,8 @@ object QueriesAnalytics {
   val searchTerms: Seq[String] = Seq("query", "window", "merge")
 
   def termSearchQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(graft.operators.TextOps.tokensExpr)).as("word"))
+    QueriesText.toks(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("__ws"))).as("word"))
       .filter(col("word").isin(searchTerms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -541,8 +541,8 @@ object QueriesAnalytics {
     */
   private[graft] def termTf(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "analytics:termTf")(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+      QueriesText.toks(spark, dir)
+        .select(col("doc_id"), explode(col("__ws")).as("word"))
         .filter(col("word").isin(searchTerms: _*))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
 
@@ -552,8 +552,8 @@ object QueriesAnalytics {
     */
   private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "analytics:bm25Scores") {
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val toks = QueriesText.toks(spark, dir)
+      .select(col("doc_id"), explode(col("__ws")).as("word"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = lens.agg(
       count(lit(1)).cast("double").as("__nd"),
@@ -686,8 +686,8 @@ object QueriesAnalytics {
   val vocabK = 16
 
   def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val words = QueriesText.toks(spark, dir)
+      .select(col("doc_id"), explode(col("__ws")).as("word"))
     val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(vocabK)
       .select(col("word"), lit(1).as("__in_v"))
@@ -1318,8 +1318,9 @@ object QueriesAnalytics {
     * CTE so both engines score the identical classifier.
     */
   def langConfusionQ(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.langId(Tables(spark, dir, "documents"))
-      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang").as("lang_true")),
+    graft.operators.TextAnalysis.langIdToks(
+        QueriesText.toks(spark, dir).select(col("doc_id"), col("__ws")))
+      .join(QueriesText.toks(spark, dir).select(col("doc_id"), col("lang").as("lang_true")),
         Seq("doc_id"))
       .groupBy(col("lang_true"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
@@ -1534,8 +1535,8 @@ object QueriesAnalytics {
     */
   private def chunkFrame(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "analytics:chunks") {
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+      QueriesText.toks(spark, dir)
+        .select(col("doc_id"), col("__ws"))
         .withColumn("n", size(col("__ws")).cast("long"))
         .withColumn("n_chunks",
           when(col("n") <= chunkSize, 1L)
@@ -1700,8 +1701,8 @@ object QueriesAnalytics {
   val bigramTopK = 15
 
   def bigramLiftQ(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+    val toks = QueriesText.toks(spark, dir)
+      .select(col("doc_id"), col("__ws"))
     val u = toks.select(explode(col("__ws")).as("word"))
     val uc = u.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val n = u.agg(count(lit(1)).as("total"))
@@ -1982,8 +1983,8 @@ object QueriesAnalytics {
     * 1-based to match SQL subscripts.
     */
   def tokenPositionsQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+    QueriesText.toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("__ws")))
       .select(col("doc_id"), col("col").as("word"), (col("pos") + 1).cast("long").as("pos"))
       .filter(col("word").isin(searchTerms: _*))
       .groupBy(col("doc_id"), col("word"))
@@ -2011,8 +2012,8 @@ object QueriesAnalytics {
 
   def sharedVocabQ(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("word"))
-    val t = Tables(spark, dir, "documents")
-      .select(col("source"), explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val t = QueriesText.toks(spark, dir)
+      .select(col("source"), explode(col("__ws")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= sharedVocabK)

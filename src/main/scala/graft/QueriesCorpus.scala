@@ -99,10 +99,10 @@ object QueriesCorpus {
     * One groupBy; token counts are row-local array sizes.
     */
   def corpusSummaryQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    QueriesText.toks(spark, dir)
       .select(
         col("lang"), col("source"), col("n_chars"),
-        size(graft.operators.TextOps.tokensExpr).cast("long").as("__nt"))
+        size(col("__ws")).cast("long").as("__nt"))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -187,7 +187,9 @@ object QueriesCorpus {
   // ---- row 40: repetition signals ----
 
   def repetitionRatioQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.repetitionRatio(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+    Corpus.repetitionRatioToks(
+      QueriesText.toks(spark, dir).select(col("doc_id"), col("__ws")))
+      .orderBy(col("doc_id"))
 
   val repetitionRatioSql: String =
     s"""WITH ${QueriesText.wordsCte},
@@ -218,8 +220,7 @@ object QueriesCorpus {
     */
   def dedupKeepBestQ(spark: SparkSession, dir: String): DataFrame = {
     val clusters = QueriesText.dupComponents(spark, dir)
-    val quality = TextAnalysis
-      .qualityScore(Tables(spark, dir, "documents"))
+    val quality = QueriesText.quality(spark, dir)
       .select(col("doc_id"), col("score"))
     val win = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
     val keep = clusters
@@ -259,15 +260,15 @@ object QueriesCorpus {
   def curationPassQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val filt = Corpus.docFilter(docs).select(col("doc_id"), col("kept").as("r_filter"))
-    val pfxBase = docs
-      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+    val pfxBase = QueriesText.toks(spark, dir)
+      .select(col("doc_id"), col("__ws"))
       .withColumn("__p",
         md5(expr(s"array_join(slice(__ws, 1, ${QueriesText.prefixWords}), ' ')")))
     val pfx = pfxBase
       .join(pfxBase.groupBy(col("__p")).agg(min(col("doc_id")).as("__keep")), "__p")
       .select(col("doc_id"), (col("doc_id") === col("__keep")).as("r_prefix"))
     val clusters = QueriesText.dupComponents(spark, dir)
-    val quality = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("score"))
+    val quality = QueriesText.quality(spark, dir).select(col("doc_id"), col("score"))
     val win = Window.partitionBy(col("cluster_id")).orderBy(col("score").desc, col("doc_id"))
     val keep = clusters.join(quality, "doc_id")
       .withColumn("__rn", row_number().over(win))
@@ -334,7 +335,7 @@ object QueriesCorpus {
     * count shuffle, then vocabulary-sized work.
     */
   def bpePairsQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.bpePairs(Tables(spark, dir, "documents"), bpeTopK)
+    Corpus.bpePairsToks(QueriesText.toks(spark, dir).select(col("__ws")), bpeTopK)
 
   val bpePairsSql: String =
     s"""WITH ${QueriesText.wordsCte},
@@ -361,8 +362,8 @@ object QueriesCorpus {
     */
   private def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "corpus:bpeVocab")(
-      Tables(spark, dir, "documents")
-        .select(explode(operators.TextOps.tokensExpr).as("word"))
+      QueriesText.toks(spark, dir)
+        .select(explode(col("__ws")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
         .select(col("c"),
           concat(lit(" "),
@@ -494,7 +495,8 @@ object QueriesCorpus {
     * actually repeat. Docs with zero repeated spans are omitted.
     */
   def substringDupQ(spark: SparkSession, dir: String): DataFrame =
-    Corpus.substringDup(Tables(spark, dir, "documents"), ssdGram,
+    Corpus.substringDupToks(
+      QueriesText.toks(spark, dir).select(col("doc_id"), col("__ws")), ssdGram,
       Memo(spark, dir, "corpus:ssdGrams")(_))
       .orderBy(col("doc_id"))
 
@@ -527,8 +529,8 @@ object QueriesCorpus {
     * slope/intercept.
     */
   def zipfFitQ(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = Tables(spark, dir, "documents")
-      .select(explode(graft.operators.TextOps.tokensExpr).as("word"))
+    val ranked = QueriesText.toks(spark, dir)
+      .select(explode(col("__ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(zipfTopN)
       .withColumn("rn",
@@ -588,9 +590,9 @@ object QueriesCorpus {
     */
   def dsirWeightsQ(spark: SparkSession, dir: String): DataFrame = {
     val tok = Memo(spark, dir, "corpus:dsirTokens")(
-      Tables(spark, dir, "documents")
+      QueriesText.toks(spark, dir)
         .select(col("doc_id"), col("lang"),
-          explode(graft.operators.TextOps.tokensExpr).as("word"))
+          explode(col("__ws")).as("word"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(concat(lit("dsir:"), col("word"))), 1, 13), 16, 10)
             .cast("long") % dsirBuckets).as("b")))
@@ -638,8 +640,8 @@ object QueriesCorpus {
     * one keyed aggregation.
     */
   def mlmMaskQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+    QueriesText.toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("__ws")))
       .select(col("doc_id"), (col("pos") + 1).as("p"))
       .withColumn("m",
         conv(substring(md5(concat(lit("mlm:"), col("doc_id").cast("string"),
@@ -676,8 +678,8 @@ object QueriesCorpus {
   def spanCorruptQ(spark: SparkSession, dir: String): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(-(spanLen - 1), Window.currentRow)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(graft.operators.TextOps.tokensExpr))
+    QueriesText.toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("__ws")))
       .select(col("doc_id"), (col("pos") + 1).as("p"))
       .withColumn("st",
         conv(substring(md5(concat(lit("span:"), col("doc_id").cast("string"),
@@ -713,8 +715,8 @@ object QueriesCorpus {
     * double divisions only at presentation.
     */
   def tokFertilityQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("lang"), graft.operators.TextOps.tokensExpr.as("ws"))
+    QueriesText.toks(spark, dir)
+      .select(col("lang"), col("__ws").as("ws"))
       .select(col("lang"), size(col("ws")).as("nw"),
         length(concat_ws("", col("ws"))).as("nc"))
       .groupBy(col("lang"))

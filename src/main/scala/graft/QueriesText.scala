@@ -61,6 +61,24 @@ object QueriesText {
     * session — the base of minhash_sig, the LSH bands, and (via the
     * verified pairs) dup_clusters.
     */
+  /** Memoized tokenized corpus — (doc_id, lang, source, n_chars, __ws):
+    * ONE split/lower tokenization pass over the documents table, cached
+    * per session and serving every site that previously re-read the
+    * parquet text column and re-tokenized per execution (~40 sites;
+    * guide §2.4 share the expensive subtree, §6 read the large column
+    * once). Consumers project just the columns they use. Sites that
+    * need the RAW text (regex-based filters, raw-hash dedup) keep
+    * scanning parquet — a memo join would cost more than it saves.
+    */
+  private[graft] def toks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    // companion columns that exist in this documents table (test
+    // fixtures use narrower schemas than the generator's)
+    val extra = Seq("lang", "source", "n_chars").filter(d.columns.contains)
+    Memo(spark, dir, "text:toks")(
+      d.select((col("doc_id") +: extra.map(col)) :+ TextOps.tokensExpr.as("__ws"): _*))
+  }
+
   /** Per-doc distinct 3-shingles, exploded, materialized once per
     * session: ngram_novelty and contamination each referenced this
     * frame twice (self-join shape), so every execution re-tokenized and
@@ -71,7 +89,7 @@ object QueriesText {
     * frames). */
   private[graft] def shingles3(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "text:shingles3")(
-      TextOps.docShingles(Tables(spark, dir, "documents"), 3))
+      TextOps.docShinglesToks(toks(spark, dir), 3))
 
   private[graft] def mhWide(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "mhWide")(
@@ -80,7 +98,7 @@ object QueriesText {
   /** Per-doc distinct 3-shingle sets, materialized once (pair verify). */
   private[graft] def shArr3(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "shArr3")(
-      TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
+      TextOps.shingleArraysToks(toks(spark, dir).select(col("doc_id"), col("__ws")), 3))
 
   /** Collapsed LSH candidate pairs, materialized once per session —
     * the multi-join rep/band/expand pipeline behind SIX query paths
@@ -429,8 +447,8 @@ object QueriesText {
   val prefixWords = 10
 
   def prefixDedupQ(spark: SparkSession, dir: String): DataFrame = {
-    val withPrefix = Tables(spark, dir, "documents")
-      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    val withPrefix = toks(spark, dir)
+      .select(col("doc_id"), col("__ws"))
       .withColumn("prefix_md5",
         md5(expr(s"array_join(slice(__ws, 1, $prefixWords), ' ')")))
     val groups = withPrefix
@@ -476,7 +494,7 @@ object QueriesText {
         Checkpoint.tableFingerprint(spark, dir, "documents")) {
         TextOps.simhashDups(
           Memo(spark, dir, "simhashBands")(
-            TextOps.simhashBands(Tables(spark, dir, "documents"))),
+            TextOps.simhashBandsToks(toks(spark, dir).select(col("doc_id"), col("__ws")))),
           simhashMaxHamming)
       })
 
@@ -576,8 +594,8 @@ object QueriesText {
     */
   def ngramJaccardQ(spark: SparkSession, dir: String): DataFrame = {
     val sets = Memo(spark, dir, "shArr2ls")(
-      TextOps.shingleArrays(
-        Tables(spark, dir, "documents"), 2, extraCols = Seq("lang", "source")))
+      TextOps.shingleArraysToks(
+        toks(spark, dir).select(col("doc_id"), col("lang"), col("source"), col("__ws")), 2))
     val meta = sets.select(col("doc_id"), col("lang"), col("source"))
     val arrs = sets.select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     lshCands(spark, dir)
@@ -1219,7 +1237,8 @@ object QueriesText {
   // ---- rows 26-29: text analysis ----
 
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.langId(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+    TextAnalysis.langIdToks(toks(spark, dir).select(col("doc_id"), col("__ws")))
+      .orderBy(col("doc_id"))
 
   val langIdSql: String = {
     val arms = TextAnalysis.langProfiles
@@ -1240,8 +1259,13 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** qualityScore riding the tokenized-corpus memo — the shared scoring
+    * frame every gate/eval consumer builds from. */
+  private[graft] def quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScoreToks(toks(spark, dir).select(col("doc_id"), col("__ws")))
+
   def qualityScoreQ(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityScore(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+    quality(spark, dir).orderBy(col("doc_id"))
 
   private[graft] val stopwordsInSql: String =
     TextAnalysis.enStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -1316,8 +1340,8 @@ object QueriesText {
     */
   def tokenEntropyQ(spark: SparkSession, dir: String): DataFrame = {
     val cnt = col("cnt").cast("double")
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.tokensExpr).as("word"))
+    toks(spark, dir)
+      .select(col("doc_id"), explode(col("__ws")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(
@@ -1343,7 +1367,8 @@ object QueriesText {
        |ORDER BY doc_id""".stripMargin
 
   def tokenCountQ(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenCount(Tables(spark, dir, "documents")).orderBy(col("doc_id"))
+    TextAnalysis.tokenCountToks(toks(spark, dir).select(col("doc_id"), col("__ws")))
+      .orderBy(col("doc_id"))
 
   val tokenCountSql: String =
     s"""WITH $wordsCte
@@ -1366,8 +1391,8 @@ object QueriesText {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir, "documents")
-      .select(col("lang"), col("doc_id"), size(TextOps.tokensExpr).cast("long").as("n_tokens"))
+    toks(spark, dir)
+      .select(col("lang"), col("doc_id"), size(col("__ws")).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("lang"), col("doc_id"), col("n_tokens"),
@@ -1402,7 +1427,7 @@ object QueriesText {
 
   def tfidfTermsQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis
-      .tfidfTopTerms(Tables(spark, dir, "documents"), tfidfK)
+      .tfidfTopTermsToks(toks(spark, dir).select(col("doc_id"), col("__ws")), tfidfK)
       .orderBy(col("doc_id"), col("rnk"))
 
   val tfidfTermsSql: String =
@@ -1689,7 +1714,7 @@ object QueriesText {
     */
   private def winnowFps(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "winnowFps")(
-      TextOps.winnowFingerprints(Tables(spark, dir, "documents")))
+      TextOps.winnowFingerprintsToks(toks(spark, dir).select(col("doc_id"), col("__ws"))))
 
   def winnowFingerprintQ(spark: SparkSession, dir: String): DataFrame =
     winnowFps(spark, dir).orderBy(col("doc_id"), col("fp"))

@@ -943,8 +943,8 @@ object QueriesWave10 {
     * ≤m-row bucket frame.
     */
   def featureHashCollisionsQ(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables(spark, dir, "documents")
-      .select(explode(operators.TextOps.tokensExpr).as("term")).distinct()
+    val terms = QueriesText.toks(spark, dir)
+      .select(explode(col("__ws")).as("term")).distinct()
       .withColumn("b",
         pmod(conv(substring(md5(concat(lit("fh:"), col("term"))), 1, 13), 16, 10)
           .cast("long"), lit(fhBuckets)))
@@ -1116,7 +1116,7 @@ object QueriesWave10 {
     */
   private[graft] def scoredDocs(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
+      QueriesText.quality(spark, dir)
         .select(col("doc_id"),
           expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
         .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))

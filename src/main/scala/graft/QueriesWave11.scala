@@ -215,12 +215,7 @@ object QueriesWave11 {
     * exact decimal, ONE quantized √ of the marginal product.
     */
   def mccGateAgreementQ(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-        .select(col("doc_id"),
-          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("kept")), "doc_id"))
+    val scored = QueriesWave10.scoredDocs(spark, dir)
     val conf = scored
       .select(col("kept").cast("long").as("a"),
         (col("s6") >= 500000L).cast("long").as("b"))
@@ -287,12 +282,7 @@ object QueriesWave11 {
       Checkpoint(spark, dir, "isotonic_staircase")(
         Checkpoint.tableFingerprint(spark, dir, isoFpTables: _*)) {
         import spark.implicits._
-        val scored = Memo(spark, dir, "wave10:aucScored")(
-          operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-            .select(col("doc_id"),
-              expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-            .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-              .select(col("doc_id"), col("kept")), "doc_id"))
+        val scored = QueriesWave10.scoredDocs(spark, dir)
         val train = scored.select(
           (col("s6").cast("double") / 1e6).as("features"),
           col("kept").cast("double").as("label"))
@@ -343,12 +333,7 @@ object QueriesWave11 {
   def isotonicCheckQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fit = isotonicFit(spark, dir)
-    val scored = Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-        .select(col("doc_id"),
-          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("kept")), "doc_id"))
+    val scored = QueriesWave10.scoredDocs(spark, dir)
     // score every doc through the piecewise-constant curve: the fitted
     // value at the greatest boundary ≤ score (training scores always hit
     // a boundary exactly, so no interpolation ambiguity)

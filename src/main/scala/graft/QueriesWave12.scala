@@ -239,8 +239,8 @@ object QueriesWave12 {
   def keywordRakeQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stops = operators.TextAnalysis.enStopwords
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(operators.TextOps.tokensExpr).as(Seq("pos", "word")))
+    val toks = QueriesText.toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos", "word")))
     val nonstop = toks.filter(!col("word").isin(stops: _*))
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))

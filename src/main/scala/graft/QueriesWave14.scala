@@ -29,8 +29,8 @@ object QueriesWave14 {
     * rows.
     */
   def burrowsDeltaQ(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables(spark, dir, "documents")
-      .select(col("source"), explode(operators.TextOps.tokensExpr).as("word"))
+    val words = QueriesText.toks(spark, dir)
+      .select(col("source"), explode(col("__ws")).as("word"))
     val top = Memo(spark, dir, "wave14:bdTopWords")(
       words.groupBy(col("word")).agg(count(lit(1)).as("__c"))
         .orderBy(col("__c").desc, col("word")).limit(bdTopWords)

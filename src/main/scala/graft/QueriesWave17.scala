@@ -159,12 +159,7 @@ object QueriesWave17 {
     */
   def gainsCurveQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-        .select(col("doc_id"),
-          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("kept")), "doc_id"))
+    val scored = QueriesWave10.scoredDocs(spark, dir)
     val tiled = operators.Layout.rankedNtile(
       scored, Seq(col("s6").desc, col("doc_id")), 10, "decile")
     val byDecile = tiled.groupBy(col("decile"))

@@ -102,12 +102,7 @@ object QueriesWave18 {
     * grid (the `survival_km` discipline).
     */
   def oddsRatioCiQ(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-        .select(col("doc_id"),
-          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("kept")), "doc_id"))
+    val scored = QueriesWave10.scoredDocs(spark, dir)
     scored
       .select(col("kept").cast("long").as("ga"),
         (col("s6") >= 500000L).cast("long").as("gb"))

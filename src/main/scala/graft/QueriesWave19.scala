@@ -27,12 +27,7 @@ object QueriesWave19 {
     * √ at the end.
     */
   def kendallTauQ(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Memo(spark, dir, "wave10:aucScored")(
-      operators.TextAnalysis.qualityScore(Tables(spark, dir, "documents"))
-        .select(col("doc_id"),
-          expr("CAST(round(1e6 * score) AS BIGINT)").as("s6"))
-        .join(operators.Corpus.docFilter(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("kept")), "doc_id"))
+    val scored = QueriesWave10.scoredDocs(spark, dir)
     val nll = QueriesCorpus.lmPerplexityQ(spark, dir)
       .select(col("doc_id"), expr("CAST(round(1e6 * nll) AS BIGINT)").as("n6"))
     val sample = Memo(spark, dir, "wave19:ktSample")(

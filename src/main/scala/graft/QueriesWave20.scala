@@ -239,12 +239,11 @@ object QueriesWave20 {
     * (n, S1, S2, S4) — one keyed aggregate memoized for the session;
     * shared by `mmd_drift` and Wave22's jackknife. */
   private[graft] def srcScoreMoments(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
     Memo(spark, dir, "wave20:srcScoreMoments")(
-      graft.operators.TextAnalysis.qualityScore(docs)
+      QueriesText.quality(spark, dir)
         .select(col("doc_id"),
           expr("CAST(round(1e3 * score) AS BIGINT)").as("s3"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .join(QueriesText.toks(spark, dir).select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("s3")).as("s1"),

@@ -29,12 +29,11 @@ object QueriesWave21 {
     */
   def wassersteinDriftQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir, "documents")
     val hist = Memo(spark, dir, "wave21:srcScoreHist")(
-      graft.operators.TextAnalysis.qualityScore(docs)
+      QueriesText.quality(spark, dir)
         .select(col("doc_id"),
           expr("CAST(round(1e3 * score) AS BIGINT)").as("s3"))
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .join(QueriesText.toks(spark, dir).select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"), col("s3"))
         .agg(count(lit(1)).as("cnt")))
     val values = hist.select(col("s3")).distinct()

@@ -457,8 +457,8 @@ object QueriesWave24 {
     */
   private[graft] def docWordCounts(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave24:wc")(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+      QueriesText.toks(spark, dir)
+        .select(col("doc_id"), explode(col("__ws")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt")))
 
   /** Per-doc Gopher rule flags (doc_id, r1..r5) — the audit's row
@@ -665,15 +665,9 @@ object QueriesWave24 {
     * mean/min/max LID.
     */
   def lidEstimateQ(spark: SparkSession, dir: String): DataFrame = {
-    val q = QueriesWave6.knnQuantized(spark, dir)
-    val pairs = q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"),
-        col("nn").as("na"))
-      .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"),
-        col("nn").as("nb")), Seq("label"))
-      .filter(col("va") =!= col("vb"))
-      .withColumn("cos",
-        expr("quantized_dot(qa, qb)").cast("double") /
-          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")))
+    // within-label pair cosines come from the memo shared with
+    // knn_graph; d6 is derived from the identical cos expression
+    val pairs = QueriesWave6.labelPairCos(spark, dir)
       .withColumn("d6", expr("CAST(round(1e6 * (1.0 - cos)) AS BIGINT)"))
       .filter(col("d6") > 0)
     val top = pairs

@@ -456,9 +456,9 @@ object QueriesWave25 {
     * corpus scale); the apportionment frame is source-bounded.
     */
   def tokenBudgetPlanQ(spark: SparkSession, dir: String): DataFrame = {
-    val wdoc = Tables(spark, dir, "documents")
+    val wdoc = QueriesText.toks(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(graft.operators.TextOps.tokensExpr).cast("long").as("n_words"))
+        size(col("__ws")).cast("long").as("n_words"))
     val per = wdoc
       .join(QueriesWave24.gopherPerDoc(spark, dir), "doc_id")
       .groupBy(col("source"))

@@ -420,15 +420,29 @@ object QueriesWave6 {
         .withColumn("nn", expr("quantized_dot(qv, qv)")))
   }
 
-  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+  /** (label, va, vb, cos): ALL ordered within-label pairs with their
+    * exact cosine — the quadratic (label-bounded, never corpus-bounded)
+    * neighbor frame that both knn_graph and lid_estimate rank. One
+    * memoized materialization serves both; the payload vectors are
+    * dropped BEFORE caching, so the cached frame is pair-rows only
+    * (the same candidate-bounded discipline as text:lshCands — at
+    * 100 TB the label is the IVF list id and the pair count is
+    * Σ|list|², an index-build artifact, not a corpus cross product).
+    */
+  private[graft] def labelPairCos(spark: SparkSession, dir: String): DataFrame = {
     val q = knnQuantized(spark, dir)
-    val topk = q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
-      .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"), col("nn").as("nb")),
-        Seq("label"))
-      .filter(col("va") =!= col("vb"))
-      .withColumn("cos",
-        expr("quantized_dot(qa, qb)").cast("double") /
-          sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double")))
+    Memo(spark, dir, "wave6:labelPairCos")(
+      q.select(col("label"), col("vec_id").as("va"), col("qv").as("qa"), col("nn").as("na"))
+        .join(q.select(col("label"), col("vec_id").as("vb"), col("qv").as("qb"), col("nn").as("nb")),
+          Seq("label"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("label"), col("va"), col("vb"),
+          (expr("quantized_dot(qa, qb)").cast("double") /
+            sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double"))).as("cos")))
+  }
+
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val topk = labelPairCos(spark, dir)
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))))
       .filter(col("rnk") <= knnK)
@@ -941,8 +955,7 @@ object QueriesWave6 {
     */
   def prefixSimJoinQ(spark: SparkSession, dir: String): DataFrame = {
     val arrs = Memo(spark, dir, "wave6:psjArrs")(
-      Memo(spark, dir, "shArr3")(
-        graft.operators.TextOps.shingleArrays(Tables(spark, dir, "documents"), 3))
+      QueriesText.shArr3(spark, dir)
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n")))
     val toks = arrs.select(col("doc_id"), col("n"), explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))

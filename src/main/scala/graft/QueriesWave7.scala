@@ -271,10 +271,13 @@ object QueriesWave7 {
     * docs of a documents frame — exposed for the spec's brute-force
     * pigeonhole-completeness check.
     */
-  def phashBandsOf(documents: DataFrame): DataFrame = {
-    val images = documents
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("ws"))
+  def phashBandsOf(documents: DataFrame): DataFrame =
+    phashBandsOfToks(
+      documents.select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("ws")))
+
+  /** [[phashBandsOf]] over a pre-tokenized (doc_id, ws) frame. */
+  def phashBandsOfToks(toks: DataFrame): DataFrame = {
+    val images = toks.filter(col("doc_id") % 3 === 0)
     def gExpr(posExpr: String): Column =
       expr(s"CAST(conv(substring(md5(coalesce(element_at(ws, ($posExpr) % greatest(size(ws), 1) + 1), '')), 1, 2), 16, 10) AS BIGINT)")
     images
@@ -292,7 +295,8 @@ object QueriesWave7 {
 
   def mmPhashDupQ(spark: SparkSession, dir: String): DataFrame = {
     val bands = Memo(spark, dir, "wave7:phashBands")(
-      phashBandsOf(Tables(spark, dir, "documents")))
+      phashBandsOfToks(
+        QueriesText.toks(spark, dir).select(col("doc_id"), col("__ws").as("ws"))))
     val wideAggs = (0 until 4).map(b =>
       max(when(col("band") === b, col("bv"))).as(s"b$b"))
     val wide = bands.groupBy(col("doc_id"))
@@ -586,8 +590,7 @@ object QueriesWave7 {
     */
   def curriculumPlanQ(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = graft.operators.TextAnalysis
-      .qualityScore(Tables(spark, dir, "documents"))
+    val qs = QueriesText.quality(spark, dir)
       .select(col("doc_id"), col("score"), col("n_words").cast("long").as("__nt"))
     graft.operators.Layout
       .rankedNtile(qs, Seq(col("score"), col("doc_id")), curriculumPhases, "phase")
@@ -639,8 +642,8 @@ object QueriesWave7 {
       """transform(sequence(1, greatest(size(__ws) - 1, 0)),
         |          i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))""".stripMargin)
     val docBg = Memo(spark, dir, "wave7:docBigrams")(
-      Tables(spark, dir, "documents")
-        .select(col("doc_id"), graft.operators.TextOps.tokensExpr.as("__ws"))
+      QueriesText.toks(spark, dir)
+        .select(col("doc_id"), col("__ws"))
         .select(col("doc_id"), explode(bgExpr).as("bg"))
         .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("mult")))

@@ -620,9 +620,9 @@ object QueriesWave8 {
     * keyed aggregates; segments of a doc stay in its partition.
     */
   def ttrSegmentsQ(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    QueriesText.toks(spark, dir)
       .select(col("doc_id"),
-        posexplode(graft.operators.TextOps.tokensExpr).as(Seq("p", "w")))
+        posexplode(col("__ws")).as(Seq("p", "w")))
       .groupBy(col("doc_id"), expr(s"CAST(p div $ttrSegLen AS BIGINT)").as("seg"))
       .agg(count(lit(1)).as("nt"), count_distinct(col("w")).as("nd"))
       .withColumn("t6", expr("CAST(round(CAST(nd AS DOUBLE) * 1e6 / nt) AS BIGINT)"))
@@ -654,8 +654,8 @@ object QueriesWave8 {
     */
   private[graft] def srcWordCounts(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "wave8:srcWordCounts")(
-      Tables(spark, dir, "documents")
-        .select(col("source"), explode(graft.operators.TextOps.tokensExpr).as("w"))
+      QueriesText.toks(spark, dir)
+        .select(col("source"), explode(col("__ws")).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("a")))
 
   private[graft] val srcWordCountsCte: String =

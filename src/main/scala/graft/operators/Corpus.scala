@@ -105,9 +105,12 @@ object Corpus {
     * the contamination/repetition statistic: one explode, one keyed
     * count (map-side combined), one bounded per-lang window.
     */
-  def ngramFreq(documents: DataFrame, k: Int): DataFrame = {
-    val bi = documents
-      .select(col("lang"), col("doc_id"), TextOps.tokensExpr.as("__ws"))
+  def ngramFreq(documents: DataFrame, k: Int): DataFrame =
+    ngramFreqToks(documents.select(col("lang"), TextOps.tokensExpr.as("__ws")), k)
+
+  /** [[ngramFreq]] over a pre-tokenized (lang, __ws) frame. */
+  def ngramFreqToks(toks: DataFrame, k: Int): DataFrame = {
+    val bi = toks
       .select(col("lang"), explode(TextOps.shingles2Expr).as("ngram"))
     val counts = bi.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("cnt"))
     val win = org.apache.spark.sql.expressions.Window
@@ -151,8 +154,11 @@ object Corpus {
     * Word stats come from one keyed count; bigram stats are row-local
     * array expressions — one shuffle total.
     */
-  def repetitionRatio(documents: DataFrame): DataFrame = {
-    val base = documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+  def repetitionRatio(documents: DataFrame): DataFrame =
+    repetitionRatioToks(documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")))
+
+  /** [[repetitionRatio]] over a pre-tokenized (doc_id, __ws) frame. */
+  def repetitionRatioToks(base: DataFrame): DataFrame = {
     val rowLvl = base
       .withColumn("__bl", TextOps.shingles2Expr)
       .select(
@@ -189,8 +195,12 @@ object Corpus {
     * vocabulary size, not corpus size).
     */
   def bpePairs(documents: DataFrame, k: Int): DataFrame =
-    documents
-      .select(explode(TextOps.tokensExpr).as("word"))
+    bpePairsToks(documents.select(TextOps.tokensExpr.as("__ws")), k)
+
+  /** [[bpePairs]] over a pre-tokenized frame carrying __ws. */
+  def bpePairsToks(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .select(explode(col("__ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
       .filter(length(col("word")) >= 2)
       .select(col("c"),
@@ -243,13 +253,19 @@ object Corpus {
     */
   def substringDup(
       documents: DataFrame, gram: Int,
+      materialize: DataFrame => DataFrame = identity): DataFrame =
+    substringDupToks(
+      documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")), gram, materialize)
+
+  /** [[substringDup]] over a pre-tokenized (doc_id, __ws) frame. */
+  def substringDupToks(
+      toks: DataFrame, gram: Int,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
     // `materialize` lets the caller cache the gram table: it feeds both
     // the repeat-count aggregation and the span probe, and the
     // tokenize + md5 + posexplode work dominates — computing it twice
     // doubles the query's cost.
-    val grams = materialize(documents
-      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    val grams = materialize(toks
       .filter(size(col("__ws")) >= gram)
       .select(col("doc_id"), size(col("__ws")).as("__n"),
         posexplode(expr(

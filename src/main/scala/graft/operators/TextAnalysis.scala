@@ -23,8 +23,11 @@ object TextAnalysis {
     vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
   /** Per-language stopword-hit score; winner by (score desc, lang asc). */
-  def langId(documents: DataFrame): DataFrame = {
-    val base = documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+  def langId(documents: DataFrame): DataFrame =
+    langIdToks(documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")))
+
+  /** [[langId]] over a pre-tokenized (doc_id, __ws) frame. */
+  def langIdToks(base: DataFrame): DataFrame = {
     val scored = langProfiles
       .map { case (lang, words) =>
         base.select(
@@ -46,8 +49,11 @@ object TextAnalysis {
     * Fixed-order double arithmetic (matches the oracle bit-for-bit).
     */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    qualityScoreToks(documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")))
+
+  /** [[qualityScore]] over a pre-tokenized (doc_id, __ws) frame. */
+  def qualityScoreToks(toks: DataFrame): DataFrame =
+    toks
       .withColumn("n_words", expr("size(__ws)"))
       .withColumn("stop_ratio",
         expr(s"CAST(size(filter(__ws, w -> w IN ${inList(enStopwords)})) AS DOUBLE)") /
@@ -63,8 +69,11 @@ object TextAnalysis {
 
   /** Whitespace+punct regex token counts: total and unique. */
   def tokenCount(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), TextOps.tokensExpr.as("__ws"))
+    tokenCountToks(documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")))
+
+  /** [[tokenCount]] over a pre-tokenized (doc_id, __ws) frame. */
+  def tokenCountToks(toks: DataFrame): DataFrame =
+    toks
       .select(
         col("doc_id"),
         expr("size(__ws)").as("n_tokens"),
@@ -86,11 +95,16 @@ object TextAnalysis {
     * per-doc window over that doc's distinct terms — bounded work per
     * key; the doc count is a 1-row broadcast.
     */
-  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
-    val words = documents.select(col("doc_id"), explode(TextOps.tokensExpr).as("term"))
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame =
+    tfidfTopTermsToks(documents.select(col("doc_id"), TextOps.tokensExpr.as("__ws")), k)
+
+  /** [[tfidfTopTerms]] over a pre-tokenized (doc_id, __ws) frame
+    * (tokenization is row-preserving, so the doc count comes from it too). */
+  def tfidfTopTermsToks(toks: DataFrame, k: Int): DataFrame = {
+    val words = toks.select(col("doc_id"), explode(col("__ws")).as("term"))
     val tf = words.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = documents.agg(count(lit(1)).as("n"))
+    val n = toks.agg(count(lit(1)).as("n"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))

@@ -64,39 +64,45 @@ object TextOps {
 
   /** Per-doc winnowing fingerprints: (doc_id, fp) rows. */
   def winnowFingerprints(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), tokensExpr.as("__ws"))
+    winnowFingerprintsToks(documents.select(col("doc_id"), tokensExpr.as("__ws")))
+
+  /** [[winnowFingerprints]] over a pre-tokenized (doc_id, __ws) frame —
+    * callers holding the memoized tokenized corpus skip the re-tokenize. */
+  def winnowFingerprintsToks(toks: DataFrame): DataFrame =
+    toks
       .select(col("doc_id"), gramHashes4Expr.as("__hs"))
       .select(col("doc_id"), explode(winnowExpr).as("fp"))
 
-  /** Distinct (doc_id, shingle) pairs for word k-shingles, k ∈ {2,3}. */
-  def docShingles(documents: DataFrame, k: Int): DataFrame = {
-    val sh = k match {
-      case 2 => shingles2Expr
-      case 3 => shingles3Expr
-      case other => throw new IllegalArgumentException(s"k=$other")
-    }
-    documents
-      .select(col("doc_id"), tokensExpr.as("__ws"))
-      .select(col("doc_id"), explode(sh).as("shingle"))
-      .distinct()
+  private def shinglesFor(k: Int): Column = k match {
+    case 2 => shingles2Expr
+    case 3 => shingles3Expr
+    case other => throw new IllegalArgumentException(s"k=$other")
   }
+
+  /** Distinct (doc_id, shingle) pairs for word k-shingles, k ∈ {2,3}. */
+  def docShingles(documents: DataFrame, k: Int): DataFrame =
+    docShinglesToks(documents.select(col("doc_id"), tokensExpr.as("__ws")), k)
+
+  /** [[docShingles]] over a pre-tokenized (doc_id, __ws) frame. */
+  def docShinglesToks(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .select(col("doc_id"), explode(shinglesFor(k)).as("shingle"))
+      .distinct()
 
   /** Distinct shingle SET per doc as one array column — for workloads
     * that verify many candidate pairs per doc, shipping the set once per
     * pair (array_intersect) beats the exploded shingle self-join.
     */
-  def shingleArrays(documents: DataFrame, k: Int, extraCols: Seq[String] = Nil): DataFrame = {
-    val sh = k match {
-      case 2 => shingles2Expr
-      case 3 => shingles3Expr
-      case other => throw new IllegalArgumentException(s"k=$other")
-    }
-    documents
-      .select((col("doc_id") +: extraCols.map(col)) :+ tokensExpr.as("__ws"): _*)
-      .withColumn("sh", array_distinct(sh))
+  def shingleArrays(documents: DataFrame, k: Int, extraCols: Seq[String] = Nil): DataFrame =
+    shingleArraysToks(
+      documents.select((col("doc_id") +: extraCols.map(col)) :+ tokensExpr.as("__ws"): _*), k)
+
+  /** [[shingleArrays]] over a pre-tokenized frame carrying __ws plus any
+    * companion columns the caller wants kept. */
+  def shingleArraysToks(toks: DataFrame, k: Int): DataFrame =
+    toks
+      .withColumn("sh", array_distinct(shinglesFor(k)))
       .drop("__ws")
-  }
 
   val numPerms = 16
 
@@ -234,16 +240,20 @@ object TextOps {
     * bits come from the first 16 hex digits of md5(token); per-bit votes
     * are +1/-1 over the doc's distinct tokens; a tie votes 1.
     */
-  def simhashBands(documents: DataFrame): DataFrame = {
+  def simhashBands(documents: DataFrame): DataFrame =
+    simhashBandsToks(documents.select(col("doc_id"), tokensExpr.as("__ws")))
+
+  /** [[simhashBands]] over a pre-tokenized (doc_id, __ws) frame. */
+  def simhashBandsToks(toks: DataFrame): DataFrame = {
     // Custom typed aggregation (graft.functions.SimHashVotes): built-ins
     // would need a per-bit or per-digit explode plus a second shuffle —
     // the Aggregator folds all 64 votes per token in one pass, with
     // map-side partial aggregation, one shuffle total.
     val simhash = udaf(new graft.functions.SimHashVotes)
-    documents
+    toks
       // distinct tokens resolved row-locally (array_distinct) — no
       // corpus-wide (doc_id, word) distinct shuffle before the aggregate
-      .select(col("doc_id"), explode(array_distinct(tokensExpr)).as("word"))
+      .select(col("doc_id"), explode(array_distinct(col("__ws"))).as("word"))
       .groupBy(col("doc_id"))
       .agg(simhash(col("word")).as("__bands"))
       .select(

@@ -44,10 +44,12 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == QueriesStats.degreeKeys.size, p)
   }
 
-  test("substring_dup reads only doc_id/text and bounds its shuffle count") {
+  test("substring_dup serves from the shared tokenized corpus and bounds its shuffle count") {
+    // the text scan + tokenize live in the session's text:toks memo;
+    // the query's executed tree must read only cached relations
+    val ls = leaves("substring_dup")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
     val p = plan("substring_dup")
-    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
-    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")))
     // gram count, semi join, coverage agg (+partials), output sort
     assert("Exchange".r.findAllIn(p).size <= 6, p)
   }
@@ -170,10 +172,10 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
-  test("seq_pack reads only lang/doc_id/text and shuffles once") {
+  test("seq_pack serves from the shared tokenized corpus and shuffles once") {
+    val ls = leaves("seq_pack")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
     val p = plan("seq_pack")
-    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
-    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")))
     // one shuffle into the per-lang pack window + the presentation sort
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
@@ -261,10 +263,10 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 3, p)
   }
 
-  test("mlm_mask reads only doc_id/text and shuffles once into the doc aggregation") {
+  test("mlm_mask serves from the shared tokenized corpus, one doc-agg shuffle") {
+    val ls = leaves("mlm_mask")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
     val p = plan("mlm_mask")
-    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
-    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
     assert(!p.contains("Join"), p.take(800))
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
@@ -386,10 +388,9 @@ class PlanSpec extends SparkSpec {
     assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
   }
 
-  test("ngram_novelty reads only doc_id/text and stays shingle-keyed") {
-    val p = plan("ngram_novelty")
-    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
-    assert(readSchemas.nonEmpty && readSchemas.forall(s => !s.contains("source")), p.take(800))
+  test("ngram_novelty serves from the shared tokenized corpus (no raw text scan)") {
+    val ls = leaves("ngram_novelty")
+    assert(ls.count(_.contains("FileSourceScan")) == 0, ls.mkString(","))
   }
 
   test("sole_late_supplier scans the fact table once (no row-level self-join)") {
