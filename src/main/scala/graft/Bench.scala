@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // The bounded top-k AGGREGATES (TopKPairs) keep <= k-entry
+      // buffers per group; the default ObjectHashAggregate fallback
+      // threshold (128 in-memory groups per partition) would push them
+      // back into a per-partition SORT -- exactly the input-sized sort
+      // the aggregate replaces. 128k groups x ~100 B buffer is ~13 MB
+      // per partition: hash aggregation stays safe at any scale, and
+      // the knob stays env-tunable for cluster profiles.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG_GROUPS", "131072"))
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1425,10 +1425,26 @@ object QueriesText {
 
   val tfidfK = 3
 
-  def tfidfTermsQ(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis
-      .tfidfTopTermsToks(toks(spark, dir).select(col("doc_id"), col("__ws")), tfidfK)
+  def tfidfTermsQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tf IS the session's per-doc word-count memo (wave24:wc — same
+    // groupBy(doc_id, word).count); df and the doc count derive from
+    // it and the tokenized corpus, so the per-execution corpus explode
+    // + first aggregation disappear (guide §2.4)
+    val tf = QueriesWave24.docWordCounts(spark, dir)
+      .select(col("doc_id"), col("w").as("term"), col("cnt").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = toks(spark, dir).agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= tfidfK)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
+  }
 
   val tfidfTermsSql: String =
     s"""WITH $wordsCte,

@@ -664,24 +664,35 @@ object QueriesWave24 {
     * engines. Reported per label: n_pts and the grid-exact
     * mean/min/max LID.
     */
+  /** Per-point [[lidK]]-NN distance lists (label, va, __top sorted by
+    * (d6, vb)) — the LID index artifact, memoized like knnTop. Bounded
+    * top-k AGGREGATE instead of `row_number() <= k`: at x10 the window
+    * formulation fully sorted every partition of the quadratic pair
+    * frame (11.9 s exec). The d6 grid (≤ 2e6) is exactly representable
+    * in the aggregate's double key, the (d6 asc, vb asc) selection and
+    * tie-break match the window's ORDER BY, and d_k is the last element
+    * of the sorted buffer (== the old MAX-over-partition window).
+    */
+  private def lidTop(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairs(lidK, false))
+    Memo(spark, dir, "wave24:lidTop")(
+      QueriesWave6.labelPairCos(spark, dir)
+        .withColumn("d6", expr("CAST(round(1e6 * (1.0 - cos)) AS BIGINT)"))
+        .filter(col("d6") > 0)
+        .groupBy(col("label"), col("va"))
+        .agg(topk(col("d6").cast("double"), col("vb")).as("__top")))
+  }
+
   def lidEstimateQ(spark: SparkSession, dir: String): DataFrame = {
-    // within-label pair cosines come from the memo shared with
-    // knn_graph; d6 is derived from the identical cos expression
-    val pairs = QueriesWave6.labelPairCos(spark, dir)
-      .withColumn("d6", expr("CAST(round(1e6 * (1.0 - cos)) AS BIGINT)"))
-      .filter(col("d6") > 0)
-    val top = pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("va")).orderBy(col("d6"), col("vb"))))
-      .filter(col("rnk") <= lidK)
-      .withColumn("dk6", max(col("d6")).over(Window.partitionBy(col("va"))))
-    val per = top
+    val per = lidTop(spark, dir)
+      .filter(size(col("__top")) === lidK)
+      .withColumn("dk6", element_at(col("__top"), lidK).getField("_1"))
+      .select(col("label"), col("va"), col("dk6"), explode(col("__top")).as("__t"))
       .select(col("label"), col("va"),
-        log(col("d6").cast("double") / col("dk6").cast("double"))
-          .cast("decimal(38,6)").as("lr"))
+        log(col("__t._1") / col("dk6")).cast("decimal(38,6)").as("lr"))
       .groupBy(col("label"), col("va"))
-      .agg(count(lit(1)).as("kc"), sum(col("lr")).cast("decimal(38,6)").as("s"))
-      .filter(col("kc") === lidK && col("s") < 0)
+      .agg(sum(col("lr")).cast("decimal(38,6)").as("s"))
+      .filter(col("s") < 0)
       .select(col("label"),
         expr(s"CAST(round(1e6 * (-$lidK.0 / CAST(s AS DOUBLE))) AS BIGINT)").as("lid6"))
     per.groupBy(col("label"))

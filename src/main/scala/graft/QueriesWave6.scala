@@ -441,12 +441,28 @@ object QueriesWave6 {
             sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double"))).as("cos")))
   }
 
+  /** Per-node top-[[knnK]] neighbor lists (label, va, vb, cos) — the
+    * kNN index artifact, memoized like the LSH candidate tables. The
+    * ranking runs as a bounded top-k AGGREGATE (TopKPairs) instead of
+    * `row_number() <= k`: WindowGroupLimit bounds that window's shuffle
+    * but still fully sorts every input partition of the quadratic pair
+    * frame by (va, cos, vb) — the dominant cost at x10 scale (6.7 s
+    * exec). The aggregate keeps a ≤ k sorted buffer per node with
+    * map-side partial aggregation: no input-sized sort, no input-sized
+    * shuffle. Selection/tie-break (cos desc, vb asc) is identical.
+    */
+  private[graft] def knnTop(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKPairs(knnK, true))
+    Memo(spark, dir, "wave6:knnTop")(
+      labelPairCos(spark, dir)
+        .groupBy(col("label"), col("va"))
+        .agg(topk(col("cos"), col("vb")).as("__top"))
+        .select(col("label"), col("va"), explode(col("__top")).as("__t"))
+        .select(col("label"), col("va"), col("__t._2").as("vb"), col("__t._1").as("cos")))
+  }
+
   def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
-    val topk = labelPairCos(spark, dir)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))))
-      .filter(col("rnk") <= knnK)
-      .select(col("label"), col("va"), col("vb"), col("cos"))
+    val topk = knnTop(spark, dir)
     val fwd = topk.filter(col("va") < col("vb"))
     val rev = topk.filter(col("va") > col("vb"))
       .select(col("vb").as("va"), col("va").as("vb"))

@@ -507,13 +507,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(600))
   }
 
-  test("knn_graph pairs stay label-keyed (no cartesian, window partitioned)") {
+  test("knn_graph pairs stay label-keyed (no cartesian, bounded top-k aggregate)") {
     val p = plan("knn_graph")
     assert(!p.contains("CartesianProduct"), p.take(600))
-    // the top-k window is partitioned by the source node, never global
-    assert(p.contains("Window"), p.take(600))
-    assert(!p.toLowerCase.contains("window [") ||
-      "windowspecdefinition\\(va".r.findFirstIn(p.toLowerCase).isDefined, p.take(1200))
+    // the per-node top-k ranking is the bounded TopKPairs AGGREGATE
+    // over the memoized pair frame — no window, and crucially no
+    // input-sized sort of the quadratic pair frame (the embedded
+    // cached-relation definition carries the ObjectHashAggregate)
+    assert(!p.contains("Window"), p.take(600))
+    assert(p.contains("topkpairs") || p.contains("TopKPairs"), p.take(1200))
   }
 
   test("negative_sampling broadcasts the brand dimension and anti-joins positives") {
