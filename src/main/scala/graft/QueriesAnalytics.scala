@@ -1242,11 +1242,20 @@ object QueriesAnalytics {
     val ud = events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
       .distinct()
-    val a = ud.select(col("user_id"), col("day"), col("event_type").as("type_a"))
-    val b = ud.select(col("user_id"), col("day"), col("event_type").as("type_b"))
-    a.join(b, Seq("user_id", "day"))
-      .filter(col("type_a") < col("type_b"))
-      .groupBy(col("type_a"), col("type_b"))
+    // Pair expansion from the per-(user, day) type SET instead of the
+    // (user, day) self-join: the set is bounded by the event-type
+    // domain (a handful of values), so collect_set + an ordered-pair
+    // explode emits the identical type_a < type_b rows while the frame
+    // crosses one exchange instead of two join shuffles + sorts. The
+    // sorted distinct array makes every emitted pair strictly ordered,
+    // exactly the old filter.
+    ud.groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+      .select(explode(expr(
+        "flatten(transform(__ts, (x, i) -> " +
+          "transform(slice(__ts, i + 2, size(__ts)), y -> struct(x AS type_a, y AS type_b))))"))
+        .as("__p"))
+      .groupBy(col("__p.type_a").as("type_a"), col("__p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_user_days"))
       .orderBy(col("type_a"), col("type_b"))
   }
@@ -1476,24 +1485,33 @@ object QueriesAnalytics {
     * rides along to expose sketch error.
     */
   def slidingDauKmvQ(spark: SparkSession, dir: String): DataFrame = {
-    val anchors = dayUsers(spark, dir)
+    // ONE pass over the deduped 7-day anchor expansion. The old plan
+    // computed the anchor-user frame TWICE (KMV leg + exact-count leg —
+    // the DataFrame API shares no common subtrees) and cut the KMV
+    // sample with a row_number window, a full sort of the frame. A
+    // bounded top-k aggregate (TopKPairs, ≤64-entry buffer) rides the
+    // SAME groupBy(anchor) as the exact count: m = min(n, 64) and
+    // hk = 64th-smallest hash fall out of the buffer. The k smallest
+    // h multiset is identical to the window's rn <= k cut (52-bit
+    // hashes are exact as the aggregate's double key), so hk/m/est
+    // match bit for bit.
+    val topk = udaf(new graft.functions.TopKPairs(kmvSetK, false))
+    val agg = dayUsers(spark, dir)
       .select(col("user_id"), col("day"), explode(expr("sequence(0, 6)")).as("o"))
       .select(expr("timestampadd(DAY, o, day)").as("anchor"), col("user_id"))
       .distinct()
-    val days = dayUsers(spark, dir).select(col("day")).distinct()
-    val rw = Window.partitionBy(col("anchor")).orderBy(col("h"))
-    val sk = anchors
       .select(col("anchor"),
         conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 13), 16, 10)
           .cast("long").as("h"))
-      .withColumn("rn", row_number().over(rw))
-      .filter(col("rn") <= kmvSetK)
       .groupBy(col("anchor"))
-      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
-    val ex = anchors.groupBy(col("anchor")).agg(count(lit(1)).as("exact_dau7"))
+      .agg(count(lit(1)).as("exact_dau7"),
+        topk(col("h").cast("double"), col("h")).as("__top"))
+      .select(col("anchor"), col("exact_dau7"),
+        least(col("exact_dau7"), lit(kmvSetK.toLong)).as("m"),
+        element_at(col("__top"), size(col("__top"))).getField("_2").as("hk"))
+    val days = dayUsers(spark, dir).select(col("day")).distinct()
     days
-      .join(sk, col("day") === sk("anchor")).drop("anchor")
-      .join(ex, col("day") === ex("anchor")).drop("anchor")
+      .join(agg, col("day") === col("anchor"))
       .select(col("day"), col("m"), kmvEst(col("hk"), col("m")).as("kmv_est"),
         col("exact_dau7"))
       .orderBy(col("day"))
@@ -2067,11 +2085,21 @@ object QueriesAnalytics {
     * counts — broadcast-light.
     */
   def custOrderDistQ(spark: SparkSession, dir: String): DataFrame =
+    // Aggregate BEFORE the join: counting orders per custkey first
+    // (map-side partial aggregation) shrinks the join's shuffled/sorted
+    // payload from every order row to one row per distinct custkey.
+    // Exact join-count algebra, dup-safe: the old per-custkey
+    // count(o_orderkey) over the left join equals (customer rows for
+    // the key) × (non-null-o_orderkey order rows for the key), and the
+    // final distribution counts custkeys — one row per key either way.
     Tables(spark, dir, "customer").select(col("c_custkey"))
-      .join(Tables(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("__cc"))
+      .join(
+        Tables(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"))
+          .groupBy(col("o_custkey")).agg(count(col("o_orderkey")).as("__oc")),
         col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_orders"))
+      .select((col("__cc") * coalesce(col("__oc"), lit(0L))).as("n_orders"))
       .groupBy(col("n_orders"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_orders"))
@@ -2187,11 +2215,13 @@ object QueriesAnalytics {
     val u = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
         (col("l_extendedprice") / col("l_quantity")).as("up"))
-    val m = u.groupBy(col("pk")).agg(min(col("up")).as("min_unit_price"))
-    u.join(m.withColumnRenamed("pk", "mpk"),
-        col("pk") === col("mpk") && col("up") === col("min_unit_price"))
-      .groupBy(col("pk"))
-      .agg(min(col("sk")).as("best_supp"), min(col("min_unit_price")).as("min_unit_price"))
+    // Argmin in ONE aggregation: min(struct(up, sk)) is lexicographic —
+    // (minimum unit price, then minimum suppkey among its ties) —
+    // exactly the old min-aggregate + equality-self-join pair, without
+    // scanning lineitem twice and shuffling the fact rows into a join.
+    u.groupBy(col("pk"))
+      .agg(min(struct(col("up"), col("sk"))).as("__m"))
+      .select(col("pk"), col("__m.sk").as("best_supp"), col("__m.up").as("min_unit_price"))
       .join(broadcast(Tables(spark, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"))), col("best_supp") === col("s_suppkey"))
       .select(col("pk").as("p_partkey"), col("s_suppkey"), col("s_name"), col("min_unit_price"))

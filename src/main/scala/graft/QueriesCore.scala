@@ -134,13 +134,33 @@ object QueriesCore {
     val o = load("orders")
     val c = load("customer")
     val n = load("nation")
+    // The three fact-side distinct-FK sets ride ONE exploded lineitem
+    // scan (same single-pass edge algebra as subschemaSizeFast,
+    // including the aggregate-not-anti-join shape: the optimizer splits
+    // an anti-join through the dim union into one join per branch,
+    // re-duplicating the lineitem scan). A (edge, key) group with
+    // min(__pk) = 0 has an FK occurrence; summing __pk over min = 1
+    // groups counts exactly the dim rows with no FK match, NULL dim
+    // keys always counted — the per-edge anti-join count.
+    val liFk = li
+      .select(posexplode(array(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))))
+      .select(col("pos").as("__e"), col("col").as("__k"), lit(0L).as("__pk"))
+      .filter(col("__k").isNotNull)
+    val liDims = load("orders").select(lit(0).as("__e"), col("o_orderkey").as("__k"), lit(1L).as("__pk"))
+      .unionAll(load("part").select(lit(1).as("__e"), col("p_partkey").as("__k"), lit(1L).as("__pk")))
+      .unionAll(load("supplier").select(lit(2).as("__e"), col("s_suppkey").as("__k"), lit(1L).as("__pk")))
+    val liAdds = liFk.unionAll(liDims)
+      .groupBy(col("__e"), col("__k"))
+      .agg(sum(col("__pk")).as("__pks"), min(col("__pk")).as("__anyfk"))
+      .agg(
+        coalesce(sum(when(col("__e") === 0 && col("__anyfk") === 1L, col("__pks"))), lit(0L)).as("__a1"),
+        coalesce(sum(when(col("__e") === 1 && col("__anyfk") === 1L, col("__pks"))), lit(0L)).as("__a5"),
+        coalesce(sum(when(col("__e") === 2 && col("__anyfk") === 1L, col("__pks"))), lit(0L)).as("__a6"))
     li.agg(count(lit(1)).as("__base"))
-      .crossJoin(adds("orders", "o_orderkey", li, "l_orderkey", "__a1"))
+      .crossJoin(liAdds)
       .crossJoin(adds("customer", "c_custkey", o, "o_custkey", "__a2"))
       .crossJoin(adds("nation", "n_nationkey", c, "c_nationkey", "__a3"))
       .crossJoin(adds("region", "r_regionkey", n, "n_regionkey", "__a4"))
-      .crossJoin(adds("part", "p_partkey", li, "l_partkey", "__a5"))
-      .crossJoin(adds("supplier", "s_suppkey", li, "l_suppkey", "__a6"))
       .select(
         lit("ur").as("name"),
         (col("__base") + col("__a1") + col("__a2") + col("__a3") +

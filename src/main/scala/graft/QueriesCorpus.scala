@@ -763,15 +763,30 @@ object QueriesCorpus {
         .select(col("doc_id"), explode(
           expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg")))
 
+  /** Per-(doc, char-bigram) multiplicities — the run-length-compressed
+    * form of [[lmBigrams]] (distinct bigrams per doc vs every character
+    * position). Both perplexity passes read this frame, so the
+    * compression is paid once in the warm pass and saves every scan.
+    */
+  private[graft] def lmDocBg(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "corpus:lmDocBg")(
+      lmBigrams(spark, dir)
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m")))
+
   def lmPerplexityQ(spark: SparkSession, dir: String): DataFrame = {
-    val big = lmBigrams(spark, dir)
-    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // Identical sums in compressed form: c2 = Σ m per bigram; the
+    // per-doc log-prob total Σ_rows lw = Σ_bg m·lw (decimal products
+    // and sums are exact — no rounding enters that the row-at-a-time
+    // sum didn't have).
+    val docBc = lmDocBg(spark, dir)
+    val bc = docBc.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
     val cc = bc.groupBy(substring(col("bg"), 1, 1).as("c1")).agg(sum(col("c2")).as("c1n"))
     val lp = bc.join(cc, substring(col("bg"), 1, 1) === col("c1"))
       .select(col("bg"), log(col("c2").cast("double") / col("c1n")).cast("decimal(38,6)").as("lw"))
-    big.join(broadcast(lp), Seq("bg"))
+    docBc.join(broadcast(lp), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lw")).cast("decimal(38,6)").as("s"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("lw")).cast("decimal(38,6)").as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         (-col("s").cast("double") / col("n_bigrams")).as("nll"))
       .orderBy(col("doc_id"))

@@ -388,9 +388,15 @@ object QueriesRelational {
     val perSupp = Memo(spark, dir, "rel:soleLatePerSupp")(
       l.groupBy(col("ok"), col("sk"))
         .agg(max(when(col("late"), lit(1L)).otherwise(lit(0L))).as("sl")))
-    val perOrder = perSupp.groupBy(col("ok"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("sl")).as("n_late"))
-    perSupp.join(perOrder, Seq("ok"))
+    // Per-order rollup as count/sum windows PARTITIONED by ok riding
+    // one shuffle of the memoized per-(order, supplier) frame — the old
+    // groupBy(ok) aggregate joined back onto perSupp shuffled the frame
+    // twice (agg + join probe) and sort-merged the result. Identical
+    // integer counts per order either way.
+    val ow = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(ow))
+      .withColumn("n_late", sum(col("sl")).over(ow))
       .filter(col("sl") === 1 && col("n_supp") > 1 && col("n_late") === 1)
       .groupBy(col("sk").as("s_suppkey"))
       .agg(count(lit(1)).as("n_orders"))

@@ -205,25 +205,31 @@ object QueriesStats {
   def kmvNdvQ(spark: SparkSession, dir: String): DataFrame =
     hllCols
       .map { case (t, c) =>
-        val hashed = Tables(spark, dir, t)
+        // ONE pass over the distinct set: the old plan scanned the
+        // table twice (KMV hash sample + a separate count_distinct for
+        // the exact NDV). All four audited columns are integer keys, so
+        // the cast-to-string distinct has exactly count_distinct(c)
+        // rows — exact_ndv is a plain count over the same deduped frame
+        // the sample is drawn from, and the 64-smallest-hash cut runs
+        // as a bounded top-k aggregate (map-side ≤64-entry buffers)
+        // instead of a TakeOrdered pass. m = min(ndv, k) and
+        // hk = k-th smallest hash are identical to the old sample.
+        val topk = udaf(new graft.functions.TopKPairs(kmvK, false))
+        Tables(spark, dir, t)
           .filter(col(c).isNotNull)
           .select(col(c).cast("string").as("v"))
           .distinct()
           .select(
             conv(substring(md5(concat(lit("kmv:"), col("v"))), 1, 13), 16, 10)
               .cast("long").as("h"))
-        // partial-aggregated distinct + TakeOrdered(k): the shuffle
-        // carries at most k hashes per partition, never the column
-        val exact = Tables(spark, dir, t).agg(count_distinct(col(c)).as("exact_ndv"))
-        hashed
-          .orderBy(col("h")).limit(kmvK)
-          .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
-          .crossJoin(broadcast(exact))
+          .agg(count(lit(1)).as("exact_ndv"),
+            topk(col("h").cast("double"), col("h")).as("__top"))
           .select(
             lit(s"$t.$c").as("col_name"),
-            when(col("m") < kmvK, col("m").cast("double"))
+            when(col("exact_ndv") < kmvK, col("exact_ndv").cast("double"))
               .otherwise(lit((kmvK - 1).toDouble) /
-                (col("hk").cast("double") / lit(4503599627370496.0)))
+                (element_at(col("__top"), size(col("__top"))).getField("_2")
+                  .cast("double") / lit(4503599627370496.0)))
               .as("kmv_est"),
             col("exact_ndv"))
       }
@@ -881,14 +887,24 @@ object QueriesStats {
       .select(col("value").as("v"),
         conv(substring(md5(concat(lit("sq:"), col("event_id").cast("string"))), 1, 13), 16, 10)
           .cast("long").as("hk"))
-    val smp = h.orderBy(col("hk"), col("v")).limit(sqK).select(col("v"))
+    // The deterministic hash-sample is an index artifact (sqK rows):
+    // memoized so the per-event md5 + top-k pass runs once per session
+    // instead of once per consumer leg — the old plan recomputed it for
+    // the rank leg AND again for the m count (a crossJoined agg, now a
+    // count window over the same ≤sqK-row frame; already allowlisted in
+    // WindowAuditSpec's shuffle-partition/sample-bounded class).
+    val smp = Memo(spark, dir, "stats:sqSample")(
+      h.orderBy(col("hk"), col("v")).limit(sqK).select(col("v")))
     val ranked = smp
       .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-      .crossJoin(broadcast(smp.agg(count(lit(1)).as("m"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val qs = spark.range(1, 10).select((col("id").cast("double") / 10).as("q"))
     val est = qs.join(ranked, col("rn") === ceil(col("q") * col("m")))
       .groupBy(col("q")).agg(min(col("v")).as("est_v"))
-    h.crossJoin(broadcast(est))
+    // Explicit projection: the CDF-check leg needs only v — guarantees
+    // the per-event md5 never evaluates on this scan.
+    h.select(col("v")).crossJoin(broadcast(est))
       .groupBy(col("q"), col("est_v"))
       .agg(
         sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("le"),

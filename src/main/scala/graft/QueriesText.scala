@@ -394,13 +394,23 @@ object QueriesText {
     */
   def ngramNoveltyQ(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles3(spark, dir)
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        (col("n_unique").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+    // A shingle with corpus df == 1 has exactly ONE (doc_id, shingle)
+    // row, so its owning doc falls out of the same groupBy(shingle)
+    // that computes df — the old formulation joined the FULL shingle
+    // table back against the df aggregate (one extra shuffle of every
+    // occurrence) to recover what min(doc_id) already carries. Two
+    // keyed aggregates + a per-doc join replace agg + full-table join
+    // + agg; the summed quantities are identical integers.
+    val uniq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        (coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
       .orderBy(col("doc_id"))
   }
 

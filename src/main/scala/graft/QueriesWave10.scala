@@ -695,14 +695,26 @@ object QueriesWave10 {
     */
   def adamicAdarQ(spark: SparkSession, dir: String): DataFrame = {
     val und = sigLanes(spark, dir)
-    val deg = und.groupBy(col("b").as("wnode")).agg(count(lit(1)).as("degw"))
-      .filter(col("degw") > 1) // only deg ≥ 2 nodes can be common neighbors (ln > 0)
-      .withColumn("w6", expr("CAST(round(1e6 / ln(CAST(degw AS DOUBLE))) AS BIGINT)"))
-    val pairs = und.select(col("a").as("u"), col("b").as("wnode"))
-      .join(und.select(col("a").as("v"), col("b").as("wnode")), "wnode")
-      .filter(col("u") < col("v"))
-      .join(broadcast(deg), "wnode")
-      .groupBy(col("u"), col("v"))
+    // Common-neighbor pairs from per-wnode neighbor LISTS instead of
+    // the wnode self-join: one groupBy collects the (degree-bounded)
+    // sorted neighbor list AND the degree — the w6 weight needs no
+    // separate aggregate + broadcast join, and the pair frame crosses
+    // one exchange instead of two join shuffles. The sorted list's
+    // ordered-pair expansion with the same strict u < v filter emits
+    // the identical pair multiset (duplicates included) as the join.
+    // Degree-1 wnodes expand to zero pairs, exactly like the old
+    // deg > 1 inner join.
+    val pairs = und.groupBy(col("b"))
+      .agg(sort_array(collect_list(col("a"))).as("__ns"), count(lit(1)).as("degw"))
+      .filter(col("degw") > 1)
+      .select(
+        expr("CAST(round(1e6 / ln(CAST(degw AS DOUBLE))) AS BIGINT)").as("w6"),
+        explode(expr(
+          "flatten(transform(__ns, (x, i) -> " +
+            "transform(slice(__ns, i + 2, size(__ns)), y -> struct(x AS u, y AS v))))"))
+          .as("__p"))
+      .filter(col("__p.u") < col("__p.v"))
+      .groupBy(col("__p.u").as("u"), col("__p.v").as("v"))
       .agg(count(lit(1)).as("common_cnt"), sum(col("w6")).as("score6"))
     pairs
       .join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")

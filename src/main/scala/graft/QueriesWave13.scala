@@ -229,16 +229,21 @@ object QueriesWave13 {
         (dec(n) * p - sx * sy).cast("double") /
         (sqrt((dec(n) * qx - sx * sx).cast("double")) *
           sqrt((dec(n) * qy - sy * sy).cast("double")))) / 1e6
-    val tot = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
-      sum(col("sy")).as("sy"), sum(col("qx")).as("qx"), sum(col("qy")).as("qy"),
-      sum(col("p")).as("p"))
-      .select(corr6(col("n"), col("sx"), col("sy"), col("qx"), col("qy"), col("p"))
-        .as("corr_pooled"))
-    m.crossJoin(broadcast(tot))
-      .select(col("stratum"), col("n"),
+    // Pooled moments via an unpartitioned window over the STRATUM
+    // aggregate (≤ #order-priorities rows — domain-bounded, see
+    // WindowAuditSpec) instead of m.agg(...) cross-joined back onto m:
+    // the DataFrame API gives the two legs no common-subexpression
+    // reuse, so the crossJoin form ran the lineitem⋈orders join and
+    // its aggregation TWICE per execution. Summed moments are the
+    // identical integers either way.
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    def totSum(c: String) = sum(col(c)).over(all)
+    m.select(col("stratum"), col("n"),
         corr6(col("n"), col("sx"), col("sy"), col("qx"), col("qy"), col("p"))
           .as("corr_stratum"),
-        col("corr_pooled"))
+        corr6(totSum("n"), totSum("sx"), totSum("sy"), totSum("qx"),
+          totSum("qy"), totSum("p")).as("corr_pooled"))
       .withColumn("sign_reversed",
         (col("corr_stratum") > 0 && col("corr_pooled") < 0) ||
           (col("corr_stratum") < 0 && col("corr_pooled") > 0))

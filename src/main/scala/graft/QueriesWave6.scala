@@ -574,24 +574,34 @@ object QueriesWave6 {
       Tables(spark, dir, "orders")
         .groupBy(expr("unix_micros(date_trunc('DAY', o_orderdate))").as("day_us"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("rev_c")))
-    val offs = spark.range(-3L, 4L).select(col("id").as("off"))
-    val trend = daily.crossJoin(offs)
-      .groupBy((col("day_us") + col("off") * lit(usPerDay)).as("t_us"))
-      .agg(sum(col("rev_c")).as("s"), count(lit(1)).as("m"))
+    // The whole decomposition rides two windows over the CALENDAR-SIZED
+    // daily memo (one row per day — the unpartitioned trend window is
+    // bounded by the calendar, see WindowAuditSpec). The old plan
+    // exploded daily ×7 into a crossJoin + regroup for the trend, then
+    // recomputed the detrended join for BOTH the dow-effect aggregate
+    // and the final projection. A ±3-day RANGE frame sums exactly the
+    // same present-day terms (m counts rows in range, filter m == 7
+    // unchanged), and the dow effect is the same sums via a window
+    // partitioned by dow — identical integer algebra throughout.
+    import org.apache.spark.sql.expressions.Window
+    val w7 = Window.orderBy(col("day_us"))
+      .rangeBetween(-3L * usPerDay, 3L * usPerDay)
+    val det = daily
+      .withColumn("s", sum(col("rev_c")).over(w7))
+      .withColumn("m", count(lit(1)).over(w7))
       .filter(col("m") === 7)
-      .select(col("t_us"), expr("s div 7").as("trend_c"))
-    val det = daily.join(trend, col("day_us") === col("t_us"))
-      .select(col("day_us"), col("rev_c"), col("trend_c"),
-        (col("rev_c") - col("trend_c")).as("det_c"),
+      .select(col("day_us"), col("rev_c"), expr("s div 7").as("trend_c"),
+        (col("rev_c") - expr("s div 7")).as("det_c"),
         expr("weekday(timestamp_micros(day_us)) + 1").as("dow"))
-    val eff = det.groupBy(col("dow"))
-      .agg(sum(col("det_c")).as("s"), count(lit(1)).as("n"))
-      .select(col("dow"),
-        expr("(CASE WHEN s < 0 THEN -1 ELSE 1 END) * (abs(s) div n)").as("eff_c"))
-    det.join(broadcast(eff), Seq("dow"))
+    val dw = Window.partitionBy(col("dow"))
+    det
+      .withColumn("__es", sum(col("det_c")).over(dw))
+      .withColumn("__en", count(lit(1)).over(dw))
       .select(expr("timestamp_micros(day_us)").as("day"), col("rev_c"),
-        col("trend_c"), col("dow"), col("eff_c"),
-        (col("det_c") - col("eff_c")).as("resid_c"))
+        col("trend_c"), col("dow"),
+        expr("(CASE WHEN __es < 0 THEN -1 ELSE 1 END) * (abs(__es) div __en)").as("eff_c"),
+        (col("det_c") -
+          expr("(CASE WHEN __es < 0 THEN -1 ELSE 1 END) * (abs(__es) div __en)")).as("resid_c"))
       .orderBy(col("day"))
   }
 

@@ -653,9 +653,18 @@ object QueriesWave7 {
       .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1fw"))
     val right = bgStats.groupBy(col("w2")).agg(count(lit(1)).as("ncw"))
     val tt = bgStats.agg(count(lit(1)).as("t"))
+    // The bigram total c = Σ mult over (w1, w2) comes from a window
+    // riding docBg's OWN shuffle (bgStats is the same sums — every
+    // docBg row matches, so the old inner SMJ against it only re-sorted
+    // a second bigram-sized frame). The w1/w2 marginals are
+    // WORD-VOCABULARY-bounded (one row per distinct word — orders of
+    // magnitude under the bigram frames at any scale) and join as
+    // BROADCASTS, keeping the partitioning; the old plan sort-merged
+    // all three joins, re-exchanging the data-sized frame per probe.
     docBg
-      .join(bgStats, Seq("w1", "w2"))
-      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .withColumn("c", sum(col("mult")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"), col("w2"))))
+      .join(broadcast(left), Seq("w1")).join(broadcast(right), Seq("w2"))
       .crossJoin(broadcast(tt))
       .withColumn("lnq",
         expr("""CAST(round(ln(CAST(greatest(4 * c - 3, 0) * t + 3 * n1fw * ncw AS DOUBLE)

@@ -271,13 +271,29 @@ object Corpus {
         posexplode(expr(
           s"transform(sequence(1, size(__ws) - ${gram - 1}), i -> md5(concat_ws(' ', slice(__ws, i, $gram))))")))
       .select(col("doc_id"), col("__n"), (col("pos") + 1).as("p"), col("col").as("gh")))
-    val rep = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ")).filter(col("occ") > 1)
-    grams
-      .join(rep.select(col("gh")), Seq("gh"), "leftsemi")
-      .select(col("doc_id"), col("__n"),
-        explode(expr(s"sequence(p, p + ${gram - 1})")).as("pos"))
+    // Repeat filter: a count window riding the single shuffle by gh
+    // replaces the old groupBy(gh)+left-semi-join pair, which shuffled
+    // the full gram table twice and sorted both join sides. The window
+    // is PARTITIONED (per-gram groups; no unpartitioned scan), and the
+    // sort by gh is the same sort the SortMergeJoin paid anyway.
+    val repeated = grams
+      .withColumn("__occ",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+      .filter(col("__occ") > 1)
+      .select(col("doc_id"), col("__n"), col("p"))
+    // Covered-position count as an interval union: every repeated gram
+    // covers [p, p+gram-1] and all intervals have the same length, so
+    // sorted by p the union length is Σ min(gram, p_i − p_{i−1}) (first
+    // interval contributes gram). Exactly count_distinct(pos) over the
+    // exploded spans, without the gram-times row explode or the
+    // two-shuffle distinct aggregate.
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    repeated
+      .withColumn("__prev", lag(col("p"), 1).over(dw))
       .groupBy(col("doc_id"), col("__n"))
-      .agg(count_distinct(col("pos")).as("covered"))
+      .agg(sum(coalesce(least(lit(gram), col("p") - col("__prev")), lit(gram))
+        .cast("long")).as("covered"))
       .select(col("doc_id"), col("__n").cast("bigint").as("n_tokens"),
         col("covered").cast("bigint").as("covered_tokens"),
         (col("covered").cast("double") / col("__n").cast("double")).as("coverage"))

@@ -115,18 +115,60 @@ object Fanouts {
     if (!sub.edges.forall(_.fkTable == sub.center)) return None
     val center = load(sub.center)
     val base = center.agg(count(lit(1)).as("__base"))
-    val adds = sub.edges.sortBy(_.joinLabel).zipWithIndex.map { case (e, i) =>
-      load(e.pkTable)
-        .join(
-          center.select(col(e.fkCol)).filter(col(e.fkCol).isNotNull).distinct(),
-          col(e.pkCol) === col(e.fkCol), "left_anti")
-        .agg(count(lit(1)).as(s"__a$i"))
-    }
-    val joined = adds.foldLeft(base)(_.crossJoin(_))
+    val edges = sub.edges.sortBy(_.joinLabel)
+    // Single-pass edge algebra: the per-edge formulation scanned the
+    // center once PER EDGE for its distinct-FK set plus once for the
+    // base count (4 center scans for a 3-edge subschema). Tagging each
+    // FK value with its edge index in ONE exploded scan and AGGREGATING
+    // it together with the unioned dimension keys computes every
+    // add-count with one center pass. (An (edge, key) anti-join would
+    // read the same way, but PushDownLeftSemiAntiJoin splits it through
+    // the dim union into one join PER BRANCH — re-duplicating the
+    // center scan the rewrite exists to remove; a keyed aggregate
+    // cannot be split.) Per edge this is the identical anti-join count:
+    // a (edge, key) group with min(__pk) = 0 has an FK occurrence, so
+    // summing __pk over min = 1 groups counts exactly the dim rows with
+    // no FK match; NULL dim keys group apart from the (filtered) FK
+    // rows and are always counted, like the old never-matching NULLs.
+    // Requires one common key type across the edges (true of the
+    // integer-keyed schema); mixed types fall back to the per-edge legs.
+    val keyTypes =
+      (edges.map(e => center.schema(e.fkCol).dataType) ++
+        edges.map(e => load(e.pkTable).schema(e.pkCol).dataType)).distinct
+    val counted: DataFrame =
+      if (keyTypes.size == 1) {
+        val fkRows = center
+          .select(posexplode(array(edges.map(e => col(e.fkCol)): _*)))
+          .select(col("pos").as("__e"), col("col").as("__k"), lit(0L).as("__pk"))
+          .filter(col("__k").isNotNull)
+        val dimRows = edges.zipWithIndex
+          .map { case (e, i) =>
+            load(e.pkTable)
+              .select(lit(i).as("__e"), col(e.pkCol).as("__k"), lit(1L).as("__pk"))
+          }
+          .reduce(_.unionAll(_))
+        val adds = edges.indices.map(i =>
+          coalesce(sum(when(col("__e") === i && col("__anyfk") === 1L,
+            col("__pks"))), lit(0L)).as(s"__a$i"))
+        base.crossJoin(
+          fkRows.unionAll(dimRows)
+            .groupBy(col("__e"), col("__k"))
+            .agg(sum(col("__pk")).as("__pks"), min(col("__pk")).as("__anyfk"))
+            .agg(adds.head, adds.tail: _*))
+      } else {
+        val adds = edges.zipWithIndex.map { case (e, i) =>
+          load(e.pkTable)
+            .join(
+              center.select(col(e.fkCol)).filter(col(e.fkCol).isNotNull).distinct(),
+              col(e.pkCol) === col(e.fkCol), "left_anti")
+            .agg(count(lit(1)).as(s"__a$i"))
+        }
+        adds.foldLeft(base)(_.crossJoin(_))
+      }
     val total = sub.edges.indices
       .map(i => col(s"__a$i"))
       .foldLeft(col("__base"))(_ + _)
-    Some(joined.select(total.as("size")))
+    Some(counted.select(total.as("size")))
   }
 
   /** Convenience loader bound to an sf directory. */

@@ -277,10 +277,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
-  test("cust_order_dist reuses the custkey shuffle for the first aggregation") {
+  test("cust_order_dist aggregates BOTH sides before the custkey join") {
     val p = plan("cust_order_dist")
-    // outer join shuffle on custkey + count-distribution shuffle + sort
-    assert("Exchange".r.findAllIn(p).size <= 4, p)
+    // orders are pre-aggregated to one row per custkey before the join
+    // (map-side partial aggregation shrinks the shuffled/sorted payload
+    // to distinct keys): the join output is the cc*oc product, so no
+    // post-join re-aggregation of fact rows exists in the plan
+    assert(p.contains("coalesce"), p.take(800))
+    assert("partial_count".r.findAllIn(p).size >= 2, p.take(800))
+    assert("Exchange".r.findAllIn(p).size <= 5, p)
   }
 
   test("lm_perplexity broadcasts the bigram model onto the token stream") {
@@ -524,9 +529,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
-  test("seasonal_decompose has no window at all (offset-explode moving average)") {
+  test("seasonal_decompose: two windows over the cached daily frame, no explode") {
     val p = plan("seasonal_decompose")
-    assert(!p.contains("Window"), p.take(600))
+    // the ±3-day RANGE trend window + the dow-effect window both ride
+    // the calendar-sized daily memo; the old offset-explode crossJoin
+    // (daily ×7 + regroup) and the twice-computed detrended join are gone
+    assert(p.contains("windowspecdefinition"), p.take(800))
+    assert(!p.contains("Generate"), p.take(800))
+    assert(p.contains("InMemoryTableScan"), p.take(800))
   }
 
   test("cross_corr aligns lags by join over the memoized daily frame, no window") {

@@ -36,11 +36,18 @@ class WindowAuditSpec extends SparkSpec {
     // domain/grid-bounded: windows over value-level or bucket-level
     // frames whose size is the attribute domain, not the row count
     "mutual_info", "lorenz_curve", "gains_curve", "zipf_fit",
+    // ≤ #order-priorities rows: pooled-moment window over the stratum
+    // aggregate (see simpsonParadoxAuditQ)
+    "simpson_paradox_audit",
     "survival_km", "hazard_curve", "extreme_value_pot",
     "hurst_exponent", "neyman_alloc", "dp_topk", "source_temp_mix",
     // calendar-bounded: one row per day/week/month after aggregation
     "user_growth", "revenue_mom", "cusum_changepoint", "page_hinkley",
     "binseg_changepoints", "segmented_trend", "late_events",
+    // one row per day: the ±3-day RANGE trend window over the daily
+    // revenue memo (see seasonalDecomposeQ; seasonal_strength consumes
+    // the same decomposition)
+    "seasonal_decompose", "seasonal_strength",
     // spec-/sample-/checkpoint-bounded: the cardinality-estimator
     // family's windows run over the ~2000-slot join sample, the
     // per-spec union, or the enumerated model joint (catalog-sized)
